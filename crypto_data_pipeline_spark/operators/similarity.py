@@ -1,0 +1,162 @@
+"""Similarity search over the `embeddings` table (north star ops).
+
+Two paths:
+  * brute-force cosine top-k — the exactness baseline. The (small)
+    query set broadcasts against the corpus; the score is a zip_with
+    dot product in double precision, fully inside codegen.
+  * random-hyperplane LSH — the scale path: 16 signed projections
+    bucket the corpus; search touches only the query's bucket (and
+    optionally Hamming-adjacent probes). At 100 TB the bucket key is
+    also the storage partition key, so a query prunes to one partition.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity in double precision (cast float arrays before
+    calling for engine-portable results)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (it is the small side by construction),
+    so the corpus never shuffles; ranking is a per-query window over
+    the scored rows. Scores are rounded to 6 dp *before* ranking with
+    an id tiebreak, making the result deterministic and engine-portable.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col(query_id_col) != F.col(id_col))
+        .withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def near_dup_pairs_by_cosine(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs. Blocks on `block_col`
+    (e.g. a cluster/label id) to avoid the full cross product; within a
+    block, pairs (a < b) above the cosine threshold."""
+    side = df.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .withColumn("cosine", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG-based so no
+    RNG library dependency and bit-stable across platforms)."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(n_planes):
+        vec = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            vec.append((state / 0x7FFFFFFF) * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in vec)) or 1.0
+        planes.append([x / n for x in vec])
+    return planes
+
+
+def with_lsh_bucket(
+    df: DataFrame, dim: int = 64, n_planes: int = 16, vec_col: str = "embedding", seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH bucket id: bit i = sign(v · h_i).
+    The bucket column is the partition/cluster key for ANN at scale."""
+    v = as_double(vec_col)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        h = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket.bitwiseOR(
+            F.when(dot(v, h) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN top-k: only corpus vectors sharing the query's LSH bucket are
+    scored. Recall-lossy by design (the scale path); the brute-force
+    operator is the exactness baseline."""
+    from pyspark.sql import Window
+
+    cb = with_lsh_bucket(corpus, dim, n_planes, vec_col).select(
+        F.col(id_col), as_double(vec_col).alias("_cv"), "lsh_bucket"
+    )
+    qb = with_lsh_bucket(queries, dim, n_planes, vec_col).select(
+        F.col(query_id_col), as_double(vec_col).alias("_qv"), F.col("lsh_bucket").alias("q_bucket")
+    )
+    scored = (
+        cb.join(F.broadcast(qb), F.col("lsh_bucket") == F.col("q_bucket"))
+        .where(F.col(query_id_col) != F.col(id_col))
+        .withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -1,0 +1,119 @@
+"""Text-analysis operators for the `documents` table (north star:
+LLM-training-data pipeline ops; BASELINE.json:6).
+
+All hot-path logic is JVM expressions (split / higher-order array
+functions / regexp) — no Python UDFs — so at 100 TB the scan streams
+through whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny deterministic stopword lists per language (public common-word
+# lists). Used by the n-gram-heuristic language identifier.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von"),
+    "fr": ("le", "les", "et", "des", "du", "une"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+LANG_PRIORITY = ("en", "es", "de", "fr", "zh")
+
+
+def normalized(text: str | Column = "text") -> Column:
+    """Canonical text normalization: lowercase, trim, collapse runs of
+    whitespace. Shared by dedup hashing and fingerprinting so every
+    operator agrees on identity."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def tokens(text: str | Column = "text") -> Column:
+    return F.split(normalized(text), " ")
+
+
+def with_text_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Quality-scoring features: length, word count, punctuation ratio,
+    stopword ratio, mean word length, and a composite quality score.
+    Every ratio is a single IEEE division on integer counts →
+    engine-portable without rounding."""
+    toks = tokens(text)
+    n_chars = F.length(text)
+    n_words = F.size(toks)
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[!?.,;:]", ""))
+    stop = F.size(F.expr(
+        f"filter(split(regexp_replace(trim(lower({text})), '\\\\s+', ' '), ' '), "
+        f"t -> t in {STOPWORDS['en']})"
+    ))
+    word_len_sum = F.aggregate(F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x)
+    return (
+        df.withColumn("n_chars_calc", n_chars.cast("long"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("punct_ratio", punct.cast("double") / n_chars)
+        .withColumn("stopword_ratio", stop.cast("double") / n_words)
+        .withColumn("mean_word_len", word_len_sum.cast("double") / n_words)
+    )
+
+
+def with_quality_score(df: DataFrame) -> DataFrame:
+    """Composite [0,1] quality heuristic over the stat columns."""
+    score = (
+        0.3 * F.least(F.col("n_words").cast("double") / 200, F.lit(1.0))
+        + 0.3 * (1 - F.col("punct_ratio"))
+        + 0.4 * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
+    )
+    return df.withColumn("quality_score", F.round(score, 6))
+
+
+def lang_scores(text: str = "text") -> dict[str, Column]:
+    """Per-language stopword-hit counts over the token array."""
+    out = {}
+    for lang in LANG_PRIORITY:
+        words = STOPWORDS[lang]
+        out[lang] = F.size(F.expr(
+            f"filter(split(regexp_replace(trim(lower({text})), '\\\\s+', ' '), ' '), "
+            f"t -> t in {words})"
+        ))
+    return out
+
+
+def with_lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Language-ID heuristic: argmax of stopword hits, 'und' when no
+    list matches; ties resolve in LANG_PRIORITY order."""
+    scores = lang_scores(text)
+    cols = {f"score_{k}": v for k, v in scores.items()}
+    best = F.lit("und")
+    # build the argmax as a reverse-priority when-chain
+    expr = None
+    for lang in LANG_PRIORITY:
+        s = cols[f"score_{lang}"]
+        cond = (s > 0)
+        for other in LANG_PRIORITY:
+            if other != lang and LANG_PRIORITY.index(other) < LANG_PRIORITY.index(lang):
+                cond = cond & (s > cols[f"score_{other}"])
+            elif other != lang:
+                cond = cond & (s >= cols[f"score_{other}"])
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    df = df.withColumn("lang_pred", expr.otherwise(best))
+    return df
+
+
+def with_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish regex token count
+    (letter runs / digit runs / single punctuation)."""
+    return (
+        df.withColumn("ws_tokens", F.size(tokens(text)).cast("long"))
+        .withColumn(
+            "re_tokens",
+            F.size(F.expr(f"regexp_extract_all(lower({text}), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).cast("long"),
+        )
+    )
+
+
+def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (deterministic,
+    engine-portable). A content-defined id for exact dedup and
+    incremental re-ingestion."""
+    return df.withColumn("fingerprint", F.md5(normalized(text)))

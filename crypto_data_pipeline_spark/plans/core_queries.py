@@ -1,0 +1,844 @@
+"""Core query catalog: SURVEY.md §2 operators mapped onto the driver's
+synthetic tables (TESTDATA.md / FIXTURES.md §5 mapping):
+
+  * coin_id / fetch_date / price_usd time series → ``events``
+    (user_id = entity, CAST(ts AS DATE) = day, max(value) = price —
+    max, not avg, so the daily reduction is exact/order-independent
+    and comparison-driven logic downstream is engine-portable).
+  * response_data JSONB → ``events.props`` JSON (key ``k``), scaled
+    ×5e10 so the market-cap T/B formatter hits both branches.
+  * monthly aggregates / scans / joins → ``orders``/``lineitem`` star.
+
+Every oracle string is DuckDB SQL with the SAME expression structure as
+the Spark plan (same operation order → IEEE-identical results for pure
+arithmetic; aggregation-order-dependent outputs are rounded on BOTH
+sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from crypto_data_pipeline_spark.operators import calendar as cal
+from crypto_data_pipeline_spark.operators import islands, risk, stats, timeseries as ts
+from crypto_data_pipeline_spark.operators.timeseries import DATE, ENTITY, PRICE
+from crypto_data_pipeline_spark.plans.registry import register
+from crypto_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared fragments
+
+HISTORY_CTE = """history AS (
+  SELECT user_id AS entity_id, CAST(ts AS DATE) AS fetch_date, max(value) AS price
+  FROM events
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+)"""
+
+W_ENTITY = "(PARTITION BY entity_id ORDER BY fetch_date)"
+
+
+def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.daily_price_series(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Query 1 — monthly average price (A1, F1, F2, P2, O1)
+
+
+@register(
+    "monthly_avg_price",
+    survey_ids=("A1", "F1", "F2", "P2", "O1"),
+    bench=True,
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT entity_id,
+       CAST(year(fetch_date) AS INT) AS year,
+       CAST(month(fetch_date) AS INT) AS month,
+       round(avg(price), 2) AS avg_price
+FROM history
+WHERE price IS NOT NULL
+GROUP BY 1, 2, 3
+""",
+)
+def monthly_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Query 1 (sql/analysis_queries.sql:4-12)."""
+    return ts.monthly_avg(_history(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Query 2 — the flagship: recovery after >=3 consecutive down days
+# (W1, W2, W3, A2, J1, A3, A8, F3, F5, J2, A4, O2)
+
+_Q2_ORACLE = f"""
+WITH {HISTORY_CTE},
+daily_changes AS (
+  SELECT entity_id, fetch_date, price,
+         lag(price) OVER {W_ENTITY} AS prev_price,
+         CASE WHEN price < lag(price) OVER {W_ENTITY} THEN 1 ELSE 0 END AS is_drop_day
+  FROM history
+  WHERE price IS NOT NULL
+),
+drop_sequences AS (
+  SELECT *,
+         SUM(CASE WHEN is_drop_day = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY entity_id ORDER BY fetch_date
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS drop_group
+  FROM daily_changes
+),
+consecutive_drops AS (
+  SELECT entity_id, drop_group,
+         count(*) AS consecutive_days,
+         min(price) AS lowest_price,
+         max(fetch_date) AS end_date
+  FROM drop_sequences
+  WHERE is_drop_day = 1
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+),
+price_increases AS (
+  SELECT d.entity_id, d.lowest_price, d.end_date,
+         h.price AS recovery_price,
+         min(h.fetch_date) AS recovery_date
+  FROM consecutive_drops d
+  JOIN history h
+    ON h.entity_id = d.entity_id
+   AND h.fetch_date > d.end_date
+   AND h.price > d.lowest_price
+  GROUP BY 1, 2, 3, 4
+),
+latest_cap AS (
+  SELECT entity_id, market_cap,
+         CASE WHEN market_cap >= 1e12
+              THEN CAST(round(market_cap / 1e12, 2) AS VARCHAR) || 'T'
+              WHEN market_cap IS NOT NULL
+              THEN CAST(round(market_cap / 1e9, 2) AS VARCHAR) || 'B'
+         END AS market_cap_formatted
+  FROM (
+    SELECT user_id AS entity_id,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) * 5e10 AS market_cap,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  )
+  WHERE rn = 1
+),
+gains AS (
+  SELECT entity_id,
+         round(avg((recovery_price - lowest_price) / lowest_price * 100), 2)
+           AS avg_price_increase_pct
+  FROM price_increases
+  GROUP BY 1
+)
+SELECT g.entity_id, g.avg_price_increase_pct, c.market_cap, c.market_cap_formatted
+FROM gains g
+LEFT JOIN latest_cap c USING (entity_id)
+"""
+
+
+def _latest_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    cap = F.get_json_object("props", "$.k").cast("double") * F.lit(5e10)
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("user_id").alias(ENTITY),
+            cap.alias("market_cap"),
+            islands.format_market_cap(cap).alias("market_cap_formatted"),
+        )
+    )
+
+
+@register(
+    "drop_recovery",
+    survey_ids=("W1", "W2", "W3", "A2", "J1", "A3", "A8", "F3", "F5", "J2", "A4", "O2"),
+    bench=True,
+    oracle=_Q2_ORACLE,
+)
+def drop_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Query 2, the 5-CTE gaps-and-islands pipeline
+    (sql/analysis_queries.sql:23-89)."""
+    return islands.recovery_report(_history(spark, sf_dir), _latest_caps(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# W4 — pct_change
+
+
+@register(
+    "pct_change",
+    survey_ids=("W4", "W1"),
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT entity_id, fetch_date, price,
+       (price / lag(price) OVER {W_ENTITY} - 1) * 100 AS pct_change
+FROM history
+""",
+)
+def pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas groupby().pct_change()*100 (EDA.ipynb:816). Pure IEEE
+    arithmetic on identical operands → bit-exact vs the oracle, no
+    rounding needed."""
+    return ts.with_pct_change(_history(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# W5/W6 — lag feature block + lead target
+
+
+@register(
+    "lag_lead_features",
+    survey_ids=("W5", "W6"),
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT entity_id, fetch_date, price,
+       {", ".join(f"lag(price, {i}) OVER {W_ENTITY} AS price_lag_{i}" for i in range(1, 8))},
+       lead(price, 1) OVER {W_ENTITY} AS next_day_price
+FROM history
+""",
+)
+def lag_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_data.ipynb:517-521: price_lag_1..7 + next_day_price."""
+    return ts.with_lead_target(ts.with_lag_features(_history(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# W7/W8 — rolling 8-row trend + population variance
+
+
+@register(
+    "rolling_trend_variance",
+    survey_ids=("W7", "W8"),
+    bench=True,
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT entity_id, fetch_date, price,
+       (price / lag(price, 7) OVER {W_ENTITY} - 1) * 100 AS rolling_7d_trend,
+       CASE WHEN count(price) OVER w8 = 8
+            THEN round(var_pop(price) OVER w8, 6) END AS rolling_7d_variance
+FROM history
+WINDOW w8 AS (PARTITION BY entity_id ORDER BY fetch_date
+              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_trend_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDA.ipynb:1596-1624 — trend is exact arithmetic; variance is
+    POPULATION (np.var ddof=0), rounded both sides (accumulation
+    order differs between engines)."""
+    df = ts.with_rolling_variance(ts.with_rolling_trend(_history(spark, sf_dir)))
+    return df.withColumn("rolling_7d_variance", F.round("rolling_7d_variance", 6))
+
+
+# ---------------------------------------------------------------------------
+# W9 — bias-corrected rolling skewness
+
+
+@register(
+    "rolling_skew",
+    survey_ids=("W9",),
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT entity_id, fetch_date, price,
+       CASE WHEN count(price) OVER w7 = 7 THEN round(
+         ( (avg(price*price*price) OVER w7
+            - 3 * avg(price) OVER w7 * avg(price*price) OVER w7
+            + 2 * avg(price) OVER w7 * avg(price) OVER w7 * avg(price) OVER w7)
+           / power(avg(price*price) OVER w7 - avg(price) OVER w7 * avg(price) OVER w7, 1.5)
+         ) * (sqrt(42.0) / 5), 6) END AS price_skew_7d
+FROM history
+WINDOW w7 AS (PARTITION BY entity_id ORDER BY fetch_date
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas rolling(7).skew() = bias-corrected Fisher-Pearson G1
+    (transform_data.ipynb:524), derived from windowed raw moments —
+    stays in JVM codegen, no Python UDF."""
+    df = ts.with_rolling_skew(_history(spark, sf_dir))
+    return df.withColumn("price_skew_7d", F.round("price_skew_7d", 6))
+
+
+# ---------------------------------------------------------------------------
+# W4 + W10 — absolute return + rolling mean
+
+
+@register(
+    "rolling_return_mean",
+    survey_ids=("W10", "W4", "F7"),
+    oracle=f"""
+WITH {HISTORY_CTE},
+pc AS (
+  SELECT entity_id, fetch_date, price,
+         abs((price / lag(price) OVER {W_ENTITY} - 1) * 100) AS return_abs
+  FROM history
+)
+SELECT entity_id, fetch_date, price, return_abs,
+       CASE WHEN count(return_abs) OVER w7 = 7
+            THEN round(avg(return_abs) OVER w7, 6) END AS return_rolling_mean_7d
+FROM pc
+WINDOW w7 AS (PARTITION BY entity_id ORDER BY fetch_date
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_return_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_data.ipynb:551-552."""
+    df = ts.with_return_features(ts.with_pct_change(_history(spark, sf_dir)))
+    return df.select(
+        ENTITY, DATE, PRICE, "return_abs", F.round("return_rolling_mean_7d", 6).alias("return_rolling_mean_7d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11/A12 — full-column scaling
+
+
+@register(
+    "scaling",
+    survey_ids=("A11", "A12"),
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT entity_id, fetch_date, price,
+       (price - min(price) OVER we) / (max(price) OVER we - min(price) OVER we)
+         AS price_normalized,
+       round((price - avg(price) OVER we) / stddev_pop(price) OVER we, 6)
+         AS price_standardized
+FROM history
+WINDOW we AS (PARTITION BY entity_id)
+""",
+)
+def scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinMaxScaler + population z-score over the FULL per-entity column
+    (transform_data.ipynb:569-573) — fit before dropna, replicating the
+    reference's leakage."""
+    df = ts.with_zscore(ts.with_minmax_norm(_history(spark, sf_dir)))
+    return df.withColumn("price_standardized", F.round("price_standardized", 6))
+
+
+# ---------------------------------------------------------------------------
+# A5 — maintained monthly min/max (gold table recompute)
+
+
+@register(
+    "monthly_min_max",
+    survey_ids=("A5", "S8"),
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT entity_id,
+       CAST(year(fetch_date) AS INT) AS year,
+       CAST(month(fetch_date) AS INT) AS month,
+       min(price) AS min_price,
+       max(price) AS max_price
+FROM history
+GROUP BY 1, 2, 3
+""",
+)
+def monthly_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crypto_app/db.py:150-197 — idempotent full recompute replaces the
+    reference's per-insert upsert."""
+    return ts.monthly_min_max(_history(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# A8 + F3 — latest event per user with JSON extraction
+
+
+@register(
+    "latest_event_per_user",
+    survey_ids=("A8", "F3", "W11"),
+    oracle="""
+SELECT user_id, event_id, ts,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PostgreSQL DISTINCT ON translation (sql/analysis_queries.sql:72-80)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", F.get_json_object("props", "$.k").cast("double").alias("k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7/ST2 — keyed last-write-wins dedupe (the upsert translation)
+
+
+@register(
+    "dedupe_last_write_wins",
+    survey_ids=("S7", "ST2"),
+    oracle="""
+SELECT user_id, event_type, event_id, ts, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def dedupe_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's INSERT-or-UPDATE on (coin_id, fetch_date)
+    (load_data.py:66-102) re-expressed append-only: keep the newest row
+    per key by (ts, event_id) tiebreak — idempotent re-ingestion (ST2)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-P4/P6 — projection + predicate stack
+
+
+@register(
+    "filtered_projection",
+    survey_ids=("P1", "P2", "P3", "P4", "P6"),
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_type IN ('purchase', 'signup')
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND value IS NOT NULL
+""",
+)
+def filtered_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EDA load filters (notebooks/EDA.ipynb:396-408) — expressed
+    declaratively; Catalyst pushes all three predicates into the
+    parquet scan (PushedFilters) and prunes to 5 columns (ReadSchema)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where(
+            F.col("event_type").isin("purchase", "signup")
+            & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & F.col("value").isNotNull()
+        )
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 — positional offset (drop first 7 rows per series)
+
+
+@register(
+    "positional_offset",
+    survey_ids=("P8",),
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT entity_id, fetch_date, price
+FROM (
+  SELECT *, row_number() OVER {W_ENTITY} AS rn FROM history
+)
+WHERE rn > 7
+""",
+)
+def positional_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """models.ipynb:296 ``iloc[7:]`` per coin → row_number filter."""
+    w = Window.partitionBy(ENTITY).orderBy(DATE)
+    return (
+        _history(spark, sf_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 7)
+        .select(ENTITY, DATE, PRICE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — risk classification (+J3 join-back covered by risk.with_risk_level)
+
+
+_RISK_CTE = f"""
+WITH {HISTORY_CTE},
+pc AS (
+  SELECT entity_id, fetch_date, price,
+         (price / lag(price) OVER {W_ENTITY} - 1) * 100 AS pct_change,
+         strftime(fetch_date, '%Y-%m') AS year_month
+  FROM history
+),
+sev AS (
+  SELECT entity_id, year_month,
+         CASE WHEN (1 + pct_change / 100)
+                   * (1 + lead(pct_change, 1) OVER (PARTITION BY entity_id, year_month
+                                                    ORDER BY fetch_date) / 100) - 1 <= -0.5 THEN 2
+              WHEN (1 + pct_change / 100)
+                   * (1 + lead(pct_change, 1) OVER (PARTITION BY entity_id, year_month
+                                                    ORDER BY fetch_date) / 100) - 1 <= -0.2 THEN 1
+              ELSE 0 END AS s
+  FROM pc
+)
+SELECT entity_id, year_month,
+       CASE max(s) WHEN 2 THEN 'High Risk' WHEN 1 THEN 'Medium Risk'
+            ELSE 'Low Risk' END AS risk_level
+FROM sev
+GROUP BY 1, 2
+"""
+
+
+@register("risk_classification", survey_ids=("A10", "U1", "F4", "F6", "F11"), oracle=_RISK_CTE)
+def risk_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDA.ipynb:1192-1226 groupby().apply(calculate_risk_level) as a
+    pure window + grouped-max plan (U1 rewritten JVM-side)."""
+    df = ts.with_pct_change(_history(spark, sf_dir)).withColumn(
+        "year_month", F.date_format(DATE, "yyyy-MM")
+    )
+    return risk.risk_levels(df)
+
+
+# ---------------------------------------------------------------------------
+# F8-F11 + J4 — calendar + holiday features
+
+
+@register(
+    "calendar_features",
+    survey_ids=("F8", "F9", "F10", "F11", "J4", "U3"),
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT entity_id, fetch_date,
+       CAST(isodow(fetch_date) - 1 AS INT) AS day_of_week,
+       CASE isodow(fetch_date)
+            WHEN 1 THEN 'Lunes' WHEN 2 THEN 'Martes' WHEN 3 THEN 'Miercoles'
+            WHEN 4 THEN 'Jueves' WHEN 5 THEN 'Viernes' WHEN 6 THEN 'Sabado'
+            ELSE 'Domingo' END AS day_name,
+       CASE WHEN isodow(fetch_date) IN (6, 7) THEN 1 ELSE 0 END AS is_weekend,
+       CAST(weekofyear(fetch_date) AS INT) AS week_of_year,
+       CAST(day(fetch_date) AS INT) AS day_of_month,
+       CAST(quarter(fetch_date) AS INT) AS quarter,
+       CAST(dayofyear(fetch_date) AS INT) AS day_of_year,
+       strftime(fetch_date, '%Y-%m') AS year_month,
+       CASE WHEN fetch_date IN ({cal.us_holiday_sql_list()}) THEN 1 ELSE 0 END AS is_us_holiday,
+       CASE WHEN fetch_date IN ({cal.cn_holiday_sql_list()}) THEN 1 ELSE 0 END AS is_china_holiday,
+       CASE WHEN fetch_date + 1 IN ({cal.us_holiday_sql_list()}) THEN 1 ELSE 0 END AS is_pre_us_holiday
+FROM history
+""",
+)
+def calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_data.ipynb:528-564 calendar block; holiday flags via
+    generated broadcast dim join (J4), not per-row Python."""
+    df = cal.with_calendar_features(_history(spark, sf_dir))
+    df = cal.with_holiday_flags(df, spark)
+    return df.select(
+        ENTITY, DATE, "day_of_week", "day_name", "is_weekend", "week_of_year",
+        "day_of_month", "quarter", "day_of_year", "year_month",
+        "is_us_holiday", "is_china_holiday", "is_pre_us_holiday",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — grouped describe
+
+
+@register(
+    "describe_stats",
+    survey_ids=("A7",),
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT entity_id,
+       count(price) AS count,
+       round(avg(price), 6) AS mean,
+       round(stddev_samp(price), 6) AS std,
+       min(price) AS min,
+       round(quantile_cont(price, 0.25), 6) AS p25,
+       round(quantile_cont(price, 0.5), 6) AS p50,
+       round(quantile_cont(price, 0.75), 6) AS p75,
+       max(price) AS max
+FROM history
+GROUP BY 1
+""",
+)
+def describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby().describe() (EDA.ipynb:416): EXACT interpolated
+    percentiles (pandas parity), sample std."""
+    df = stats.describe_by_group(_history(spark, sf_dir))
+    return df.select(
+        ENTITY, "count",
+        F.round("mean", 6).alias("mean"), F.round("std", 6).alias("std"),
+        "min",
+        F.round("p25", 6).alias("p25"), F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"), "max",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — pivot / crosstab
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "event_type_pivot",
+    survey_ids=("A9",),
+    oracle=f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+""",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby().size().unstack() (EDA.ipynb:1378). Explicit pivot
+    values → static schema, no discovery job."""
+    return stats.count_pivot(load_table(spark, sf_dir, "events"), "user_id", "event_type", EVENT_TYPES)
+
+
+# ---------------------------------------------------------------------------
+# A13 — correlation
+
+
+@register(
+    "correlation_by_type",
+    survey_ids=("A13",),
+    oracle="""
+SELECT event_type,
+       round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS corr
+FROM events
+GROUP BY 1
+""",
+)
+def correlation_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise sample Pearson (transform_data.ipynb:647)."""
+    events = load_table(spark, sf_dir, "events")
+    df = events.withColumn("k", F.get_json_object("props", "$.k").cast("double"))
+    return stats.pairwise_corr(df, "event_type", "value", "k").withColumn("corr", F.round("corr", 6))
+
+
+# ---------------------------------------------------------------------------
+# O2/O3 — top-k
+
+
+@register(
+    "top_users_by_value",
+    survey_ids=("O2", "O3", "A6"),
+    oracle="""
+SELECT user_id, n_events, total_value
+FROM (
+  SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+  FROM events
+  GROUP BY 1
+)
+ORDER BY total_value DESC, user_id
+LIMIT 10
+""",
+)
+def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k = orderBy(desc).limit(k) — Spark plans TakeOrderedAndProject
+    (no full sort, no full shuffle of the sorted data)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy(F.col("total_value").desc(), "user_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — distinct; A2-style HAVING
+
+
+@register(
+    "distinct_priorities",
+    survey_ids=("§2.7",),
+    oracle="SELECT DISTINCT o_orderpriority FROM orders",
+)
+def distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df['col'].unique() → select().distinct() (EDA.ipynb:501)."""
+    return load_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+@register(
+    "repeat_customers",
+    survey_ids=("A2", "A6"),
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders
+FROM orders
+GROUP BY 1
+HAVING count(*) >= 10
+""",
+)
+def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (sql/analysis_queries.sql:46-56 shape)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped scan/agg and join coverage (S4, P-stack, A-stack, J2/J3)
+
+
+@register(
+    "pricing_summary",
+    survey_ids=("P1", "P4", "A1", "A6", "F2"),
+    bench=True,
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan→filter→agg; the headline bench scan. The
+    date predicate pushes to parquet row groups; aggregation is
+    partial (map-side combine) before one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    survey_ids=("J2", "J3", "A1", "F2"),
+    bench=True,
+    oracle="""
+SELECT r_name, n_name,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+""",
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⋈ dims. nation/region (and customer at small SF)
+    broadcast — zero shuffle on the fact side for the joins; one
+    shuffle for the final aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gaps-and-islands over time gaps (streaming-shaped batch)
+
+
+@register(
+    "sessionization",
+    survey_ids=("W3", "ST1", "A2"),
+    bench=True,
+    oracle="""
+WITH stamped AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM stamped
+),
+sessions AS (
+  SELECT user_id, event_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         max(us) - min(us) AS duration_us
+  FROM sessions
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       round(avg(n_events), 6) AS avg_events_per_session,
+       round(avg(duration_us) / 1e6, 6) AS avg_session_sec
+FROM per_session
+GROUP BY 1
+""",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization: the batch twin of a streaming
+    session window. Exact integer microsecond math (unix_micros /
+    epoch_us) so gap comparisons are engine-portable."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    stamped = events.select("user_id", "event_id", us.alias("us"), F.lag(us).over(w).alias("prev_us"))
+    flagged = stamped.withColumn(
+        "new_session",
+        F.when(F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > 1800000000), 1).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wrun))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+        F.round(F.avg("duration_us") / 1e6, 6).alias("avg_session_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST3-shaped batch twin — tumbling hourly aggregate
+
+
+@register(
+    "tumbling_hourly",
+    survey_ids=("ST3", "A1"),
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — the batch semantics of the
+    streaming gold table (crypto_app/db.py:150-197 analog). The same
+    expression runs under readStream with a watermark
+    (streaming/ingest.py)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
+    )

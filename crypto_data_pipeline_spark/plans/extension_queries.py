@@ -1,0 +1,280 @@
+"""Extension query catalog: the LLM-training-data-pipeline operators
+(north star, BASELINE.json:6) over the `documents` and `embeddings`
+tables — dedup, similarity search, text analysis, multimodal plumbing.
+
+Oracle parity notes:
+  * DuckDB ``regexp_replace`` needs the explicit 'g' flag (Spark
+    replaces all matches by default).
+  * Tokenization: Spark ``split(norm, ' ')`` == DuckDB
+    ``string_split(norm, ' ')`` on the collapsed-whitespace form.
+  * Hash-dependent operators (minhash/simhash/LSH) use Spark's
+    xxhash64, which DuckDB cannot reproduce → rows-only checks, with
+    the exact-Jaccard / brute-force twins acting as the SQL-checkable
+    baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from crypto_data_pipeline_spark.operators import dedup, multimodal, similarity, text
+from crypto_data_pipeline_spark.operators.text import LANG_PRIORITY, STOPWORDS
+from crypto_data_pipeline_spark.plans.registry import register
+from crypto_data_pipeline_spark.sources.tables import load_table
+
+# DuckDB spelling of text.normalized()
+NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+TOKENS_SQL = f"string_split({NORM_SQL}, ' ')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+@register(
+    "dedup_exact_groups",
+    survey_ids=("EXT-dedup",),
+    bench=True,
+    oracle=f"""
+SELECT md5({NORM_SQL}) AS content_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup census: hash-groupBy on normalized content."""
+    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_exact_survivors",
+    survey_ids=("EXT-dedup",),
+    oracle=f"""
+SELECT doc_id, content_hash
+FROM (
+  SELECT doc_id, md5({NORM_SQL}) AS content_hash,
+         row_number() OVER (PARTITION BY md5({NORM_SQL}) ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+""",
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup, survivor rows only (min doc_id per content hash)."""
+    return dedup.exact_dedup(_docs(spark, sf_dir)).select("doc_id", "content_hash")
+
+
+# ---------------------------------------------------------------------------
+# fuzzy dedup (hash-based → rows-only; Jaccard math is the checkable part)
+
+
+@register("dedup_minhash_lsh", survey_ids=("EXT-dedup",), bench=True, oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified at 0.5.
+    xxhash64 signatures are Spark-specific → rows-only driver check;
+    tests/test_dedup.py asserts recall against brute-force Jaccard."""
+    return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register("dedup_simhash", survey_ids=("EXT-dedup",), oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup pairs (Hamming <= 3 over 64-bit sketches)."""
+    return dedup.simhash_candidate_pairs(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+@register(
+    "text_quality",
+    survey_ids=("EXT-text",),
+    bench=True,
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len({TOKENS_SQL}) AS BIGINT) AS n_words,
+         CAST(length(text) - length(regexp_replace(text, '[!?.,;:]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio,
+         CAST(len(list_filter({TOKENS_SQL}, t -> t IN {STOPWORDS["en"]})) AS DOUBLE)
+           / len({TOKENS_SQL}) AS stopword_ratio,
+         CAST(list_sum(list_transform({TOKENS_SQL}, t -> length(t))) AS DOUBLE)
+           / len({TOKENS_SQL}) AS mean_word_len
+  FROM documents
+)
+SELECT *,
+       round(0.3 * least(CAST(n_words AS DOUBLE) / 200, 1.0)
+             + 0.3 * (1 - punct_ratio)
+             + 0.4 * least(stopword_ratio * 5, 1.0), 6) AS quality_score
+FROM t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword stats + composite score."""
+    df = text.with_quality_score(text.with_text_stats(_docs(spark, sf_dir)))
+    return df.select(
+        "doc_id", "n_chars_calc", "n_words", "punct_ratio", "stopword_ratio",
+        "mean_word_len", "quality_score",
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    return f"len(list_filter({TOKENS_SQL}, t -> t IN {STOPWORDS[lang]}))"
+
+
+def _lang_case_sql() -> str:
+    clauses = []
+    for i, lang in enumerate(LANG_PRIORITY):
+        s = _lang_score_sql(lang)
+        conds = [f"{s} > 0"]
+        for j, other in enumerate(LANG_PRIORITY):
+            if other == lang:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"{s} {op} {_lang_score_sql(other)}")
+        clauses.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+@register(
+    "lang_id",
+    survey_ids=("EXT-text",),
+    oracle=f"SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred FROM documents",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram heuristic); 'und' if no list
+    matches. Integer-count argmax → engine-portable exactly."""
+    return text.with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "token_counts",
+    survey_ids=("EXT-text",),
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({TOKENS_SQL}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS re_tokens
+FROM documents
+""",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    return text.with_token_counts(_docs(spark, sf_dir)).select("doc_id", "ws_tokens", "re_tokens")
+
+
+@register(
+    "doc_fingerprint",
+    survey_ids=("EXT-text",),
+    oracle=f"SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined document fingerprint (md5 of normalized text)."""
+    return text.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM c, q
+  WHERE query_id != vec_id
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+@register("embedding_topk_bruteforce", survey_ids=("EXT-sim",), bench=True, oracle=_TOPK_ORACLE)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors — broadcast queries ×
+    corpus scan, double-precision zip_with dot product in codegen."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.brute_force_topk(embs, queries, k=5)
+
+
+@register(
+    "embedding_similar_pairs",
+    survey_ids=("EXT-sim", "EXT-dedup"),
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+""",
+)
+def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on the label column
+    (cluster id) so no O(n^2) cross product. Threshold 0.3 fits this
+    corpus's near-random geometry; production near-dup would use ~0.95."""
+    return similarity.near_dup_pairs_by_cosine(_embs(spark, sf_dir), threshold=0.3)
+
+
+@register("embedding_ann_lsh", survey_ids=("EXT-sim",), oracle=None)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via random-hyperplane LSH bucketing (recall-lossy scale
+    path; tests compare recall against the brute-force baseline)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.lsh_topk(embs, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+
+@register(
+    "multimodal_ingest",
+    survey_ids=("EXT-mm",),
+    oracle="""
+SELECT doc_id,
+       'fake/bin' AS format,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + typed metadata struct (schema plumbing)."""
+    media = multimodal.fake_media_from_documents(_docs(spark, sf_dir))
+    return media.select("doc_id", F.col("meta.format").alias("format"), F.col("meta.n_bytes").alias("n_bytes"))
+
+
+@register("multimodal_features", survey_ids=("EXT-mm",), oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary blobs (decode step
+    stubbed with a deterministic fake codec; Arrow batch plumbing real)."""
+    media = multimodal.fake_media_from_documents(_docs(spark, sf_dir))
+    feats = multimodal.extract_media_features(media)
+    return feats.select("doc_id", "n_bytes", F.round("mean_byte", 6).alias("mean_byte"), "top_byte")

@@ -1,0 +1,60 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Replaces the reference's JDBC/SQL table scan (S4,
+notebooks/EDA.ipynb:396-408): instead of pushing filters into SQL text
+by hand, we return lazy DataFrames and let Catalyst push predicates and
+prune columns into the parquet scan (visible as PushedFilters /
+ReadSchema in ``df.explain("formatted")``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always broadcast in joins (region is 5
+# rows, nation 25 — at any scale factor these stay tiny).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+
+# Columns stored as TIMESTAMP(NANOS) in parquet. With
+# spark.sql.legacy.parquet.nanosAsLong they surface as long nanoseconds;
+# we truncate to microsecond timestamps (integer div — the values exceed
+# 2^53, so float division would corrupt them), matching DuckDB's ns→us
+# truncation so both engines see identical instants.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one synthetic table."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name in _NANO_TS_COLS.get(name, ()) and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works.
+
+    Mirrors the reference's catalog introspection surface (S9,
+    notebooks/EDA.ipynb cell 7): after this,
+    ``spark.catalog.listTables()`` / ``DESCRIBE`` answer the same
+    questions information_schema did.
+    """
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,73 @@
+"""Differential oracle tests — the local twin of the driver's
+CORRECTNESS gate: every oracle-paired query in the registry runs on
+Spark AND DuckDB at sf0.001 and must match on row count, column names,
+and order-insensitive values (NaN-safe)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from crypto_data_pipeline_spark.plans.registry import load_all
+from crypto_data_pipeline_spark.sources.tables import TABLES
+
+SPECS = load_all()
+ORACLE_SPECS = [s for s in SPECS.values() if s.oracle is not None]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    return v
+
+
+def _rows(cols, data):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in idx) for r in data)
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
+def test_matches_oracle(spark, sf_dir, spec):
+    sdf = spec.fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.execute(spec.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    con.close()
+
+    assert sorted(scols) == sorted(dcols), f"column mismatch: spark={scols} duck={dcols}"
+    assert len(srows) == len(drows), f"row count: spark={len(srows)} duck={len(drows)}"
+    sc, dc = _rows(scols, srows), _rows(dcols, drows)
+    mismatches = [(a, b) for a, b in zip(sc, dc) if a != b][:5]
+    assert sc == dc, f"value mismatch, first diffs: {mismatches}"
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    for spec in SPECS.values():
+        if spec.oracle is None:
+            n = spec.fn(spark, sf_dir).count()
+            assert n >= 0, spec.name
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
