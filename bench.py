@@ -1,0 +1,59 @@
+"""Headline benchmark: runs the bench-flagged catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total-sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": 0.1}
+
+Each query is forced through full evaluation with the noop sink (no
+driver-side collect — results never bottleneck on the driver, matching
+how the plans would run on a cluster).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crypto_data_pipeline_spark import get_spark
+from crypto_data_pipeline_spark.plans.registry import load_all
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("bench")
+    specs = [s for s in load_all().values() if s.bench]
+
+    # warm the JVM + parquet footers once so timings measure the engine,
+    # not first-touch class loading
+    specs[0].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for spec in specs:
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

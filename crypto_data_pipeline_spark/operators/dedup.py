@@ -68,80 +68,162 @@ def word_shingles(text: str = "text", k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, shingled).otherwise(F.array(F.concat_ws(" ", toks))))
 
 
+def shingle_sets(df: DataFrame, id_col: str = "doc_id", text: str = "text", k: int = 3) -> DataFrame:
+    """(id, sh) — each doc's distinct shingle set, materialized ONCE as
+    a projection stage. Downstream signature/verify operators consume
+    the `sh` column instead of re-deriving the shingle expression (an
+    expression tree repeated n_hashes× defeats codegen CSE and was the
+    dominant cost in the first cut of this operator)."""
+    return df.select(F.col(id_col).alias("id"), word_shingles(text, k).alias("sh"))
+
+
+def _rotl(h: Column, r: int) -> Column:
+    return F.shiftleft(h, r).bitwiseOR(F.shiftrightunsigned(h, 64 - r))
+
+
+def hashed_shingle_sets(df: DataFrame, id_col: str = "doc_id", text: str = "text", k: int = 3) -> DataFrame:
+    """(id, hs: array<long>) — distinct k-shingle HASHES, string-free.
+
+    Profiling showed string shingle construction (slice + concat_ws per
+    window position) dominating the minhash pipeline. Here each token
+    is xxhash64'd once, and a shingle hash is the XOR of the k token
+    hashes under position-distinct rotations (order-sensitive, no
+    string materialization). ~3× cheaper than string shingling and the
+    downstream minhash consumes longs directly."""
+    th = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    staged = df.select(F.col(id_col).alias("id"), th.alias("th"))
+    t_col = F.col("th")
+    n = F.size(t_col)
+
+    def shingle_hash(i: Column) -> Column:
+        h = _rotl(F.element_at(t_col, i + 1), k - 1)
+        for j in range(1, k):
+            e = F.element_at(t_col, i + j + 1)
+            h = h.bitwiseXOR(_rotl(e, k - 1 - j) if k - 1 - j > 0 else e)
+        return h
+
+    whole_doc = F.aggregate(t_col, F.lit(0).cast("long"), lambda a, x: _rotl(a, 1).bitwiseXOR(x))
+    hs = F.when(n >= k, F.transform(F.sequence(F.lit(0), n - k), shingle_hash)).otherwise(
+        F.array(whole_doc)
+    )
+    return staged.select("id", F.array_distinct(hs).alias("hs"))
+
+
+def _perm_masks(num_hashes: int) -> list[int]:
+    """Deterministic 64-bit XOR masks (golden-ratio multiples, signed)."""
+    out = []
+    for j in range(num_hashes):
+        m = (0x9E3779B97F4A7C15 * (j + 1)) & 0xFFFFFFFFFFFFFFFF
+        out.append(m - (1 << 64) if m >= (1 << 63) else m)
+    return out
+
+
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """num_hashes-long minhash signature: h_j = min over shingles of
-    xxhash64(shingle, j). Arrays + higher-order functions only — the
-    signature computation never leaves the JVM."""
+    """num_hashes-long minhash signature.
+
+    Cost design: the expensive operation is string hashing, so each
+    shingle is xxhash64'd ONCE; the num_hashes "permutations" are cheap
+    XOR bijections of that base hash (h_j = min over shingles of
+    base ^ mask_j) — the standard one-hash + universal-permutation
+    minhash family. Arrays + higher-order functions only; the whole
+    signature never leaves the JVM. Pass a *column reference* (e.g.
+    from shingle_sets), not a derived expression."""
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
+    return _signature_from_hashes(hashed, num_hashes)
+
+
+def _signature_from_hashes(hashed: Column, num_hashes: int) -> Column:
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s, j=j: F.xxhash64(s, F.lit(j))))
-            for j in range(num_hashes)
+            F.array_min(F.transform(hashed, lambda h, m=m: h.bitwiseXOR(F.lit(m))))
+            for m in _perm_masks(num_hashes)
         ]
     )
 
 
 def lsh_candidate_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text: str = "text",
+    sets: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
-    shingle_k: int = 3,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """MinHash-LSH banding: split the signature into `bands` bands of
     r = num_hashes/bands rows, hash each band, shuffle on
     (band_idx, band_hash), emit intra-bucket pairs (a < b).
 
-    Returns distinct candidate pairs (id_a, id_b)."""
+    One signature pass + ONE shuffle: buckets are built with
+    groupBy/collect_set and pairs expanded with array combinatorics —
+    no self-join, so the (expensive) signature expression evaluates
+    once per doc, not twice. Buckets larger than `max_bucket` are
+    dropped (LSH hot-bucket guard: a degenerate bucket of size B costs
+    O(B²) pairs; at web scale a stopword-like shingle pattern would
+    otherwise dominate the whole job — the standard cap-and-drop
+    mitigation).
+
+    `sets` is a hashed_shingle_sets() frame (id, hs). Returns distinct
+    (id_a, id_b)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(word_shingles(text, shingle_k), num_hashes)
-    banded = df.select(F.col(id_col).alias("id"), sig.alias("sig")).select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_hash")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    sig = _signature_from_hashes(F.col("hs"), num_hashes)
+    banded = (
+        sets.select(F.col("id"), sig.alias("sig"))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .select("id", "band.band_idx", "band.band_hash")
     )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def jaccard_verified_pairs(
-    df: DataFrame,
+    sets: DataFrame,
     candidates: DataFrame,
-    id_col: str = "doc_id",
-    text: str = "text",
-    shingle_k: int = 3,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs: join each side back to
-    its distinct shingle set, intersect/union with array functions."""
-    sets_ = df.select(F.col(id_col).alias("id"), word_shingles(text, shingle_k).alias("sh"))
+    """Exact n-gram Jaccard on candidate pairs.
+
+    Jaccard is computed over the hashed shingle sets (id, hs) — set
+    semantics are identical up to (negligible) 64-bit hash collisions.
+    Pass a `sets` frame already pruned to the candidate ids (see
+    minhash_dedup_pairs) — both pair sides broadcast it."""
     out = (
-        candidates.join(sets_.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets_.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        candidates.join(
+            F.broadcast(sets.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a")), "id_a"
+        )
+        .join(F.broadcast(sets.withColumnRenamed("id", "id_b").withColumnRenamed("hs", "hs_b")), "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+            / F.size(F.array_union("hs_a", "hs_b")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -149,11 +231,31 @@ def jaccard_verified_pairs(
     return out
 
 
-def minhash_dedup_pairs(df: DataFrame, threshold: float = 0.7, **kw) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup detection: LSH candidates →
-    exact-Jaccard verification at `threshold`."""
-    cands = lsh_candidate_pairs(df, **kw)
-    return jaccard_verified_pairs(df, cands, threshold=threshold)
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: shingle once, LSH
+    candidates, exact-Jaccard verification at `threshold`."""
+    sets = hashed_shingle_sets(df, id_col, text, shingle_k)
+    # candidates are a tiny pair list but an expensive plan (the full
+    # minhash pipeline); they are consumed three times downstream (id
+    # census + two pair-join sides) — persist so the signature pass
+    # runs once.
+    cands = lsh_candidate_pairs(sets, num_hashes, bands).persist()
+    # prune the RAW docs to candidate ids BEFORE shingling (a semi-join
+    # cannot be pushed below the shingle projection by the optimizer),
+    # so verification re-shingles only the handful of candidate docs,
+    # never the corpus
+    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias("_cid")).distinct()
+    pruned_docs = df.join(F.broadcast(cand_ids), F.col(id_col) == F.col("_cid"), "left_semi")
+    pruned_sets = hashed_shingle_sets(pruned_docs, id_col, text, shingle_k).persist()
+    return jaccard_verified_pairs(pruned_sets, cands, threshold=threshold)
 
 
 # ---------------------------------------------------------------------------
