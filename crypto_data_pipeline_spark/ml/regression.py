@@ -1,0 +1,96 @@
+"""M1-M6: next-day price regression (notebooks/models.ipynb).
+
+Reference: per-coin sklearn pipelines — StandardScaler +
+{LinearRegression, Ridge(α=1.0), Lasso(α=0.1), XGBRegressor(100)} —
+evaluated on the last TimeSeriesSplit fold with RMSE/MAE/R²
+(models.ipynb:110-137, 283-321).
+
+Spark ML mapping (SURVEY §2.11): VectorAssembler + StandardScaler +
+LinearRegression with (regParam, elasticNetParam) = (0,0) / (1,0) /
+(0.1,1); GBTRegressor(seed=42) standing in for XGBoost. The
+chronological split is a row_number cut (no random shuffling —
+leakage-safe for time series), and the model "ranking" is the same
+orderBy(rmse).limit(1) (O4)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml import Pipeline
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.ml.regression import GBTRegressor, LinearRegression
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+@dataclass
+class ModelResult:
+    model: str
+    rmse: float
+    mae: float
+    r2: float
+
+
+def chronological_split(
+    df: DataFrame, date_col: str, test_fraction: float = 1 / 6, entity: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """M4: last TimeSeriesSplit fold ≈ final ``test_fraction`` of rows
+    per entity, split strictly by time order (models.ipynb:307-312)."""
+    part = Window.partitionBy(entity) if entity else Window.partitionBy()
+    w = part.orderBy(date_col)
+    df = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(part)
+    )
+    cut = (F.col("_n") * (1 - test_fraction)).cast("int")
+    train = df.where(F.col("_rn") <= cut).drop("_rn", "_n")
+    test = df.where(F.col("_rn") > cut).drop("_rn", "_n")
+    return train, test
+
+
+def model_zoo(feature_cols: list[str], label: str = "next_day_price") -> dict[str, Pipeline]:
+    """M1-M3: the four pipelines; scaler params match sklearn defaults
+    (withMean+withStd)."""
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="_raw", handleInvalid="skip")
+    scaler = StandardScaler(inputCol="_raw", outputCol="features", withMean=True, withStd=True)
+
+    def lr(reg: float, enet: float) -> LinearRegression:
+        return LinearRegression(
+            featuresCol="features", labelCol=label, regParam=reg, elasticNetParam=enet
+        )
+
+    gbt = GBTRegressor(featuresCol="features", labelCol=label, maxIter=20, seed=42)
+    return {
+        "linear": Pipeline(stages=[assembler, scaler, lr(0.0, 0.0)]),
+        "ridge": Pipeline(stages=[assembler, scaler, lr(1.0, 0.0)]),
+        "lasso": Pipeline(stages=[assembler, scaler, lr(0.1, 1.0)]),
+        "gbt": Pipeline(stages=[assembler, scaler, gbt]),
+    }
+
+
+def evaluate_models(
+    train: DataFrame, test: DataFrame, feature_cols: list[str], label: str = "next_day_price"
+) -> list[ModelResult]:
+    """M5/M6: fit each pipeline, score RMSE/MAE/R² on the holdout."""
+    out: list[ModelResult] = []
+    for name, pipe in model_zoo(feature_cols, label).items():
+        model = pipe.fit(train)
+        pred = model.transform(test)
+        metrics = {}
+        for m in ("rmse", "mae", "r2"):
+            metrics[m] = RegressionEvaluator(
+                labelCol=label, predictionCol="prediction", metricName=m
+            ).evaluate(pred)
+        out.append(ModelResult(name, metrics["rmse"], metrics["mae"], metrics["r2"]))
+    return out
+
+
+def model_comparison(df: DataFrame, feature_cols: list[str], date_col: str, entity: str | None = None) -> DataFrame:
+    """The models.ipynb comparison table as a DataFrame:
+    (model, rmse, mae, r2), best (lowest RMSE) first."""
+    spark = df.sparkSession
+    train, test = chronological_split(df, date_col, entity=entity)
+    results = evaluate_models(train, test, feature_cols)
+    return spark.createDataFrame(
+        [(r.model, float(r.rmse), float(r.mae), float(r.r2)) for r in results],
+        "model string, rmse double, mae double, r2 double",
+    ).orderBy("rmse")

@@ -842,3 +842,89 @@ def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("total_value"))
         .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# The notebook pipelines end-to-end (EDA 10-col table; 34-col prediction
+# table; model comparison)
+
+
+@register(
+    "processed_features",
+    survey_ids=("W4", "A10", "W7", "W8", "J3", "F11", "U1", "U2"),
+    bench=True,
+    oracle=f"""
+WITH {HISTORY_CTE},
+pc AS (
+  SELECT entity_id, price, fetch_date,
+         (price / lag(price) OVER {W_ENTITY} - 1) * 100 AS pct_change,
+         CAST(year(fetch_date) AS INT) AS year,
+         CAST(month(fetch_date) AS INT) AS month,
+         strftime(fetch_date, '%Y-%m') AS year_month
+  FROM history
+),
+sev AS (
+  SELECT entity_id, year_month,
+         CASE WHEN (1 + pct_change / 100)
+                   * (1 + lead(pct_change, 1) OVER (PARTITION BY entity_id, year_month
+                                                    ORDER BY fetch_date) / 100) - 1 <= -0.5 THEN 2
+              WHEN (1 + pct_change / 100)
+                   * (1 + lead(pct_change, 1) OVER (PARTITION BY entity_id, year_month
+                                                    ORDER BY fetch_date) / 100) - 1 <= -0.2 THEN 1
+              ELSE 0 END AS s
+  FROM pc
+),
+risk AS (
+  SELECT entity_id, year_month,
+         CASE max(s) WHEN 2 THEN 'High Risk' WHEN 1 THEN 'Medium Risk'
+              ELSE 'Low Risk' END AS risk_level
+  FROM sev GROUP BY 1, 2
+)
+SELECT p.entity_id, p.price, p.fetch_date, p.pct_change, p.year, p.month,
+       p.year_month, r.risk_level,
+       (p.price / lag(p.price, 7) OVER (PARTITION BY p.entity_id ORDER BY p.fetch_date) - 1) * 100
+         AS rolling_7d_trend,
+       CASE WHEN count(p.price) OVER w8 = 8
+            THEN round(var_pop(p.price) OVER w8, 6) END AS rolling_7d_variance
+FROM pc p
+LEFT JOIN risk r USING (entity_id, year_month)
+WINDOW w8 AS (PARTITION BY p.entity_id ORDER BY p.fetch_date
+              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+""",
+)
+def processed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EDA notebook's full feature stage (processed_crypto_data.csv
+    shape) as ONE lazy DAG — pct_change + calendar keys + risk labels
+    + rolling trend/variance, all entities in one pass."""
+    from crypto_data_pipeline_spark.plans.feature_pipeline import processed_table
+
+    df = processed_table(_history(spark, sf_dir))
+    return df.withColumn("rolling_7d_variance", F.round("rolling_7d_variance", 6))
+
+
+@register("prediction_features", survey_ids=("W5", "W6", "W9", "W10", "F8", "F9", "F10", "J4", "A11", "A12"), oracle=None)
+def prediction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transform notebook's 34-column prediction table end-to-end
+    (each constituent operator is oracle-checked individually; the
+    composed pipeline is rows-only)."""
+    from crypto_data_pipeline_spark.plans.feature_pipeline import prediction_table
+
+    return prediction_table(_history(spark, sf_dir), spark)
+
+
+@register("model_comparison", survey_ids=("M1", "M2", "M3", "M4", "M5", "M6", "O4"), oracle=None)
+def model_comparison_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """models.ipynb: 4 regression pipelines on the prediction features,
+    chronological holdout, RMSE/MAE/R² table ordered by RMSE (non-SQL —
+    Spark ML; rows-only check: 4 rows, stable schema)."""
+    from crypto_data_pipeline_spark.ml.regression import model_comparison
+    from crypto_data_pipeline_spark.plans.feature_pipeline import prediction_table
+
+    feats = prediction_table(_history(spark, sf_dir), spark)
+    feature_cols = [
+        "price", "pct_change", "rolling_7d_trend", "rolling_7d_variance",
+        *[f"price_lag_{i}" for i in range(1, 8)],
+        "price_skew_7d", "day_of_week", "is_weekend", "return_abs",
+        "return_rolling_mean_7d", "price_normalized", "price_standardized",
+    ]
+    return model_comparison(feats, feature_cols, DATE, entity=None)

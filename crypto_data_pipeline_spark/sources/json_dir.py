@@ -1,0 +1,70 @@
+"""S2/S3: bronze JSON directory source & sink.
+
+The reference stores one pretty-printed JSON file per (coin, day) at
+``data/<coin>/<coin>_YYYY-MM-DD.json`` (crypto_app/cli.py:95-103) and
+re-loads the tree with a Python glob loop parsing dates out of
+filenames (load_data.py:112-129,45-53).
+
+Spark re-design: ONE distributed ``spark.read.json`` over the whole
+tree — coin and date are recovered from ``input_file_name()`` with a
+regexp, not with a driver-side loop; schema is supplied explicitly
+(schema-on-read inference would scan the tree twice)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+# Payload schema for the parts of the CoinGecko daily-history document
+# the pipeline consumes (market_data.*.usd; see load_data.py:55-64 and
+# sql/analysis_queries.sql:75-77). Currency maps are MapType so all 63
+# currencies stay queryable without 63 columns.
+COIN_HISTORY_PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("symbol", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField(
+            "market_data",
+            T.StructType(
+                [
+                    T.StructField("current_price", T.MapType(T.StringType(), T.DoubleType())),
+                    T.StructField("market_cap", T.MapType(T.StringType(), T.DoubleType())),
+                    T.StructField("total_volume", T.MapType(T.StringType(), T.DoubleType())),
+                ]
+            ),
+        ),
+    ]
+)
+
+_FILE_RE = r"([^/]+)_(\d{4}-\d{2}-\d{2})\.json$"
+
+
+def read_bronze_json(spark: SparkSession, root: str) -> DataFrame:
+    """Distributed scan of data/<coin>/<coin>_<date>.json with (coin,
+    date) recovered from the path — the Spark twin of
+    load_data.py:112-129. Returns coin_id, fetch_date, price_usd,
+    market_cap_usd, total_volume_usd, response (full struct)."""
+    raw = (
+        spark.read.schema(COIN_HISTORY_PAYLOAD)
+        .option("multiLine", "true")  # reference writes pretty-printed JSON
+        .json(f"{root}/*/*.json")
+        .withColumn("_file", F.input_file_name())
+    )
+    return raw.select(
+        F.regexp_extract("_file", _FILE_RE, 1).alias("coin_id"),
+        F.to_date(F.regexp_extract("_file", _FILE_RE, 2)).alias("fetch_date"),
+        F.col("market_data.current_price")["usd"].alias("price_usd"),
+        F.col("market_data.market_cap")["usd"].alias("market_cap_usd"),
+        F.col("market_data.total_volume")["usd"].alias("total_volume_usd"),
+        F.struct("id", "symbol", "name", "market_data").alias("response"),
+        F.current_timestamp().alias("created_at"),
+    )
+
+
+def write_bronze_json(df: DataFrame, root: str, mode: str = "append") -> None:
+    """S3 sink: partitioned JSON layout (coin_id=<c>/fetch_date=<d>/...).
+
+    Hive-style partitioning replaces the reference's hand-built
+    directory scheme — partition pruning then makes per-coin or
+    per-date reads touch only the matching directories."""
+    df.write.partitionBy("coin_id", "fetch_date").mode(mode).json(root)

@@ -1,0 +1,100 @@
+"""Structured Streaming ingestion (SURVEY.md §2.9 ST1-ST3).
+
+The reference "streams" by cron: a 3 AM daily fetch appends files
+(crypto_app/daily_fetch.py:17-54, cron at :89), re-ingestion is
+idempotent (load_data.py:71-95), and the monthly aggregate is
+recomputed per touched month on every insert (db.py:150-197).
+
+Spark re-design:
+  * ST1 — the bronze directory becomes a streaming file source;
+    ``trigger(availableNow=True)`` replaces cron-driven batch catch-up
+    (process everything new, then stop — exactly the nightly-batch
+    contract, with checkpointed exactly-once file tracking).
+  * ST2 — bronze→silver runs in ``foreachBatch`` calling the same
+    keyed last-write-wins upsert as the batch path: one code path for
+    both (the Lambda-architecture trap avoided).
+  * ST3 — the gold monthly aggregate: the reference accepts
+    arbitrarily-late backfills (any date may arrive anytime), which no
+    bounded watermark can honor — so gold recomputes per batch from
+    silver (cheap: gold is tiny) instead of holding unbounded stream
+    state (SURVEY §7 risk 7). A watermarked tumbling-window variant is
+    provided for true-streaming sources where bounded lateness IS
+    acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from crypto_data_pipeline_spark.sources.upsert import refresh_monthly_aggregate, upsert_parquet
+
+
+def stream_bronze_to_silver(
+    spark: SparkSession,
+    bronze_dir: str,
+    silver_path: str,
+    gold_path: str | None,
+    checkpoint_dir: str,
+    schema,
+    keys: list[str] = ("coin_id", "fetch_date"),
+    order_by: list[str] = ("created_at",),
+) -> StreamingQuery:
+    """ST1+ST2(+ST3): stream the bronze parquet directory into the
+    silver upserted table; optionally refresh gold after each batch.
+
+    Runs with availableNow (catch-up-and-stop). Restarting with the
+    same checkpoint skips already-ingested files — the streaming twin
+    of the reference's idempotent re-run."""
+    stream = spark.readStream.schema(schema).parquet(bronze_dir)
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        merged = upsert_parquet(
+            batch.sparkSession, batch, silver_path, list(keys), list(order_by)
+        )
+        if gold_path is not None:
+            refresh_monthly_aggregate(batch.sparkSession, merged, gold_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_hourly_aggregate(
+    events_stream: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+) -> DataFrame:
+    """ST3 (bounded-lateness variant): watermarked tumbling-window
+    count/sum per event_type — the streaming twin of the batch
+    ``tumbling_hourly`` catalog query. Append output mode emits a
+    window once the watermark passes its end."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def streaming_monthly_min_max(
+    silver_stream: DataFrame,
+    entity: str = "coin_id",
+    date: str = "fetch_date",
+    value: str = "price_usd",
+    watermark_days: int = 45,
+) -> DataFrame:
+    """ST3 as a pure stateful stream: per-(entity, month) min/max in
+    update mode. The watermark bounds state (late data beyond it is
+    dropped) — use only when bounded lateness is acceptable; the
+    recompute-from-silver path above is the faithful replication of
+    the reference's any-time-backfill semantics."""
+    return (
+        silver_stream.withColumn("_ts", F.col(date).cast("timestamp"))
+        .withWatermark("_ts", f"{watermark_days} days")
+        .groupBy(F.col(entity), F.window("_ts", "30 days").alias("w"))
+        .agg(F.min(value).alias(f"min_{value}"), F.max(value).alias(f"max_{value}"))
+    )
