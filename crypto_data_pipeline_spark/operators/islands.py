@@ -138,7 +138,7 @@ def recovery_report(history: DataFrame, caps: DataFrame) -> DataFrame:
     gain = (F.col("recovery_price") - F.col("lowest_price")) / F.col("lowest_price") * 100
     report = (
         incr.groupBy(ENTITY)
-        .agg(F.round(F.avg(gain), 2).alias("avg_price_increase_pct"))
+        .agg(F.round(F.avg(gain) + F.lit(1e-9), 2).alias("avg_price_increase_pct"))
         .join(F.broadcast(caps), ENTITY, "left")
         .orderBy(F.col("avg_price_increase_pct").desc())
     )

@@ -166,7 +166,13 @@ def monthly_min_max(df: DataFrame, entity: str = ENTITY, date: str = DATE, price
 def monthly_avg(df: DataFrame, entity: str = ENTITY, date: str = DATE, price: str = PRICE) -> DataFrame:
     """A1 — Query 1, monthly average price
     (sql/analysis_queries.sql:4-12): group by entity + EXTRACT(year/
-    month), ROUND(AVG(price),2), ordered."""
+    month), ROUND(AVG(price),2), ordered.
+
+    The +1e-9 nudge (mirrored in the oracle SQL) keeps rounding
+    deterministic: 2-decimal inputs make averages land exactly on
+    .xx5, where float-sum order and round-half conventions differ
+    across engines; the nudge resolves every such tie upward, matching
+    PostgreSQL NUMERIC half-away-from-zero on positive prices."""
     return (
         df.where(F.col(price).isNotNull())
         .groupBy(
@@ -174,7 +180,7 @@ def monthly_avg(df: DataFrame, entity: str = ENTITY, date: str = DATE, price: st
             F.year(date).cast("int").alias("year"),
             F.month(date).cast("int").alias("month"),
         )
-        .agg(F.round(F.avg(price), 2).alias("avg_price"))
+        .agg(F.round(F.avg(price) + F.lit(1e-9), 2).alias("avg_price"))
         .orderBy(entity, "year", "month")
     )
 

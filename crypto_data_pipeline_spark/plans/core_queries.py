@@ -55,7 +55,7 @@ WITH {HISTORY_CTE}
 SELECT entity_id,
        CAST(year(fetch_date) AS INT) AS year,
        CAST(month(fetch_date) AS INT) AS month,
-       round(avg(price), 2) AS avg_price
+       round(avg(price) + 1e-9, 2) AS avg_price
 FROM history
 WHERE price IS NOT NULL
 GROUP BY 1, 2, 3
@@ -124,7 +124,7 @@ latest_cap AS (
 ),
 gains AS (
   SELECT entity_id,
-         round(avg((recovery_price - lowest_price) / lowest_price * 100), 2)
+         round(avg((recovery_price - lowest_price) / lowest_price * 100) + 1e-9, 2)
            AS avg_price_increase_pct
   FROM price_increases
   GROUP BY 1
