@@ -133,6 +133,9 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
 
 
 def _signature_from_hashes(hashed: Column, num_hashes: int) -> Column:
+    # Deliberately unrolled per mask: a nested HOF over a literal mask
+    # array benches 2-4x slower here (lambda-variable dispatch per
+    # element), while the unrolled form stays in codegen.
     return F.array(
         *[
             F.array_min(F.transform(hashed, lambda h, m=m: h.bitwiseXOR(F.lit(m))))
@@ -242,7 +245,9 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: shingle once, LSH
     candidates, exact-Jaccard verification at `threshold`."""
-    sets = hashed_shingle_sets(df, id_col, text, shingle_k)
+    from crypto_data_pipeline_spark.sources.tables import fan_out
+
+    sets = hashed_shingle_sets(fan_out(df), id_col, text, shingle_k)
     # candidates are a tiny pair list but an expensive plan (the full
     # minhash pipeline); they are consumed three times downstream (id
     # census + two pair-join sides) — persist so the signature pass
@@ -297,7 +302,9 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text: str = "
     """Near-dup pairs by simhash: band the 64 bits into 4 × 16-bit keys
     (any pair within Hamming distance 3 must agree on ≥1 band), bucket-
     join, verify true Hamming distance with bit_count(xor)."""
-    sh = df.select(F.col(id_col).alias("id"), simhash64(text).alias("sh"))
+    from crypto_data_pipeline_spark.sources.tables import fan_out
+
+    sh = fan_out(df).select(F.col(id_col).alias("id"), simhash64(text).alias("sh"))
     bands = sh.select(
         "id",
         "sh",

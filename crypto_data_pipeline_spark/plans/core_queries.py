@@ -136,14 +136,19 @@ LEFT JOIN latest_cap c USING (entity_id)
 
 
 def _latest_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON (latest row per entity) as a max_by aggregate rather
+    than a row_number window: the aggregate partial-combines map-side,
+    so at scale only one pre-reduced row per (partition, entity) enters
+    the shuffle instead of every event row through a full sort.
+    (ts, event_id) is the unique order key, packed into a struct whose
+    lexicographic max reproduces ORDER BY ts DESC, event_id DESC."""
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    cap = F.get_json_object("props", "$.k").cast("double") * F.lit(5e10)
+    cap = F.get_json_object(F.col("latest.props"), "$.k").cast("double") * F.lit(5e10)
     return (
-        events.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        events.groupBy(F.col("user_id").alias(ENTITY))
+        .agg(F.max_by(F.struct("props"), F.struct("ts", "event_id")).alias("latest"))
         .select(
-            F.col("user_id").alias(ENTITY),
+            ENTITY,
             cap.alias("market_cap"),
             islands.format_market_cap(cap).alias("market_cap_formatted"),
         )

@@ -48,6 +48,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition up to cluster parallelism when the scan is
+    under-partitioned, so CPU-bound per-row work (hashing, signatures,
+    Arrow UDFs) uses every core instead of inheriting one-file-one-task
+    from a small input. A no-op at real scale — any multi-split source
+    already exceeds ``defaultParallelism``, so the guard skips the
+    shuffle and the plan is unchanged."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works.
 
