@@ -86,6 +86,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+_NGRAM_JACCARD_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id AS id,
+         list_sort(CASE WHEN len({TOKENS_SQL}) >= 3
+              THEN list_distinct(list_transform(range(len({TOKENS_SQL}) - 2),
+                     i -> array_to_string(list_slice({TOKENS_SQL}, i + 1, i + 3), ' ')))
+              ELSE [array_to_string({TOKENS_SQL}, ' ')]
+         END) AS sh
+  FROM documents
+),
+p AS (
+  SELECT id, unnest(list_slice(sh, 1,
+           CAST(len(sh) - ceil(len(sh) * 0.5) + 1 AS INT))) AS pre
+  FROM s
+),
+c AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM p a JOIN p b ON a.pre = b.pre AND a.id < b.id
+)
+SELECT id_a, id_b, jaccard
+FROM (
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+  FROM c JOIN s sa ON c.id_a = sa.id JOIN s sb ON c.id_b = sb.id
+)
+WHERE jaccard >= 0.5
+"""
+
+
+@register("dedup_ngram_jaccard", survey_ids=("EXT-dedup",), oracle=_NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via PPJoin-style prefix
+    filtering — hash-free, zero recall loss, fully oracle-checkable."""
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
 @register("dedup_simhash", survey_ids=("EXT-dedup",), oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash near-dup pairs (Hamming <= 3 over 64-bit sketches)."""

@@ -1,0 +1,157 @@
+"""Recall/precision tests for the hash-based dedup + ANN operators —
+the check the DuckDB oracle can't do (xxhash64 isn't reproducible in
+SQL), promised by the rows-only catalog entries.
+
+Ground truth is brute-force: all-pairs exact Jaccard over word
+3-shingles (dedup) and exact cosine top-k (similarity), computed with
+plain Python/numpy on the collected sf0.001 corpus (500 docs → trivial
+driver-side; this is a TEST oracle, never a production path).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from crypto_data_pipeline_spark.operators import dedup, similarity
+from crypto_data_pipeline_spark.sources.tables import load_table
+
+THRESHOLD = 0.5
+
+
+def _norm_tokens(text: str) -> list[str]:
+    return " ".join(text.lower().strip().split()).split(" ")
+
+
+def _shingles(text: str, k: int = 3) -> frozenset[str]:
+    toks = _norm_tokens(text)
+    if len(toks) < k:
+        return frozenset([" ".join(toks)])
+    return frozenset(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    return {r.doc_id: r.text for r in rows}
+
+
+@pytest.fixture(scope="module")
+def true_pairs(corpus):
+    """All-pairs exact-Jaccard ground truth at THRESHOLD."""
+    sh = {i: _shingles(t) for i, t in corpus.items()}
+    out = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        inter = len(sh[a] & sh[b])
+        if inter == 0:
+            continue
+        j = inter / len(sh[a] | sh[b])
+        if j >= THRESHOLD:
+            out[(a, b)] = j
+    return out
+
+
+def test_minhash_lsh_recall_and_precision(spark, sf_dir, true_pairs):
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_dedup_pairs(docs, threshold=THRESHOLD).collect()
+    }
+    assert true_pairs, "fixture corpus must contain near-dup pairs"
+    # precision 1.0: every emitted pair IS a true near-dup pair (the
+    # final stage verifies exact Jaccard, so no false positives beyond
+    # 64-bit shingle-hash collisions)
+    assert set(got) <= set(true_pairs)
+    # recall: banding (8 bands × 4 rows) catches >= 90% at J >= 0.5 in
+    # expectation; require 0.8 as a stable floor
+    recall = len(got) / len(true_pairs)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(true_pairs)} true pairs"
+
+
+def test_ngram_jaccard_prefix_filter_exact(spark, sf_dir, true_pairs):
+    """Prefix filtering is lossless: the operator must return EXACTLY
+    the brute-force all-pairs truth — same pairs, same values."""
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=THRESHOLD).collect()
+    }
+    assert set(got) == set(true_pairs)
+    for (a, b), j in got.items():
+        assert abs(j - true_pairs[(a, b)]) < 1e-5
+
+
+def test_simhash_hamming_is_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_candidate_pairs(docs, max_hamming=3).collect()
+    sh = {
+        r.id: r.sh
+        for r in docs.selectExpr("doc_id AS id")
+        .join(
+            docs.selectExpr("doc_id AS id", "text"),
+            "id",
+        )
+        .select("id", dedup.simhash64("text").alias("sh"))
+        .collect()
+    }
+    for r in pairs:
+        assert r.id_a < r.id_b
+        recomputed = bin((sh[r.id_a] ^ sh[r.id_b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert recomputed == r.hamming <= 3
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    once = dedup.exact_dedup(docs)
+    assert once.count() == dedup.exact_dedup(once).count()
+    assert once.groupBy("content_hash").count().where("count > 1").count() == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    ids = [r.vec_id for r in rows]
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _np_topk(ids, mat, k=5, n_queries=10):
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed[: n_queries] @ normed.T
+    truth = {}
+    for qi in range(n_queries):
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != ids[qi]),
+            key=lambda i: (-sims[qi, i], ids[i]),
+        )
+        truth[ids[qi]] = [ids[i] for i in order[:k]]
+    return truth
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir, emb):
+    ids, mat = emb
+    truth = _np_topk(ids, mat)
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 10").selectExpr("vec_id AS query_id", "embedding")
+    got: dict[int, list[int]] = {}
+    for r in similarity.brute_force_topk(embs, queries, k=5).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    for q, ranked in got.items():
+        assert [v for _, v in sorted(ranked)] == truth[q]
+
+
+def test_lsh_topk_recall_floor(spark, sf_dir, emb):
+    ids, mat = emb
+    truth = _np_topk(ids, mat)
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 10").selectExpr("vec_id AS query_id", "embedding")
+    got: dict[int, set[int]] = {}
+    for r in similarity.lsh_topk(embs, queries, k=5).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(got.get(q, set()) & set(t)) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    # random-hyperplane LSH on near-random vectors is recall-lossy by
+    # design; it must still beat a trivial floor and return k rows/query
+    assert hits / total >= 0.2, f"LSH recall {hits}/{total}"
