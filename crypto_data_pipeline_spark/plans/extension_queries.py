@@ -289,6 +289,51 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# custom stateful streaming
+
+
+@register("sessionize_stateful", survey_ids=("ST1", "ST2", "EXT-stream"), oracle=None)
+def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState gap-sessionizer run as a real
+    Structured Streaming query (availableNow over the events parquet,
+    exactly-once file sink), returning the closed sessions. Rows-only
+    driver check by necessity (streaming + state store); the batch
+    equivalence proof lives in
+    tests/test_sources_streaming.py::test_sessionizer_matches_batch_twin."""
+    import tempfile
+
+    from crypto_data_pipeline_spark.streaming.sessionize import sessionize_stream
+
+    # events.ts is parquet TIMESTAMP(NANOS) → long under nanosAsLong;
+    # same div-1000 truncation as the batch loader (tables.load_table)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts long, event_type string, value double, props string"
+        )
+        .parquet(f"{sf_dir}/events.[p]arquet")  # glob → parent dir becomes basePath
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+            "value",
+        )
+    )
+    out_dir = tempfile.mkdtemp(prefix="sessionize_out_")
+    ckpt = tempfile.mkdtemp(prefix="sessionize_ckpt_")
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing
 
 

@@ -1,0 +1,290 @@
+"""IO-source, upsert, and streaming tests (SURVEY.md §5 items 4-5):
+round-trips for the bronze JSON tree and CSV IO, keyed-upsert
+idempotence (ST2), the bronze→silver→gold streaming path with
+checkpointed re-runs, and the applyInPandasWithState sessionizer —
+including state carried ACROSS separate stream runs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from crypto_data_pipeline_spark.sources import csv_io, json_dir, upsert
+from crypto_data_pipeline_spark.sources.http_client import HistoryApiClient
+from crypto_data_pipeline_spark.streaming import ingest, sessionize
+
+SILVER_SCHEMA = T.StructType(
+    [
+        T.StructField("coin_id", T.StringType()),
+        T.StructField("fetch_date", T.DateType()),
+        T.StructField("price_usd", T.DoubleType()),
+        T.StructField("created_at", T.TimestampType()),
+    ]
+)
+
+
+def _payload(coin: str, price: float, cap: float) -> dict:
+    return {
+        "id": coin,
+        "symbol": coin[:3],
+        "name": coin.title(),
+        "market_data": {
+            "current_price": {"usd": price, "eur": price * 0.9},
+            "market_cap": {"usd": cap},
+            "total_volume": {"usd": cap / 10},
+        },
+    }
+
+
+def _write_reference_layout(root: str) -> None:
+    """data/<coin>/<coin>_YYYY-MM-DD.json, pretty-printed, exactly the
+    reference's bronze layout (crypto_app/cli.py:95-103)."""
+    for coin, price, cap in [("bitcoin", 6.0e4, 2.0e12), ("cardano", 0.7, 2.5e10)]:
+        os.makedirs(f"{root}/{coin}", exist_ok=True)
+        for day in ("2025-01-01", "2025-01-02"):
+            with open(f"{root}/{coin}/{coin}_{day}.json", "w") as fh:
+                json.dump(_payload(coin, price, cap), fh, indent=4)
+
+
+def test_bronze_json_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "data")
+    _write_reference_layout(root)
+    df = json_dir.read_bronze_json(spark, root)
+    rows = {(r.coin_id, str(r.fetch_date)): r for r in df.collect()}
+    assert len(rows) == 4
+    assert rows[("bitcoin", "2025-01-01")].price_usd == 6.0e4
+    assert rows[("cardano", "2025-01-02")].market_cap_usd == 2.5e10
+    assert rows[("bitcoin", "2025-01-02")].response.market_data.current_price["eur"] == 54000.0
+
+    out = str(tmp_path / "bronze_out")
+    json_dir.write_bronze_json(df.select("coin_id", "fetch_date", "price_usd"), out)
+    # hive-style partition dirs enable partition pruning per coin/date
+    assert os.path.isdir(f"{out}/coin_id=bitcoin/fetch_date=2025-01-01")
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "csv")
+    df = spark.createDataFrame(
+        [("bitcoin", dt.date(2025, 1, 1), 60000.0)],
+        "coin_id string, fetch_date date, price_usd double",
+    )
+    csv_io.write_csv(df, path)
+    back = csv_io.read_csv(
+        spark,
+        path,
+        T.StructType(
+            [
+                T.StructField("coin_id", T.StringType()),
+                T.StructField("fetch_date", T.DateType()),
+                T.StructField("price_usd", T.DoubleType()),
+            ]
+        ),
+    )
+    assert [tuple(r) for r in back.collect()] == [("bitcoin", dt.date(2025, 1, 1), 60000.0)]
+
+
+def _silver_rows(spark, rows):
+    return spark.createDataFrame(
+        [
+            (c, dt.date.fromisoformat(d), p, dt.datetime(2025, 1, 1, 0, 0, s))
+            for c, d, p, s in rows
+        ],
+        SILVER_SCHEMA,
+    )
+
+
+def test_upsert_idempotent_and_last_write_wins(spark, tmp_path):
+    """ST2: re-ingesting the same (key) converges to ONE row; a newer
+    created_at replaces the value (load_data.py:71-95 semantics)."""
+    path = str(tmp_path / "silver")
+    batch = _silver_rows(spark, [("btc", "2025-01-01", 100.0, 0), ("btc", "2025-01-02", 101.0, 0)])
+    upsert.upsert_parquet(spark, batch, path, keys=["coin_id", "fetch_date"])
+    upsert.upsert_parquet(spark, batch, path, keys=["coin_id", "fetch_date"])
+    assert spark.read.parquet(path).count() == 2
+
+    newer = _silver_rows(spark, [("btc", "2025-01-01", 999.0, 5)])
+    merged = upsert.upsert_parquet(spark, newer, path, keys=["coin_id", "fetch_date"])
+    got = {(r.coin_id, str(r.fetch_date)): r.price_usd for r in merged.collect()}
+    assert got == {("btc", "2025-01-01"): 999.0, ("btc", "2025-01-02"): 101.0}
+
+
+def test_monthly_aggregate_refresh(spark, tmp_path):
+    path = str(tmp_path / "gold")
+    silver = _silver_rows(
+        spark,
+        [("btc", "2025-01-01", 100.0, 0), ("btc", "2025-01-15", 50.0, 0), ("btc", "2025-02-01", 70.0, 0)],
+    )
+    gold = upsert.refresh_monthly_aggregate(spark, silver, path)
+    got = {(r.coin_id, r.year, r.month): (r.min_price_usd, r.max_price_usd) for r in gold.collect()}
+    assert got == {("btc", 2025, 1): (50.0, 100.0), ("btc", 2025, 2): (70.0, 70.0)}
+
+
+def test_stream_bronze_to_silver_checkpointed(spark, tmp_path):
+    """ST1+ST2 end-to-end: availableNow catch-up into the silver upsert;
+    a re-run with the same checkpoint ingests nothing new."""
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    ckpt = str(tmp_path / "ckpt")
+    _silver_rows(spark, [("btc", "2025-01-01", 100.0, 0), ("eth", "2025-01-01", 10.0, 0)]).write.parquet(bronze)
+
+    q = ingest.stream_bronze_to_silver(spark, bronze, silver, gold, ckpt, SILVER_SCHEMA)
+    q.awaitTermination()
+    assert spark.read.parquet(silver).count() == 2
+    assert spark.read.parquet(gold).count() == 2
+
+    # same checkpoint → no files reprocessed, silver unchanged
+    q2 = ingest.stream_bronze_to_silver(spark, bronze, silver, gold, ckpt, SILVER_SCHEMA)
+    q2.awaitTermination()
+    assert spark.read.parquet(silver).count() == 2
+
+    # late backfill file lands → only the new key is added (idempotent merge)
+    _silver_rows(spark, [("btc", "2025-01-02", 105.0, 1)]).write.mode("append").parquet(bronze)
+    q3 = ingest.stream_bronze_to_silver(spark, bronze, silver, gold, ckpt, SILVER_SCHEMA)
+    q3.awaitTermination()
+    got = {(r.coin_id, str(r.fetch_date)): r.price_usd for r in spark.read.parquet(silver).collect()}
+    assert got[("btc", "2025-01-02")] == 105.0 and len(got) == 3
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _ev(user, eid, minute, value):
+    return (user, eid, dt.datetime(2025, 1, 1, 0, 0) + dt.timedelta(minutes=minute), value)
+
+
+def _run_sessionizer(spark, src_dir: str, ckpt: str, out_dir: str):
+    """One availableNow run into a parquet sink (the memory sink cannot
+    recover from a checkpoint); returns rows CUMULATIVE over runs."""
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src_dir)
+    out = sessionize.sessionize_stream(stream)
+    q = (
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.total_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+
+def _us(minute: int) -> int:
+    return int(dt.datetime(2025, 1, 1, 0, 0, tzinfo=dt.timezone.utc).timestamp() * 1e6) + minute * 60_000_000
+
+
+def test_sessionize_stream_stateful_across_runs(spark, tmp_path):
+    """Gap-based sessions via applyInPandasWithState. Run 1: in-batch
+    closures only (open sessions stay in state). Run 2 (same
+    checkpoint): a later file closes a session that SPANS the two runs
+    — proving state survives in the checkpointed store."""
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    # user 1: events at minute 0,5 → gap 40m → minute 45 (open at EOB)
+    # user 2: single event at minute 0 (open at EOB)
+    batch1 = [_ev(1, 1, 0, 1.0), _ev(1, 2, 5, 2.0), _ev(1, 3, 45, 4.0), _ev(2, 4, 0, 8.0)]
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).coalesce(1).write.parquet(src)
+    got1 = _run_sessionizer(spark, src, ckpt, out)
+    assert got1 == {(1, _us(0)): (_us(5), 2, 3.0)}
+
+    # run 2: user 1 event at minute 50 continues the open session (no
+    # emission); user 2 event at minute 90 closes their run-1 session
+    batch2 = [_ev(1, 5, 50, 16.0), _ev(2, 6, 90, 32.0)]
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    got2 = _run_sessionizer(spark, src, ckpt, out)
+    assert got2 == {(1, _us(0)): (_us(5), 2, 3.0), (2, _us(0)): (_us(0), 1, 8.0)}
+
+
+def test_sessionizer_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Closed sessions from the stateful operator == all sessions of
+    the batch gaps-and-islands twin EXCEPT each user's trailing (still
+    open) one, on the real events table."""
+    from crypto_data_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events")
+    events.select("user_id", "event_id", "ts", "value").write.parquet(src)
+    got = _run_sessionizer(spark, src, str(tmp_path / "ckpt"), str(tmp_path / "out"))
+
+    us = F.unix_micros("ts")
+    from pyspark.sql import Window
+
+    worder = Window.partitionBy("user_id").orderBy("us", "event_id")
+    stamped = events.select("user_id", "event_id", us.alias("us"), "value").withColumn(
+        "prev_us", F.lag("us").over(worder)
+    )
+    flagged = stamped.withColumn(
+        "new_session",
+        F.when(F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > 1_800_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        )
+    )
+    last_per_user = per_session.groupBy("user_id").agg(F.max("session_id").alias("last_id"))
+    expected_df = per_session.join(
+        last_per_user,
+        (per_session.user_id == last_per_user.user_id)
+        & (per_session.session_id == last_per_user.last_id),
+        "left_anti",
+    )
+    expected = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events) for r in expected_df.collect()
+    }
+    got_no_total = {k: (v[0], v[1]) for k, v in got.items()}
+    assert got_no_total == expected
+
+
+def test_http_client_retry_and_fanout():
+    """Hermetic transport: one 429 (Retry-After honored via injected
+    sleep), then 200 — mirrors coingecko_client.py:55-92 semantics."""
+    calls, naps = [], []
+
+    def transport(url, headers):
+        calls.append(url)
+        if len(calls) == 1:
+            return 429, {"Retry-After": "2"}, ""
+        return 200, {}, json.dumps(_payload("bitcoin", 6e4, 2e12))
+
+    client = HistoryApiClient(transport=transport, sleep=naps.append)
+    out = client.get_history("bitcoin", "01-01-2025")
+    assert out["market_data"]["current_price"]["usd"] == 6e4
+    assert naps == [2.0]
+    assert "coins/bitcoin/history?date=01-01-2025" in calls[0]
+
+    def flaky(url, headers):
+        if "cardano" in url:
+            return 404, {}, "not found"
+        return 200, {}, json.dumps(_payload("bitcoin", 6e4, 2e12))
+
+    client2 = HistoryApiClient(transport=flaky, sleep=lambda s: None)
+    results = client2.fetch_many([("bitcoin", "01-01-2025"), ("cardano", "01-01-2025")])
+    by_coin = {c: payload for c, _, payload in results}
+    assert by_coin["bitcoin"] is not None and by_coin["cardano"] is None
