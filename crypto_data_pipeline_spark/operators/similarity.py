@@ -129,6 +129,86 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via an IVF (inverted-file) index: a KMeans coarse
+    quantizer partitions the corpus into `n_centroids` cells; a query
+    probes only its `nprobe` nearest cells. The classic FAISS-style
+    scale path re-expressed in Spark: the quantizer is `pyspark.ml`
+    KMeans over L2-normalized vectors (L2 on the unit sphere orders
+    like cosine), cell assignment rides the fitted model, and query→
+    cell probing is a pure expression against the (tiny, broadcast)
+    centroid literal — array_sort on (distance, cell) structs, slice
+    nprobe, explode, equi-join on cell id.
+
+    At rest the cell id is the storage partition key, so a query reads
+    nprobe partitions instead of the corpus. Training cost is one
+    KMeans fit over (a sample of) the corpus — amortized in production,
+    re-fit per call here for self-containment."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    def unit_normed(df: DataFrame, keep: str) -> DataFrame:
+        # two-step so the norm is computed once per row, not per element
+        return (
+            df.select(F.col(keep), as_double(vec_col).alias("_r"))
+            .withColumn("_nrm", norm(F.col("_r")))
+            .select(keep, F.transform("_r", lambda x: x / F.col("_nrm")).alias("_v"))
+        )
+
+    c_n = unit_normed(corpus, id_col).withColumnRenamed("_v", "_cv")
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="_cell")
+    model = km.fit(c_n.select(array_to_vector("_cv").alias("_fv")))
+    assigned = model.transform(c_n.withColumn("_fv", array_to_vector("_cv"))).select(
+        id_col, "_cv", "_cell"
+    )
+
+    centers = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("_cell"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("_ctr"),
+            )
+            for ci, c in enumerate(model.clusterCenters())
+        ]
+    )
+    q_n = unit_normed(queries, query_id_col).withColumnRenamed("_v", "_qv")
+    scored_centers = F.transform(
+        centers,
+        lambda c: F.struct(
+            _fold_sum(F.zip_with(F.col("_qv"), c["_ctr"], lambda x, y: (x - y) * (x - y))).alias(
+                "_d"
+            ),
+            c["_cell"].alias("_cell"),
+        ),
+    )
+    probes = F.slice(F.array_sort(scored_centers), 1, nprobe)
+    q_probed = q_n.select(
+        query_id_col, "_qv", F.explode(F.transform(probes, lambda p: p["_cell"])).alias("_cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(q_probed), "_cell")
+        .where(F.col(query_id_col) != F.col(id_col))
+        .withColumn("cosine", F.round(dot(F.col("_qv"), F.col("_cv")), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def _table_buckets(vec: Column, dim: int, bits: int, tables: int, seed: int = 42) -> Column:
     """array<struct<t,b>> — one (table, bucket) key per hash table.
     Table t's bucket packs the signs of `bits` projections onto planes

@@ -117,3 +117,38 @@ def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     engine-portable). A content-defined id for exact dedup and
     incremental re-ingestion."""
     return df.withColumn("fingerprint", F.md5(normalized(text)))
+
+
+def with_rolling_fingerprint(
+    df: DataFrame, text: str = "text", k: int = 8, base: int = 131, mod: int = 2147483647
+) -> DataFrame:
+    """Rabin-Karp-style rolling-hash fingerprint (the winnowing/MOSS
+    family): polynomial hash h = (h*base + codepoint) mod 2^31-1 over
+    every char k-gram of the normalized text; the document fingerprint
+    is the MINIMUM gram hash (a bottom-1 sketch — robust to local
+    edits, unlike md5), plus the distinct-gram count.
+
+    Engine-portable by construction: codepoints via ascii(), exact
+    integer arithmetic under a sub-32-bit modulus (no overflow in
+    either engine), so the DuckDB oracle reproduces it bit-for-bit.
+    Everything is JVM array expressions — no Python in the hot path."""
+    codes = F.transform(F.split(normalized(text), ""), F.ascii)
+    staged = df.withColumn("_codes", codes)
+    c = F.col("_codes")
+    n = F.size(c)
+
+    def poly(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda h, x: (h * base + x) % F.lit(mod)
+        )
+
+    grams = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(0), n - k), lambda i: poly(F.slice(c, i + 1, k))),
+    ).otherwise(F.array(poly(c)))
+    return (
+        staged.withColumn("_grams", grams)
+        .withColumn("rolling_min_hash", F.array_min("_grams"))
+        .withColumn("n_grams", F.size(F.array_distinct("_grams")).cast("long"))
+        .drop("_codes", "_grams")
+    )

@@ -220,6 +220,39 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+_ROLLING_FP_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id,
+         list_transform(string_split({NORM_SQL}, ''), ch -> ascii(ch)) AS codes
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(codes) >= 8 THEN
+           list_transform(range(len(codes) - 7), i ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(codes, i + 1, i + 8)),
+                         (h, x) -> (h * 131 + x) % 2147483647))
+         ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                           (h, x) -> (h * 131 + x) % 2147483647)]
+         END AS grams
+  FROM c
+)
+SELECT doc_id,
+       list_min(grams) AS rolling_min_hash,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams
+FROM g
+"""
+
+
+@register("doc_fingerprint_rolling", survey_ids=("EXT-text",), oracle=_ROLLING_FP_ORACLE)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (Rabin-Karp char-8-gram) fingerprint: min gram hash
+    + distinct gram count — edit-robust, exact-integer, oracle-checked."""
+    return text.with_rolling_fingerprint(_docs(spark, sf_dir)).select(
+        "doc_id", "rolling_min_hash", "n_grams"
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 
@@ -279,6 +312,16 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs_by_cosine(_embs(spark, sf_dir), threshold=0.3)
 
 
+@register("embedding_ann_ivf", survey_ids=("EXT-sim",), oracle=None)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 via an IVF index (KMeans coarse quantizer, nprobe=4).
+    Rows-only: the quantizer is iterative ML, not SQL; recall is
+    tested against the brute-force baseline."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.ivf_topk(embs, queries, k=5)
+
+
 @register("embedding_ann_lsh", survey_ids=("EXT-sim",), oracle=None)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via random-hyperplane LSH bucketing (recall-lossy scale
@@ -286,6 +329,35 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.lsh_topk(embs, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# catalog introspection (S9)
+
+_TABLE_LIST = "'region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings'"
+
+
+@register(
+    "catalog_columns",
+    survey_ids=("S9",),
+    oracle=f"""
+SELECT table_name, CAST(count(*) AS BIGINT) AS n_columns
+FROM information_schema.columns
+WHERE table_name IN ({_TABLE_LIST})
+GROUP BY 1
+""",
+)
+def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 (notebooks/EDA.ipynb cell 7): the reference's
+    information_schema introspection as spark.catalog — register every
+    table as a view, answer per-table column counts from DataFrame
+    schemas. Catalog metadata is inherently driver-side; the data path
+    is untouched."""
+    from crypto_data_pipeline_spark.sources.tables import TABLES, register_views
+
+    register_views(spark, sf_dir)
+    rows = [(name, len(spark.table(name).columns)) for name in TABLES]
+    return spark.createDataFrame(rows, "table_name string, n_columns long")
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,21 @@ def test_brute_force_topk_matches_numpy(spark, sf_dir, emb):
         assert [v for _, v in sorted(ranked)] == truth[q]
 
 
+def test_ivf_topk_recall_floor(spark, sf_dir, emb):
+    ids, mat = emb
+    truth = _np_topk(ids, mat)
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 10").selectExpr("vec_id AS query_id", "embedding")
+    got: dict[int, set[int]] = {}
+    for r in similarity.ivf_topk(embs, queries, k=5).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(got.get(q, set()) & set(t)) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    # nprobe/n_centroids = 1/4 of the corpus scored; on weakly
+    # clustered vectors recall tracks that fraction plus locality gains
+    assert hits / total >= 0.2, f"IVF recall {hits}/{total}"
+
+
 def test_lsh_topk_recall_floor(spark, sf_dir, emb):
     ids, mat = emb
     truth = _np_topk(ids, mat)

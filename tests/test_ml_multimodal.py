@@ -1,0 +1,88 @@
+"""Spark ML regression stage (M1-M6) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_spark.ml import regression
+from crypto_data_pipeline_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def feature_df(spark):
+    """Noisy linear target over two features, chronological index —
+    y_t = 2*f1 + 3*f2 + eps, so the linear family must fit near-perfectly."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(300):
+        f1, f2 = rng.normal(), rng.normal()
+        rows.append(
+            (
+                dt.date(2024, 1, 1) + dt.timedelta(days=i),
+                float(f1),
+                float(f2),
+                float(2 * f1 + 3 * f2 + rng.normal(0, 0.01)),
+            )
+        )
+    return spark.createDataFrame(rows, "d date, f1 double, f2 double, next_day_price double")
+
+
+def test_chronological_split_no_leakage(feature_df):
+    train, test = regression.chronological_split(feature_df, "d")
+    max_train = train.agg(F.max("d")).collect()[0][0]
+    min_test = test.agg(F.min("d")).collect()[0][0]
+    assert max_train < min_test  # strictly time-ordered cut
+    n_train, n_test = train.count(), test.count()
+    assert n_test == 300 - int(300 * (1 - 1 / 6))
+
+
+def test_model_comparison_table(feature_df):
+    out = regression.model_comparison(feature_df, ["f1", "f2"], "d").collect()
+    assert [set(r.asDict()) for r in out] == [{"model", "rmse", "mae", "r2"}] * 4
+    assert {r.model for r in out} == {"linear", "ridge", "lasso", "gbt"}
+    # best-first ordering (O4: orderBy(rmse).limit(1) picks the winner)
+    rmses = [r.rmse for r in out]
+    assert rmses == sorted(rmses)
+    # the unregularized linear fit must recover the clean linear target
+    best = out[0]
+    assert best.model == "linear" and best.rmse < 0.1 and best.r2 > 0.99
+
+
+def test_fake_media_schema_and_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "aab"), (2, "zz")], "doc_id long, text string"
+    )
+    media = multimodal.fake_media_from_documents(docs)
+    # simpleString compares names/types while ignoring nullability
+    assert media.schema.simpleString() == multimodal.MEDIA_SCHEMA.simpleString()
+    feats = {r.doc_id: r for r in multimodal.extract_media_features(media).collect()}
+    # "aab" → bytes 97,97,98: mean 97.333..., modal byte 97
+    assert feats[1].n_bytes == 3
+    assert abs(feats[1].mean_byte - (97 + 97 + 98) / 3) < 1e-12
+    assert feats[1].top_byte == 97
+    assert feats[1].frame_sample == [97]  # stride 64 over 3 bytes → first only
+    assert feats[2].top_byte == 122
+
+
+def test_media_feature_batching_matches_python(spark, sf_dir):
+    """mapInPandas over the real documents table: per-blob features
+    equal a driver-side recomputation on a sample (Arrow batch shape
+    doesn't change values)."""
+    from crypto_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = multimodal.fake_media_from_documents(docs)
+    got = {r.doc_id: r for r in multimodal.extract_media_features(media).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        raw = row.text.encode("utf-8")
+        assert got[row.doc_id].n_bytes == len(raw)
+        assert abs(got[row.doc_id].mean_byte - sum(raw) / len(raw)) < 1e-9
+
+
+def test_real_codec_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x00", codec="real")
