@@ -408,7 +408,11 @@ def dedupe_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "filtered_projection",
-    survey_ids=("P1", "P2", "P3", "P4", "P6"),
+    # S4: the reference's pd.read_sql_query-with-SQL-text filter
+    # pushdown maps to exactly this — a table scan whose predicates
+    # reach the storage layer (PushedFilters in explain), parquet
+    # standing in for JDBC in this container
+    survey_ids=("P1", "P2", "P3", "P4", "P6", "S4"),
     oracle="""
 SELECT event_id, user_id, event_type, value
 FROM events

@@ -1,0 +1,274 @@
+"""IO-source and scalar-function catalog queries — the SURVEY §2 rows
+that live at the engine's edges (S1-S6 sources/sinks, P5/P7 predicate
+and projection forms, F12-F15 scalar functions, ST4 concurrent fetch).
+
+Sink round-trips run through session-scoped temp dirs (the sink IS the
+operator under test); the HTTP source runs hermetically on an injected
+deterministic transport, so even it is oracle-checkable as a VALUES
+literal.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from crypto_data_pipeline_spark.plans.registry import register
+from crypto_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# P5 — parameterized equality predicate with dynamic AND-composition
+# (crypto_app/db.py:114,271-280: optional year/month filters)
+
+
+def events_filtered(
+    spark: SparkSession,
+    sf_dir: str,
+    event_type: str | None = None,
+    year: int | None = None,
+    month: int | None = None,
+) -> DataFrame:
+    """The reference builds SQL text by appending AND-clauses per
+    supplied parameter; here the same composition chains .filter()
+    calls — each one still reaches the parquet scan as a pushed
+    predicate."""
+    df = load_table(spark, sf_dir, "events")
+    if event_type is not None:
+        df = df.where(F.col("event_type") == event_type)
+    if year is not None:
+        df = df.where(F.year("ts") == year)
+    if month is not None:
+        df = df.where(F.month("ts") == month)
+    return df
+
+
+@register(
+    "param_equality_filter",
+    survey_ids=("P5",),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+WHERE event_type = 'purchase' AND year(ts) = 2024 AND month(ts) = 2
+""",
+)
+def param_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = events_filtered(spark, sf_dir, event_type="purchase", year=2024, month=2)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 — dtype-driven numeric projection (select_dtypes(include=['number']))
+
+
+@register(
+    "numeric_projection",
+    survey_ids=("P7",),
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS s_l_quantity,
+       round(sum(l_extendedprice), 2) AS s_l_extendedprice,
+       round(sum(l_discount), 2) AS s_l_discount,
+       round(sum(l_tax), 2) AS s_l_tax
+FROM lineitem
+""",
+)
+def numeric_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform_data.ipynb:639 / models.ipynb:283: project the numeric
+    columns by inspecting the SCHEMA (dtype-driven, like
+    select_dtypes), then profile them. Key columns (ids) are excluded
+    the way the notebooks drop identifier columns."""
+    df = load_table(spark, sf_dir, "lineitem")
+    numeric = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType, T.DecimalType))
+    ]
+    aggs = [F.round(F.sum(c), 2).alias(f"s_{c}") for c in sorted(numeric)]
+    return df.select(*numeric).agg(F.count(F.lit(1)).alias("n"), *aggs)
+
+
+# ---------------------------------------------------------------------------
+# F12/F13/F14/F15 — scalar-function block: string→date parse, anchored
+# relative date window, fillna, initcap
+
+
+@register(
+    "scalar_function_block",
+    survey_ids=("F12", "F13", "F14", "F15"),
+    oracle="""
+WITH anchored AS (SELECT max(o_orderdate) AS max_d FROM orders)
+SELECT array_to_string(list_transform(string_split(o_orderpriority, ' '),
+         w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ') AS priority_label,
+       CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS parsed_date,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(coalesce(o_totalprice, 0.0)), 2) AS total
+FROM orders, anchored
+WHERE o_orderdate >= max_d - INTERVAL 30 DAY
+GROUP BY 1, 2
+""",
+)
+def scalar_function_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: to_date over a string-formatted date (the filename-parse
+    path without a filesystem); F13: `date >= anchor - 30 days`
+    anchored on the data's max date — the deterministic twin of
+    `current_date() - 30` (EDA.ipynb:393-395; current_date itself
+    would make the oracle flaky); F14: fillna(0) → coalesce;
+    F15: initcap for labels."""
+    orders = load_table(spark, sf_dir, "orders")
+    max_d = orders.agg(F.max("o_orderdate")).collect()[0][0]
+    return (
+        orders.where(F.col("o_orderdate") >= F.date_sub(F.lit(max_d), 30))
+        .select(
+            F.initcap("o_orderpriority").alias("priority_label"),
+            F.to_date(F.date_format("o_orderdate", "yyyy-MM-dd"), "yyyy-MM-dd").alias(
+                "parsed_date"
+            ),
+            F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("_price"),
+        )
+        .groupBy("priority_label", "parsed_date")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("_price"), 2).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5/S6 — CSV sink + source round-trip (the sink is the operator under test)
+
+
+@register(
+    "csv_roundtrip_monthly",
+    survey_ids=("S5", "S6", "A5"),
+    oracle="""
+WITH history AS (
+  SELECT user_id AS entity_id, CAST(ts AS DATE) AS fetch_date, max(value) AS price
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+)
+SELECT entity_id,
+       CAST(year(fetch_date) AS INT) AS year,
+       CAST(month(fetch_date) AS INT) AS month,
+       min(price) AS min_price,
+       max(price) AS max_price
+FROM history GROUP BY 1, 2, 3
+""",
+)
+def csv_roundtrip_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the gold monthly min/max table to CSV (S5), read it back
+    with an explicit schema (S6), return the re-read frame. Values are
+    exact 2-decimal doubles, so the text round-trip is lossless and the
+    result still hash-matches the direct SQL."""
+    from crypto_data_pipeline_spark.operators import timeseries as ts
+    from crypto_data_pipeline_spark.sources import csv_io
+
+    hist = ts.daily_price_series(load_table(spark, sf_dir, "events"))
+    gold = ts.monthly_min_max(hist).select(
+        "entity_id", "year", "month", "min_price", "max_price"
+    )
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    csv_io.write_csv(gold, path)
+    return csv_io.read_csv(
+        spark,
+        path,
+        T.StructType(
+            [
+                T.StructField("entity_id", T.LongType()),
+                T.StructField("year", T.IntegerType()),
+                T.StructField("month", T.IntegerType()),
+                T.StructField("min_price", T.DoubleType()),
+                T.StructField("max_price", T.DoubleType()),
+            ]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2/S3/F12/F16 — JSON tree sink + distributed re-scan with path recovery
+
+
+@register(
+    "json_roundtrip_by_lang",
+    survey_ids=("S2", "S3", "F12", "F16"),
+    oracle="SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1",
+)
+def json_roundtrip_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents as a lang-partitioned JSON tree (S3), re-scan it
+    distributed (S2) recovering the partition value from the file path
+    with input_file_name + regexp (F12, the filename-parse pattern the
+    reference uses for dates — load_data.py:45-53). A created_at
+    current_timestamp column rides along (F16) but is excluded from
+    the comparison for determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="json_tree_")
+    docs.select("doc_id", "text", "lang").write.partitionBy("lang").mode("overwrite").json(path)
+    raw = (
+        spark.read.schema("doc_id long, text string")
+        .json(f"{path}/*/*.json")
+        .withColumn("_file", F.input_file_name())
+        .withColumn("lang", F.regexp_extract("_file", r"lang=([^/]+)/", 1))
+        .withColumn("created_at", F.current_timestamp())
+    )
+    return raw.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# S1/ST4 — HTTP API source, hermetic: deterministic transport + thread
+# fan-out, so even the network path is oracle-checkable
+
+
+def _fake_transport(url: str, headers: dict[str, str]) -> tuple[int, dict[str, str], str]:
+    """Deterministic CoinGecko-shaped payloads keyed on (coin, date)."""
+    coin = url.split("/coins/")[1].split("/")[0]
+    date = url.split("date=")[1]
+    seed = (sum(map(ord, coin)) * 31 + sum(map(ord, date))) % 1000
+    price = round(100.0 + seed, 2)
+    body = {
+        "id": coin,
+        "market_data": {
+            "current_price": {"usd": price},
+            "market_cap": {"usd": price * 1e9},
+            "total_volume": {"usd": price * 1e7},
+        },
+    }
+    return 200, {}, json.dumps(body)
+
+
+_HTTP_COINS = ("bitcoin", "ethereum", "cardano")
+_HTTP_DATES = ("01-01-2025", "02-01-2025")
+
+
+def _http_oracle() -> str:
+    rows = []
+    for coin in _HTTP_COINS:
+        for date in _HTTP_DATES:
+            seed = (sum(map(ord, coin)) * 31 + sum(map(ord, date))) % 1000
+            price = round(100.0 + seed, 2)
+            d = f"{date[6:]}-{date[3:5]}-{date[:2]}"
+            rows.append(f"('{coin}', DATE '{d}', CAST({price} AS DOUBLE))")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(coin_id, fetch_date, price_usd)"
+    )
+
+
+@register("http_ingest", survey_ids=("S1", "ST4", "U4"), oracle=_http_oracle())
+def http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+ST4: concurrent thread-pool fan-out over (coin, date) pairs
+    through the retrying client (hermetic transport — this container
+    has no network), payload JSON navigated for the usd price (U4),
+    landed via createDataFrame exactly like the production driver-side
+    ingest path."""
+    from crypto_data_pipeline_spark.sources.http_client import HistoryApiClient
+
+    client = HistoryApiClient(transport=_fake_transport, sleep=lambda s: None)
+    reqs = [(c, d) for c in _HTTP_COINS for d in _HTTP_DATES]
+    results = client.fetch_many(reqs, max_workers=4)
+    rows = []
+    for coin, date, payload in results:
+        price = payload["market_data"]["current_price"]["usd"] if payload else None
+        iso = f"{date[6:]}-{date[3:5]}-{date[:2]}"
+        rows.append((coin, iso, price))
+    return spark.createDataFrame(
+        rows, "coin_id string, fetch_date string, price_usd double"
+    ).select("coin_id", F.to_date("fetch_date").alias("fetch_date"), "price_usd")

@@ -44,5 +44,6 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every plan module so its @register calls run."""
     import crypto_data_pipeline_spark.plans.core_queries  # noqa: F401
     import crypto_data_pipeline_spark.plans.extension_queries  # noqa: F401
+    import crypto_data_pipeline_spark.plans.io_queries  # noqa: F401
 
     return QUERIES
