@@ -376,6 +376,9 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from crypto_data_pipeline_spark.streaming.sessionize import sessionize_stream
 
+    # self-sufficient on a caller-provided bare session, like load_table
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.ts is parquet TIMESTAMP(NANOS) → long under nanosAsLong;
     # same div-1000 truncation as the batch loader (tables.load_table)
     stream = (

@@ -38,9 +38,18 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one synthetic table."""
+    """Lazy parquet scan of one synthetic table.
+
+    Defensively sets the two session confs correctness depends on —
+    the caller may hand us a session built without our factory (the
+    driver does): nanosAsLong, without which the TIMESTAMP(NANOS)
+    events scan throws PARQUET_TYPE_ILLEGAL, and a UTC session zone so
+    CAST(ts AS DATE) agrees with the timezone-naive DuckDB oracle.
+    Both are runtime-settable SQL confs."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name in _NANO_TS_COLS.get(name, ()) and isinstance(field.dataType, T.LongType):
