@@ -87,14 +87,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_JACCARD_ORACLE = f"""
-WITH s AS (
+WITH s0 AS (
   SELECT doc_id AS id,
-         list_sort(CASE WHEN len({TOKENS_SQL}) >= 3
+         CASE WHEN len({TOKENS_SQL}) >= 3
               THEN list_distinct(list_transform(range(len({TOKENS_SQL}) - 2),
                      i -> array_to_string(list_slice({TOKENS_SQL}, i + 1, i + 3), ' ')))
               ELSE [array_to_string({TOKENS_SQL}, ' ')]
-         END) AS sh
+         END AS sh0
   FROM documents
+),
+e AS (SELECT id, unnest(sh0) AS sg FROM s0),
+fr AS (SELECT sg, CAST(count(*) AS BIGINT) AS f FROM e GROUP BY 1),
+s AS (
+  SELECT e.id,
+         list_transform(list_sort(list({{'f': fr.f, 's': e.sg}})), x -> x.s) AS sh
+  FROM e JOIN fr USING (sg)
+  GROUP BY e.id
 ),
 p AS (
   SELECT id, unnest(list_slice(sh, 1,
