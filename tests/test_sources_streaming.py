@@ -262,6 +262,89 @@ def test_sessionizer_matches_batch_twin(spark, sf_dir, tmp_path):
     assert got_no_total == expected
 
 
+def test_streaming_hourly_aggregate_matches_batch(spark, sf_dir, tmp_path):
+    """ST3 bounded-lateness variant: the watermarked tumbling-window agg
+    over a finite availableNow stream must equal the batch groupBy on
+    the same data (every window is past the watermark at end-of-input
+    ... except the tail ones the watermark hasn't released — so assert
+    the emitted windows are a prefix-consistent subset of batch)."""
+    from crypto_data_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev")
+    events.select("user_id", "event_id", "ts", "event_type", "value").write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        ingest.streaming_hourly_aggregate(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.hour_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r.hour_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
+        .collect()
+    }
+    assert got, "stream must emit closed windows"
+    assert set(got) <= set(batch)
+    for k, v in got.items():
+        assert v == batch[k]
+    # everything older than (max ts - watermark 2h) must have been emitted
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    import datetime as _dt
+
+    released = {k for k in batch if k[0] < max_ts - _dt.timedelta(hours=3)}
+    assert released <= set(got)
+
+
+def test_streaming_monthly_min_max_runs(spark, tmp_path):
+    """ST3 pure-stateful variant smoke: per-(entity, 30-day window)
+    min/max in a real streaming run."""
+    rows = [
+        ("btc", dt.date(2025, 1, 1), 100.0, dt.datetime(2025, 1, 1)),
+        ("btc", dt.date(2025, 1, 15), 50.0, dt.datetime(2025, 1, 15)),
+        ("eth", dt.date(2025, 1, 2), 10.0, dt.datetime(2025, 1, 2)),
+    ]
+    src = str(tmp_path / "silver")
+    spark.createDataFrame(
+        rows, "coin_id string, fetch_date date, price_usd double, created_at timestamp"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "coin_id string, fetch_date date, price_usd double, created_at timestamp"
+    ).parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        ingest.streaming_monthly_min_max(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode only releases watermark-expired windows; with a
+    # 45-day watermark over 15 days of data nothing is final yet — the
+    # run itself (state build, no error) is the contract here
+    assert spark.read.parquet(out_dir).count() >= 0
+
+
 def test_http_client_retry_and_fanout():
     """Hermetic transport: one 429 (Retry-After honored via injected
     sleep), then 200 — mirrors coingecko_client.py:55-92 semantics."""
