@@ -758,6 +758,59 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OLAP extensions beyond the reference: grouping sets + distinct counts
+# (SURVEY §2.4 notes the reference has none — these round out the
+# aggregate surface a warehouse engine is expected to have)
+
+
+@register(
+    "cube_order_stats",
+    survey_ids=("A6", "EXT-olap"),
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    pass — Spark expands the cube map-side, so it costs one shuffle
+    like a plain groupBy. Subtotal rows surface as 'ALL' (not NULL) so
+    the result sorts/hashes cleanly in any comparator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "distinct_users_exact_and_approx",
+    survey_ids=("A6", "EXT-olap"),
+    oracle="""
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def distinct_users_exact_and_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct users (oracle-checked). The scale path —
+    approx_count_distinct's HLL++ sketch, mergeable and fixed-memory —
+    is asserted within 5% of this result by the catalog test suite
+    rather than hash-compared (sketches are engine-specific)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
 # Sessionization — gaps-and-islands over time gaps (streaming-shaped batch)
 
 

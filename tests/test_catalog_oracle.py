@@ -65,6 +65,22 @@ def test_rows_only_queries_run(spark, sf_dir):
             assert n >= 0, spec.name
 
 
+def test_approx_distinct_tracks_exact(spark, sf_dir):
+    """HLL++ approx_count_distinct (the mergeable fixed-memory scale
+    path) must land within 5% of the exact per-group distinct count."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+    )
+    for r in both.collect():
+        assert abs(r.approx - r.exact) <= max(1, 0.05 * r.exact), r
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
