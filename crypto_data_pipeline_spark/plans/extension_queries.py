@@ -340,6 +340,97 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# temporal joins (EXT-asof): as-of enrichment and bounded range join
+
+
+@register(
+    "asof_last_click",
+    survey_ids=("EXT-asof",),
+    oracle="""
+WITH purch AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.value AS purchase_value,
+       coalesce(c.value, -1.0) AS click_value,
+       coalesce(epoch_us(p.ts) - epoch_us(c.ts), CAST(-1 AS BIGINT)) AS gap_us
+FROM purch p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase enriched with the user's most recent
+    click at-or-before it. Union+window plan — one shuffle on user_id,
+    no inequality-join explosion (see operators/asof.py). Oracle is
+    DuckDB's native ASOF LEFT JOIN; nulls → sentinels for stable
+    comparison. (user_id, ts) is unique in events, so no tiebreak."""
+    from crypto_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purch, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        right_cols=["click_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        F.coalesce("click_value", F.lit(-1.0)).alias("click_value"),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("click_ts"), F.lit(-1).cast("long")
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "range_join_click_context",
+    survey_ids=("EXT-asof",),
+    oracle="""
+WITH purch AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       CAST(count(c.ts) AS BIGINT) AS n_clicks,
+       round(coalesce(sum(c.value), 0.0), 2) AS click_value_sum
+FROM purch p LEFT JOIN clicks c
+  ON p.user_id = c.user_id
+ AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+GROUP BY 1, 2
+""",
+)
+def range_join_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: per purchase, count/sum the same user's
+    clicks in the preceding hour. Bucketed-band plan (operators/
+    asof.py:range_join_agg) turns the interval predicate into an equi
+    join on (user_id, hour-bucket) — hash-joinable at any scale, vs the
+    oracle's nested-loop inequality join which only DuckDB can afford
+    at sf0.01."""
+    from crypto_data_pipeline_spark.operators.asof import range_join_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = range_join_agg(
+        purch, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_s=-3600.0, upper_s=0.0,
+        aggs=[
+            F.count("value_r").alias("n_clicks"),
+            F.round(F.coalesce(F.sum("value_r"), F.lit(0.0)), 2).alias("click_value_sum"),
+        ],
+    )
+    return out.select("event_id", "user_id", "n_clicks", "click_value_sum")
+
+
+# ---------------------------------------------------------------------------
 # catalog introspection (S9)
 
 _TABLE_LIST = "'region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings'"
