@@ -1,0 +1,98 @@
+"""Physical-layout tests (sources/bucketed.py): bucketed tables must
+eliminate the shuffle from equi-joins and aggregations on the bucket
+key, and the salted join must be a drop-in replacement for the plain
+join under every legal join type.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_spark.sources import bucketed
+from crypto_data_pipeline_spark.sources.tables import load_table
+
+BUCKETS = 8
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """At sf0.001 every table fits under the broadcast threshold, so the
+    planner would pick BroadcastHashJoin and bypass the bucket spec
+    entirely. Forcing the sort-merge path models the 100 TB case the
+    layout exists for: both sides too big to broadcast."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+@pytest.fixture(scope="module")
+def bucketed_orders_customer(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("warehouse")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    bucketed.write_bucketed(
+        orders, "orders_b", ["o_custkey"], BUCKETS,
+        sort_cols=["o_custkey"], path=str(root / "orders_b"),
+    )
+    bucketed.write_bucketed(
+        customer, "customer_b", ["c_custkey"], BUCKETS,
+        sort_cols=["c_custkey"], path=str(root / "customer_b"),
+    )
+    yield orders, customer
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_orders_customer, no_broadcast):
+    orders, customer = bucketed_orders_customer
+    ob = bucketed.bucketed_table(spark, "orders_b")
+    cb = bucketed.bucketed_table(spark, "customer_b")
+
+    joined = ob.join(cb, ob.o_custkey == cb.c_custkey).select("o_orderkey", "c_name")
+    assert bucketed.exchange_count(joined) == 0, joined._jdf.queryExecution().executedPlan().toString()
+
+    # identical join off plain parquet scans must shuffle — proves the
+    # zero above comes from the bucket spec, not from tiny inputs
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+    assert bucketed.exchange_count(plain) > 0
+
+    # and the layout change must not change the answer
+    assert joined.count() == plain.count()
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_orders_customer, no_broadcast):
+    orders, _ = bucketed_orders_customer
+    ob = bucketed.bucketed_table(spark, "orders_b")
+    agg = ob.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total"))
+    assert bucketed.exchange_count(agg) == 0
+
+    plain = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total"))
+    assert bucketed.exchange_count(plain) > 0
+    assert agg.count() == plain.count()
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi"])
+def test_salted_join_matches_plain(spark, sf_dir, how):
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    users = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        # drop some users so left/semi actually exercise unmatched rows
+        .filter(F.col("user_id") % 3 != 0)
+    )
+    got = bucketed.salted_join(events, users, ["user_id"], how=how, salt=4)
+    want = events.join(users, ["user_id"], how)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_join_rejects_right_joins(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        bucketed.salted_join(events, events, ["user_id"], how="right")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        bucketed.salted_join(events, events, ["user_id"], how="left_anti")
