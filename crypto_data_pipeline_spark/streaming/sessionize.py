@@ -12,8 +12,13 @@ Semantics mirror the batch `sessionization` catalog query
 key's previous event exceeds ``gap_us`` (exact integer microsecond
 math, engine-portable). A session is EMITTED once a later event proves
 it closed; the trailing open session per key stays in state across
-micro-batches (and across restarts via the checkpoint) until a future
-event — or an event-time timeout in production — closes it.
+micro-batches (and across restarts via the checkpoint) until either a
+future event closes it or — with ``timeout=True`` — the event-time
+watermark passes ``last_event + gap``, which flushes the session and
+CLEARS its state. Without the timeout, state is monotonically growing
+in the number of ever-seen keys; with it, state is bounded by the keys
+active inside one gap window — the difference between a state store
+that fits forever and one that OOMs after enough distinct users.
 
 Scale notes: state is one fixed-width row per ACTIVE key (4 longs +
 1 double), the minimum possible; the shuffle is the groupBy(user) the
@@ -58,7 +63,7 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _session_fn(gap_us: int):
+def _session_fn(gap_us: int, timeout: bool):
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -68,6 +73,22 @@ def _session_fn(gap_us: int):
         else:
             start_us = last_us = None
             n, total = 0, 0.0
+
+        if timeout and state.hasTimedOut:
+            # Watermark passed last_us + gap with no new event: the open
+            # session is provably closed. Emit it and drop the state row.
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, start_us, last_us, n, total)],
+                columns=[
+                    "user_id",
+                    "session_start_us",
+                    "session_end_us",
+                    "n_events",
+                    "total_value",
+                ],
+            )
+            return
 
         closed: list[tuple] = []
         batch = pd.concat(list(pdfs), ignore_index=True)
@@ -86,6 +107,10 @@ def _session_fn(gap_us: int):
             total += float(value) if value is not None and value == value else 0.0
 
         state.update((start_us, last_us, n, total))
+        if timeout:
+            # GroupState timestamps are milliseconds; round UP so the
+            # timeout can never fire a hair before the gap truly elapsed.
+            state.setTimeoutTimestamp(-(-(last_us + gap_us) // 1000))
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -101,19 +126,40 @@ def _session_fn(gap_us: int):
     return fn
 
 
-def sessionize_stream(events: DataFrame, gap_us: int = GAP_US_DEFAULT) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame,
+    gap_us: int = GAP_US_DEFAULT,
+    *,
+    timeout: bool = False,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
     """events (user_id, event_id, ts, value) → closed-session rows.
 
     Works on a streaming OR batch DataFrame (applyInPandasWithState is
     streaming-only; for batch input Spark runs it as a single batch
-    with empty initial state — handy for tests and backfills)."""
+    with empty initial state — handy for tests and backfills).
+
+    ``timeout=True`` (streaming only) additionally flushes idle
+    sessions once the event-time watermark — driven by ``ts`` minus
+    ``watermark_delay`` of allowed lateness — passes the session's
+    ``last_event + gap``, and evicts their state. An event later than
+    ``watermark_delay`` can reopen an already-flushed session as a
+    duplicate (standard watermark contract); size the delay to the
+    source's real lateness.
+    """
     prepared = events.selectExpr(
-        "user_id", "event_id", "unix_micros(ts) AS us", "value"
+        "user_id", "event_id", "ts", "unix_micros(ts) AS us", "value"
     )
+    if timeout:
+        # the watermark column must survive into the stateful operator's
+        # input for EventTimeTimeout to bind; the pandas fn ignores it
+        prepared = prepared.withWatermark("ts", watermark_delay)
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _session_fn(gap_us),
+        _session_fn(gap_us, timeout),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout if timeout else GroupStateTimeout.NoTimeout
+        ),
     )

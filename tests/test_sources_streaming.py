@@ -213,6 +213,50 @@ def test_sessionize_stream_stateful_across_runs(spark, tmp_path):
     assert got2 == {(1, _us(0)): (_us(5), 2, 3.0), (2, _us(0)): (_us(0), 1, 8.0)}
 
 
+def test_sessionize_timeout_flushes_idle_sessions(spark, tmp_path):
+    """EventTimeTimeout flush: once the watermark passes last_event +
+    gap, an idle session is emitted WITHOUT a closing event and its
+    state row is evicted (bounded state). A high-watermark 'clock'
+    event from an unrelated user drives the watermark forward."""
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        q = (
+            sessionize.sessionize_stream(stream, timeout=True, watermark_delay="5 minutes")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.total_value)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # user 1 (events at 0,5) and user 2 (at 0) go idle; user 99's event
+    # at minute 120 pushes the watermark to 115 min > their last + 30min
+    # gap, so both flush via timeout. user 99 itself stays open.
+    batch1 = [_ev(1, 1, 0, 1.0), _ev(1, 2, 5, 2.0), _ev(2, 3, 0, 8.0), _ev(99, 4, 120, 0.5)]
+    spark.createDataFrame(batch1, EVENTS_SCHEMA).coalesce(1).write.parquet(src)
+    got1 = run()
+    assert got1 == {(1, _us(0)): (_us(5), 2, 3.0), (2, _us(0)): (_us(0), 1, 8.0)}
+
+    # run 2, same checkpoint: user 99 continues (no duplicate from the
+    # evicted users), then a minute-300 clock event flushes user 99's
+    # session spanning both runs — state survived the restart.
+    batch2 = [_ev(99, 5, 125, 0.25), _ev(7, 6, 300, 64.0)]
+    spark.createDataFrame(batch2, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    got2 = run()
+    assert got2[(99, _us(120))] == (_us(125), 2, 0.75)
+    assert len(got2) == 3  # no duplicate emissions for users 1 and 2
+
+
 def test_sessionizer_matches_batch_twin(spark, sf_dir, tmp_path):
     """Closed sessions from the stateful operator == all sessions of
     the batch gaps-and-islands twin EXCEPT each user's trailing (still
