@@ -1,0 +1,105 @@
+"""Deterministic sampling, splitting, and dataset mixing.
+
+The reference never samples (739 rows need no subset; its only split is
+the chronological TimeSeriesSplit of notebooks/models.ipynb:307-312,
+covered by ml/regression.py). A 100 TB training-data pipeline, by
+contrast, lives on these three operations, and at that scale they must
+be DETERMINISTIC — a `rand()` sample changes under task retries and
+AQE re-planning, silently leaking validation rows into training
+between runs. So every operator here derives its randomness from a
+keyed integer hash:
+
+    h(key, salt) = LCG2(LCG1(key + salt))  over the prime 2^31 - 1
+
+two multiplicative-congruential rounds in exact int64 arithmetic — the
+same engine-portable-primitive family as the rolling-hash fingerprint
+(operators/text.py), so DuckDB reproduces every decision bit-for-bit
+and the driver's oracle gate can hash-compare actual sample membership,
+not just counts.
+
+Scale shape: all three operators are a scan + a per-row projection +
+a filter — no shuffle, no state, embarrassingly parallel, and the
+filter sits directly on the scan so Catalyst keeps whole-stage codegen.
+Rows keep their split/sample decision forever (stable under
+re-partitioning, retries, and incremental re-runs over new data).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MOD = 2147483647  # 2^31 - 1, prime (Mersenne)
+_A1 = 1103515245  # glibc LCG multiplier
+_B1 = 12345
+_A2 = 48271  # Lehmer / MINSTD multiplier
+
+
+def hash_bucket(key: Column, salt: int = 0) -> Column:
+    """Uniform pseudo-random long in [0, MOD) from an integer key.
+    Exact int64 arithmetic at every step (max intermediate < 2^61), so
+    any engine with 64-bit integers computes the identical bucket."""
+    h1 = (((key + F.lit(salt)) % MOD) * _A1 + _B1) % MOD
+    return (h1 * _A2) % MOD
+
+
+def deterministic_sample(df: DataFrame, key: str, fraction: float, salt: int = 0) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per-row by ``hash_bucket`` of
+    ``key`` — stable across runs/retries, unlike ``df.sample``."""
+    return df.filter(hash_bucket(F.col(key), salt) < int(fraction * MOD))
+
+
+def split_column(key: Column, weights: Mapping[str, float], salt: int = 0) -> Column:
+    """Label each row with a split name ('train'/'val'/'test'/...),
+    proportioned by ``weights``. Hash the GROUPING key (user id,
+    document id) rather than a row id to keep correlated rows in one
+    split — that is what prevents train/test leakage."""
+    total = float(sum(weights.values()))
+    h = hash_bucket(key, salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = h < int(acc * MOD)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(names[-1])
+
+
+def weighted_mix(
+    df: DataFrame, key: str, stratum: str, rates: Mapping[str, float],
+    default_rate: float = 1.0, salt: int = 0,
+) -> DataFrame:
+    """Down/up-weight strata of one table into a training mixture: keep
+    each row with its stratum's rate (rates > 1 are capped at 1 —
+    up-sampling needs row duplication, which breaks the one-decision-
+    per-row determinism this module guarantees).
+
+    The canonical use is rebalancing a language- or source-skewed
+    corpus. One scan, no shuffle; the per-stratum threshold comes from
+    a literal CASE expression, so the filter still pushes to the scan.
+    """
+    thresh: Column = F.lit(int(min(default_rate, 1.0) * MOD))
+    for name, rate in rates.items():
+        thresh = F.when(F.col(stratum) == name, int(min(rate, 1.0) * MOD)).otherwise(thresh)
+    return df.filter(hash_bucket(F.col(key), salt) < thresh)
+
+
+def sql_hash_bucket(key_expr: str, salt: int = 0) -> str:
+    """The ANSI-SQL twin of ``hash_bucket`` for oracle queries."""
+    h1 = f"((({key_expr} + {salt}) % {MOD}) * {_A1} + {_B1}) % {MOD}"
+    return f"(({h1}) * {_A2}) % {MOD}"
+
+
+def sql_split_case(key_expr: str, weights: Mapping[str, float], salt: int = 0) -> str:
+    """ANSI-SQL twin of ``split_column``."""
+    total = float(sum(weights.values()))
+    h = sql_hash_bucket(key_expr, salt)
+    parts, acc = [], 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        parts.append(f"WHEN {h} < {int(acc * MOD)} THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"

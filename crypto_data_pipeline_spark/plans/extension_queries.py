@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from crypto_data_pipeline_spark.operators import dedup, multimodal, similarity, text
+from crypto_data_pipeline_spark.operators import dedup, multimodal, sampling, similarity, text
 from crypto_data_pipeline_spark.operators.text import LANG_PRIORITY, STOPWORDS
 from crypto_data_pipeline_spark.plans.registry import register
 from crypto_data_pipeline_spark.sources.tables import load_table
@@ -428,6 +428,81 @@ def range_join_click_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.select("event_id", "user_id", "n_clicks", "click_value_sum")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splitting / mixing (EXT-sample)
+
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_MIX_RATES = {"en": 0.3}
+
+
+@register(
+    "sample_hash_10pct",
+    survey_ids=("EXT-sample",),
+    oracle=f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {sampling.sql_hash_bucket('doc_id', salt=7)} < {int(0.1 * sampling.MOD)}
+""",
+)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample of documents by keyed hash — the
+    oracle compares exact row MEMBERSHIP, proving the sample is a pure
+    function of doc_id, not of partitioning or retries (which
+    df.sample cannot promise). Plan: scan + codegen filter, no
+    shuffle."""
+    docs = _docs(spark, sf_dir)
+    return sampling.deterministic_sample(docs, "doc_id", 0.1, salt=7).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "train_val_test_split",
+    survey_ids=("EXT-sample",),
+    oracle=f"""
+SELECT {sampling.sql_split_case('doc_id', _SPLITS, salt=11)} AS split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars) + 1e-9, 2) AS avg_chars
+FROM documents GROUP BY 1, 2
+""",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split keyed on doc_id: every row gets a stable split
+    label; correlated rows (same key) can never straddle splits. The
+    per-(split, lang) profile both checks proportions and catches any
+    membership drift."""
+    docs = _docs(spark, sf_dir)
+    labeled = docs.withColumn("split", sampling.split_column(F.col("doc_id"), _SPLITS, salt=11))
+    return labeled.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars") + F.lit(1e-9), 2).alias("avg_chars"),
+    )
+
+
+@register(
+    "mix_rebalance_langs",
+    survey_ids=("EXT-sample",),
+    oracle=f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+FROM documents
+WHERE {sampling.sql_hash_bucket('doc_id', salt=3)} <
+      CASE WHEN lang = 'en' THEN {int(0.3 * sampling.MOD)} ELSE {sampling.MOD} END
+GROUP BY 1
+""",
+)
+def mix_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalance: down-sample the dominant language
+    (en → 30%) while keeping the rest — one scan, the per-stratum
+    threshold folded into the pushed-down filter. sum(doc_id) pins
+    exact membership per language, not just counts."""
+    docs = _docs(spark, sf_dir)
+    mixed = sampling.weighted_mix(docs, "doc_id", "lang", _MIX_RATES, salt=3)
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("doc_id_sum"),
+    )
 
 
 # ---------------------------------------------------------------------------

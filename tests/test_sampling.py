@@ -1,0 +1,79 @@
+"""Property tests for operators/sampling.py: the guarantees that make
+deterministic sampling worth having — partitioning-independence, exact
+stratum behavior, group-level leakage-freedom, and sane proportions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_spark.operators import sampling
+from crypto_data_pipeline_spark.sources.tables import load_table
+
+
+def test_sample_invariant_under_repartition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in sampling.deterministic_sample(docs, "doc_id", 0.25).select("doc_id").collect()}
+    shuffled = docs.repartition(13, "lang")
+    b = {r.doc_id for r in sampling.deterministic_sample(shuffled, "doc_id", 0.25).select("doc_id").collect()}
+    assert a == b and a  # identical membership, non-empty
+
+
+def test_sample_fraction_monotone_and_nested(spark, sf_dir):
+    """A 10% sample is a subset of the 30% sample at the same salt —
+    threshold sampling gives nested samples for free (grow a training
+    set without resampling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    s10 = {r.doc_id for r in sampling.deterministic_sample(docs, "doc_id", 0.10).collect()}
+    s30 = {r.doc_id for r in sampling.deterministic_sample(docs, "doc_id", 0.30).collect()}
+    assert s10 < s30
+
+
+def test_split_no_group_leakage(spark, sf_dir):
+    """Splitting events on user_id: every user's rows land in exactly
+    one split."""
+    events = load_table(spark, sf_dir, "events")
+    labeled = events.withColumn(
+        "split", sampling.split_column(F.col("user_id"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    per_user = labeled.groupBy("user_id").agg(F.countDistinct("split").alias("n"))
+    assert per_user.filter(F.col("n") > 1).count() == 0
+
+
+def test_split_proportions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    labeled = docs.withColumn(
+        "split", sampling.split_column(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1})
+    )
+    got = {r.split: r.n for r in labeled.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) == {"train", "val", "test"}
+    assert abs(got["train"] / n - 0.8) < 0.1
+
+
+def test_weighted_mix_keeps_default_strata_intact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = sampling.weighted_mix(docs, "doc_id", "lang", {"en": 0.3})
+    before = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    after = {r.lang: r.n for r in mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in before.items():
+        if lang == "en":
+            assert after[lang] < n  # down-sampled
+        else:
+            assert after[lang] == n  # untouched
+
+
+def test_sample_filter_pushes_to_scan(spark, sf_dir):
+    """The sampling predicate must not break whole-stage codegen or
+    introduce a shuffle: plan is scan→filter→project only."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        sampling.deterministic_sample(docs, "doc_id", 0.1)
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    # '*(n)' prefixes mark whole-stage-codegen stages in plan toString
+    assert plan.lstrip().startswith("*(")
