@@ -131,6 +131,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_NGRAM_JACCARD_ORACLE}),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(v, lbl) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.v
+),
+cc AS (SELECT v, min(lbl) AS cluster_id FROM reach GROUP BY v)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(v) AS BIGINT) AS doc_id_sum
+FROM cc GROUP BY 1
+"""
+
+
+@register("dedup_clusters", survey_ids=("EXT-dedup", "EXT-graph"), oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: the n-gram Jaccard pairs as an
+    edge list, closed under connectivity by iterative min-label
+    propagation (operators/graph.py), then one row per cluster keyed by
+    its minimum doc_id. sum(doc_id) pins exact membership. The oracle
+    computes the same closure as a recursive CTE — the engines agree on
+    an ITERATIVE algorithm's fixpoint, not just one pass."""
+    from crypto_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("v").alias("doc_id_sum"),
+    )
+
+
 @register("dedup_simhash", survey_ids=("EXT-dedup",), oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash near-dup pairs (Hamming <= 3 over 64-bit sketches)."""

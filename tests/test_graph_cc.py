@@ -1,0 +1,37 @@
+"""Tests for operators/graph.py on shapes the near-dup query can't
+hit: long chains (multi-round propagation), multiple components, and
+the non-convergence guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crypto_data_pipeline_spark.operators.graph import connected_components
+
+
+def _cc(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, "a long, b long")
+    rows = connected_components(edges, "a", "b", **kw).collect()
+    return {r.v: r.component for r in rows}
+
+
+def test_chain_collapses_to_min(spark):
+    # 0-1-2-3-4-5: label 0 must travel the whole chain (≥ ~log/diam rounds)
+    got = _cc(spark, [(i, i + 1) for i in range(5)])
+    assert got == {i: 0 for i in range(6)}
+
+
+def test_two_components_and_star(spark):
+    got = _cc(spark, [(10, 11), (11, 12), (3, 7), (3, 5), (3, 9)])
+    assert got == {10: 10, 11: 10, 12: 10, 3: 3, 5: 3, 7: 3, 9: 3}
+
+
+def test_cycle_and_duplicate_edges(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (3, 1), (2, 1), (1, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, [(i, i + 1) for i in range(30)], max_iter=2)
