@@ -87,6 +87,35 @@ def weighted_mix(
     return df.filter(hash_bucket(F.col(key), salt) < thresh)
 
 
+def pack_sequences(
+    df: DataFrame, order_key: str, token_col: str, budget: int, stratum: str,
+) -> DataFrame:
+    """Sequential greedy sequence packing: walking each stratum in
+    ``order_key`` order, assign every row a ``pack_id`` so that packs
+    hold contiguous runs of ~``budget`` tokens — the batch-construction
+    step of an LLM training pipeline (documents → fixed-token-budget
+    packs). A pack may overflow by at most one document; packs are
+    never split across strata.
+
+    Shape: one window cumsum partitioned by ``stratum`` — a single
+    shuffle, parallel across strata, exact integer arithmetic (so the
+    DuckDB oracle reproduces every assignment). True bin-packing
+    (first-fit-decreasing) would need global sequential state for a
+    ~few-% density win; contiguous greedy packing is what distributed
+    tokenizer pipelines actually ship.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stratum)
+        .orderBy(order_key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    before = cum - F.col(token_col)  # tokens already packed in this stratum
+    return df.withColumn("pack_id", F.floor(before / F.lit(budget)).cast("long"))
+
+
 def sql_hash_bucket(key_expr: str, salt: int = 0) -> str:
     """The ANSI-SQL twin of ``hash_bucket`` for oracle queries."""
     h1 = f"((({key_expr} + {salt}) % {MOD}) * {_A1} + {_B1}) % {MOD}"

@@ -542,6 +542,39 @@ def mix_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_token_budget",
+    survey_ids=("EXT-sample",),
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(string_split({NORM_SQL}, ' ')) AS BIGINT) AS toks
+  FROM documents
+), c AS (
+  SELECT source, toks,
+         sum(toks) OVER (PARTITION BY source ORDER BY doc_id) - toks AS before
+  FROM t
+)
+SELECT source, CAST(before // 2048 AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS pack_tokens
+FROM c GROUP BY 1, 2
+""",
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into contiguous ~2048-token training batches per
+    source (operators/sampling.py:pack_sequences): one window cumsum,
+    parallel across sources, every pack assignment integer-exact and
+    oracle-verified."""
+    docs = _docs(spark, sf_dir)
+    staged = docs.withColumn("toks", F.size(text.tokens("text")).cast("long"))
+    packed = sampling.pack_sequences(staged, "doc_id", "toks", budget=2048, stratum="source")
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("pack_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # catalog introspection (S9)
 

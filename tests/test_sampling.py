@@ -63,6 +63,40 @@ def test_weighted_mix_keeps_default_strata_intact(spark, sf_dir):
             assert after[lang] == n  # untouched
 
 
+def test_pack_sequences_budget_and_contiguity(spark, sf_dir):
+    """Each pack holds < budget + its last doc's tokens (one-doc
+    overflow bound); packs are contiguous runs per stratum; every doc
+    is packed exactly once."""
+    from crypto_data_pipeline_spark.operators import text
+
+    budget = 500
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.size(text.tokens("text")).cast("long")
+    )
+    packed = sampling.pack_sequences(docs, "doc_id", "toks", budget=budget, stratum="source")
+    rows = packed.select("source", "doc_id", "toks", "pack_id").collect()
+    assert len(rows) == docs.count()
+
+    by_stratum: dict = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        by_stratum.setdefault(r.source, []).append(r)
+    for seq in by_stratum.values():
+        ids = [r.pack_id for r in seq]
+        assert ids == sorted(ids) and ids[0] == 0  # contiguous runs from 0
+        packs: dict = {}
+        for r in seq:
+            packs.setdefault(r.pack_id, []).append(r.toks)
+        for toks in packs.values():
+            assert sum(toks) < budget + toks[-1]  # overflow only by the last doc
+        # cumulative boundary invariant: packs 0..k jointly cover the
+        # first (k+1)*budget tokens (individual packs may undershoot by
+        # exactly the previous pack's overflow, never more)
+        running = 0
+        for pid in list(packs)[:-1]:
+            running += sum(packs[pid])
+            assert running >= (pid + 1) * budget
+
+
 def test_sample_filter_pushes_to_scan(spark, sf_dir):
     """The sampling predicate must not break whole-stage codegen or
     introduce a shuffle: plan is scan→filter→project only."""
