@@ -58,7 +58,9 @@ def model_zoo(feature_cols: list[str], label: str = "next_day_price") -> dict[st
             featuresCol="features", labelCol=label, regParam=reg, elasticNetParam=enet
         )
 
-    gbt = GBTRegressor(featuresCol="features", labelCol=label, maxIter=20, seed=42)
+    # maxIter=100 matches XGBRegressor(n_estimators=100)
+    # (notebooks/models.ipynb:127; SURVEY §2.11 M3)
+    gbt = GBTRegressor(featuresCol="features", labelCol=label, maxIter=100, seed=42)
     return {
         "linear": Pipeline(stages=[assembler, scaler, lr(0.0, 0.0)]),
         "ridge": Pipeline(stages=[assembler, scaler, lr(1.0, 0.0)]),

@@ -105,8 +105,18 @@ def range_join_agg(
     ``value_r``) to avoid colliding with left columns.  Use them
     null-aware: unmatched left rows contribute one all-null right row,
     so ``count(value_r)`` is 0 and sums are null → coalesce.
+
+    Each left ROW aggregates independently (a unique per-row id is
+    attached before the join), so two fully-identical left rows produce
+    two output rows rather than collapsing with merged counts.
     """
     on = list(on)
+    clash = [c for c in left.columns if c.startswith("__r") or c.endswith("_r")]
+    if clash:
+        raise ValueError(
+            f"left columns {clash} collide with the '_r'-suffixed right-side "
+            "namespace; rename them before calling range_join_agg"
+        )
     width_us = max(1, int(round((upper_s - lower_s) * 1_000_000)))
     lo_us = int(round(lower_s * 1_000_000))
     hi_us = int(round(upper_s * 1_000_000))
@@ -125,8 +135,11 @@ def range_join_agg(
     l_us = F.unix_micros(F.col(left_ts))
     # A [ts+lo, ts+hi] interval of width == bucket width overlaps at
     # most two buckets; explode the left row to exactly those probes so
-    # the join stays an equi join on (key, bucket).
-    lt = left.withColumn("__l_us", l_us).withColumn(
+    # the join stays an equi join on (key, bucket).  __rid keeps
+    # duplicate left rows distinct through the final regroup.
+    lt = left.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
+        "__l_us", l_us
+    ).withColumn(
         "__bucket",
         F.explode(
             F.array_distinct(
@@ -150,7 +163,8 @@ def range_join_agg(
     for c in rv_cols:
         joined = joined.withColumn(c, F.when(F.col("__hit") == 1, F.col(c)))
     renamed = joined.select(
+        F.col("__rid"),
         *[F.col(c) for c in left.columns],
         *[F.col(c).alias(c.removeprefix("__rv_") + "_r") for c in rv_cols if c != "__r_us"],
     )
-    return renamed.groupBy(*left.columns).agg(*aggs)
+    return renamed.groupBy("__rid", *left.columns).agg(*aggs).drop("__rid")

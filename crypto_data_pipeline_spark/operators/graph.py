@@ -34,27 +34,36 @@ def connected_components(
     Vertices are those appearing in at least one edge; isolated rows
     never enter the edge list, so attach them afterward if needed.
 
-    Converges when a full round changes no label (checked via the
-    monotonically-decreasing sum of labels — one tiny driver action per
-    round); raises if ``max_iter`` rounds aren't enough, rather than
-    silently returning half-merged clusters.
+    Converges when a full round changes no label. Each round runs
+    exactly ONE job: the new label table is marked for a lazy
+    ``localCheckpoint`` and the changed-label count is aggregated over
+    it — that single action both materializes the checkpoint and
+    returns the convergence scalar (previously checkpoint + label-sum
+    were two separate jobs per round). Raises if ``max_iter`` rounds
+    aren't enough, rather than silently returning half-merged clusters.
     """
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
     sym = sym.distinct().localCheckpoint()
     labels = sym.select(F.col("s").alias("v")).distinct().withColumn("lbl", F.col("v"))
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
 
     for _ in range(max_iter):
         msgs = sym.join(labels, sym.s == labels.v).select(
-            F.col("d").alias("v"), F.col("lbl")
+            F.col("d").alias("v"), F.col("lbl"), F.lit(None).cast("long").alias("old")
         )
+        mine = labels.select("v", "lbl", F.col("lbl").alias("old"))
+        # min(old) recovers each vertex's previous label (msgs carry
+        # null old); lbl < old marks a change — no second join needed.
         labels = (
-            labels.unionByName(msgs).groupBy("v").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
+            mine.unionByName(msgs)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("lbl"), F.min("old").alias("old"))
+            .withColumn("chg", (F.col("lbl") < F.col("old")).cast("long"))
+            .localCheckpoint(eager=False)
+        )
+        n_changed = labels.agg(F.sum("chg")).collect()[0][0]
+        labels = labels.select("v", "lbl")
+        if n_changed == 0:
             return labels.select("v", F.col("lbl").alias("component"))
-        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")

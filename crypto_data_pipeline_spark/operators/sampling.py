@@ -39,8 +39,12 @@ _A2 = 48271  # Lehmer / MINSTD multiplier
 def hash_bucket(key: Column, salt: int = 0) -> Column:
     """Uniform pseudo-random long in [0, MOD) from an integer key.
     Exact int64 arithmetic at every step (max intermediate < 2^61), so
-    any engine with 64-bit integers computes the identical bucket."""
-    h1 = (((key + F.lit(salt)) % MOD) * _A1 + _B1) % MOD
+    any engine with 64-bit integers computes the identical bucket.
+    ``pmod`` (not ``%``, which is sign-of-dividend in both Spark and
+    DuckDB) keeps the bucket in [0, MOD) even for negative keys; the
+    later steps operate on non-negative values so plain ``%`` is safe
+    there."""
+    h1 = (F.pmod(key + F.lit(salt), F.lit(MOD)) * _A1 + _B1) % MOD
     return (h1 * _A2) % MOD
 
 
@@ -117,8 +121,11 @@ def pack_sequences(
 
 
 def sql_hash_bucket(key_expr: str, salt: int = 0) -> str:
-    """The ANSI-SQL twin of ``hash_bucket`` for oracle queries."""
-    h1 = f"((({key_expr} + {salt}) % {MOD}) * {_A1} + {_B1}) % {MOD}"
+    """The ANSI-SQL twin of ``hash_bucket`` for oracle queries.
+    The first reduction is a portable pmod (``%`` then +MOD then ``%``)
+    to mirror ``hash_bucket``'s negative-key behavior."""
+    pm = f"((({key_expr} + {salt}) % {MOD}) + {MOD}) % {MOD}"
+    h1 = f"(({pm}) * {_A1} + {_B1}) % {MOD}"
     return f"(({h1}) * {_A2}) % {MOD}"
 
 

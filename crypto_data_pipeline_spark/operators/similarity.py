@@ -48,6 +48,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -55,16 +56,20 @@ def brute_force_topk(
     so the corpus never shuffles; ranking is a per-query window over
     the scored rows. Scores are rounded to 6 dp *before* ranking with
     an id tiebreak, making the result deterministic and engine-portable.
+
+    ``exclude_self`` assumes query ids share the corpus id namespace
+    (queries drawn from the corpus, as in the registered queries); pass
+    False when query ids are a separate namespace, else an unrelated
+    corpus vector whose id collides with a query id would be dropped.
     """
     from pyspark.sql import Window
 
     q = queries.select(F.col(query_id_col), as_double(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col(query_id_col) != F.col(id_col))
-        .withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
-    )
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.where(F.col(query_id_col) != F.col(id_col))
+    scored = scored.withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -139,6 +144,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) index: a KMeans coarse
     quantizer partitions the corpus into `n_centroids` cells; a query
@@ -196,11 +202,11 @@ def ivf_topk(
     q_probed = q_n.select(
         query_id_col, "_qv", F.explode(F.transform(probes, lambda p: p["_cell"])).alias("_cell")
     )
-    scored = (
-        assigned.join(F.broadcast(q_probed), "_cell")
-        .where(F.col(query_id_col) != F.col(id_col))
-        .withColumn("cosine", F.round(dot(F.col("_qv"), F.col("_cv")), 6))
-    )
+    scored = assigned.join(F.broadcast(q_probed), "_cell")
+    if exclude_self:
+        # see brute_force_topk: only valid when ids share a namespace
+        scored = scored.where(F.col(query_id_col) != F.col(id_col))
+    scored = scored.withColumn("cosine", F.round(dot(F.col("_qv"), F.col("_cv")), 6))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -238,6 +244,7 @@ def lsh_topk(
     dim: int = 64,
     bits: int = 5,
     tables: int = 10,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ANN top-k via MULTI-TABLE random-hyperplane LSH: `tables`
     independent `bits`-bit sign hashes; a corpus vector is a candidate
@@ -263,12 +270,11 @@ def lsh_topk(
         F.col(query_id_col),
         F.explode(_table_buckets(as_double(vec_col), dim, bits, tables)).alias("tb"),
     ).select(query_id_col, "tb.t", "tb.b")
-    cands = (
-        c_keys.join(F.broadcast(q_keys), ["t", "b"])
-        .where(F.col(query_id_col) != F.col(id_col))
-        .select(query_id_col, id_col)
-        .distinct()
-    )
+    cands = c_keys.join(F.broadcast(q_keys), ["t", "b"])
+    if exclude_self:
+        # see brute_force_topk: only valid when ids share a namespace
+        cands = cands.where(F.col(query_id_col) != F.col(id_col))
+    cands = cands.select(query_id_col, id_col).distinct()
     q_vecs = queries.select(F.col(query_id_col), as_double(vec_col).alias("_qv"))
     c_vecs = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv"))
     scored = (

@@ -70,9 +70,9 @@ def param_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("P7",),
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_quantity), 2) AS s_l_quantity,
-       round(sum(l_extendedprice), 2) AS s_l_extendedprice,
        round(sum(l_discount), 2) AS s_l_discount,
+       round(sum(l_extendedprice), 2) AS s_l_extendedprice,
+       round(sum(l_quantity), 2) AS s_l_quantity,
        round(sum(l_tax), 2) AS s_l_tax
 FROM lineitem
 """,

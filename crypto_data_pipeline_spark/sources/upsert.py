@@ -50,11 +50,14 @@ def upsert_parquet(
         merged = latest_per_key(existing.unionByName(new_rows), keys, list(order_by))
     else:
         merged = latest_per_key(new_rows, keys, list(order_by))
-    writer = merged.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    # overwrite-into-source needs a materialization barrier in plain
-    # parquet (no snapshot isolation): stage then swap via a temp dir
+    # Overwrite-into-source needs a materialization barrier in plain
+    # parquet (no snapshot isolation): stage then swap via a temp dir.
+    # NOTE the swap itself is two non-atomic overwrites — a crash
+    # between them can lose the live copy (the staging copy survives
+    # for manual recovery). Production tables wanting a transactional
+    # MERGE should sit behind a snapshot-isolated table format
+    # (Delta/Iceberg/Hudi); this sink mirrors the reference's plain-
+    # file semantics (load_data.py:66-102).
     tmp = path.rstrip("/") + "__staging"
     if partition_cols:
         merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
@@ -65,7 +68,7 @@ def upsert_parquet(
     if partition_cols:
         writer2 = writer2.partitionBy(*partition_cols)
     writer2.parquet(path)
-    _rmtree(tmp)
+    _rmtree(spark, tmp)
     return spark.read.parquet(path)
 
 
@@ -110,8 +113,12 @@ def _hadoop_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
-def _rmtree(path: str) -> None:
-    import shutil
-
-    if os.path.exists(path):
-        shutil.rmtree(path)
+def _rmtree(spark: SparkSession, path: str) -> None:
+    """Delete recursively via the Hadoop FileSystem API so object-store
+    paths (s3a://, gs://, ...) are cleaned up, not just local dirs."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)
