@@ -45,6 +45,21 @@ def count_pivot(df: DataFrame, row_key: str, pivot_col: str, values: list[str]) 
     return out.na.fill(0, values)
 
 
+def value_pivot(
+    df: DataFrame, row_key: str, pivot_col: str, values: list, value_col: str, agg=None
+) -> DataFrame:
+    """A9, value form: ``pivot(index=row_key, columns=pivot_col,
+    values=value_col)`` (EDA.ipynb:509 — fetch_date × coin_id price
+    matrix). ``agg`` defaults to ``F.max``: pandas ``pivot`` requires
+    unique (row, col) combos, under which first == max == the single
+    value — and max is retry-deterministic where first is pick-any.
+    Pass any other aggregate (``F.avg``, ``F.first``) for
+    ``pivot_table`` semantics. Explicit ``values`` keep the schema
+    static (no discovery job), as in ``count_pivot``."""
+    agg = agg or F.max
+    return df.groupBy(row_key).pivot(pivot_col, values).agg(agg(value_col))
+
+
 def pairwise_corr(df: DataFrame, group: str, x: str, y: str) -> DataFrame:
     """A13: sample Pearson correlation per group
     (transform_data.ipynb:647)."""

@@ -38,8 +38,51 @@ HISTORY_CTE = """history AS (
 W_ENTITY = "(PARTITION BY entity_id ORDER BY fetch_date)"
 
 
+_SILVER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts.daily_price_series(load_table(spark, sf_dir, "events"))
+    """The shared silver daily-price table, materialized ONCE per
+    (session, sf_dir) as a parquet table bucketed AND sorted by the
+    entity key, then served from the bucketed scan.
+
+    Every coin-series query downstream windows or aggregates on
+    entity_id, so without this each of ~20 queries re-pays the full
+    events scan plus the events→daily groupBy Exchange. The bucketed
+    layout (sources/bucketed.py) means the scan itself satisfies the
+    windows' required distribution — no Exchange below the window —
+    and the in-bucket sort (one file per bucket via the pre-write
+    repartition) satisfies their sort order too. This is the classic
+    bronze→silver layering a 100 TB deployment would run: pay the
+    events shuffle once at ingest, amortize it over every query.
+
+    Falls back to the inline daily aggregation when the session cannot
+    write a catalog table (read-only warehouse); results are identical
+    either way (the daily reduction is exact max, and doubles
+    round-trip parquet bit-for-bit).
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    out = _SILVER_CACHE.get(key)
+    if out is None:
+        daily = ts.daily_price_series(load_table(spark, sf_dir, "events"))
+        try:
+            import hashlib
+
+            from crypto_data_pipeline_spark.sources.bucketed import write_bucketed
+
+            tbl = "silver_history_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+            write_bucketed(
+                daily.repartition(32, ENTITY),
+                tbl,
+                [ENTITY],
+                32,
+                sort_cols=[ENTITY, DATE],
+            )
+            out = spark.table(tbl)
+        except Exception:
+            out = daily
+        _SILVER_CACHE[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -598,6 +641,36 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupby().size().unstack() (EDA.ipynb:1378). Explicit pivot
     values → static schema, no discovery job."""
     return stats.count_pivot(load_table(spark, sf_dir, "events"), "user_id", "event_type", EVENT_TYPES)
+
+
+PIVOT_ENTITIES = [1, 2, 3, 4, 5]
+
+
+@register(
+    "price_pivot_by_entity",
+    survey_ids=("A9",),
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT fetch_date,
+       {", ".join(f"coalesce(max(price) FILTER (WHERE entity_id = {k}), 0.0) AS e{k}" for k in PIVOT_ENTITIES)}
+FROM history
+WHERE entity_id IN ({", ".join(map(str, PIVOT_ENTITIES))})
+GROUP BY 1
+""",
+)
+def price_pivot_by_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE form of A9: the date × coin price matrix of
+    EDA.ipynb:509 (`pivot(index='fetch_date', columns='coin_id',
+    values='price_usd')`), over the five stable entity ids so the
+    output schema is SF-independent. Missing (date, entity) cells are
+    filled 0.0 in both engines (NULL cells would break the gate's
+    sorted-tuple compare)."""
+    hist = _history(spark, sf_dir).where(F.col(ENTITY).isin(PIVOT_ENTITIES))
+    out = stats.value_pivot(hist, DATE, ENTITY, PIVOT_ENTITIES, PRICE)
+    return out.select(
+        DATE,
+        *[F.coalesce(F.col(str(k)), F.lit(0.0)).alias(f"e{k}") for k in PIVOT_ENTITIES],
+    )
 
 
 # ---------------------------------------------------------------------------
