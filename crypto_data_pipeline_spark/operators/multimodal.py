@@ -1,23 +1,30 @@
 """Multimodal column plumbing (north star ops).
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
-metadata struct. The Spark-side plumbing — schema, partition-preserving
-``mapInPandas``, Arrow batch shape — is real and tested; the actual
-codec step is STUBBED (the image/audio libraries are not in this
-container): ``decode_media(..., codec="real")`` raises
-``NotImplementedError``, while the default deterministic fake decoder
-exercises the identical dataflow (bytes in → feature vector out).
+metadata struct. Two feature tiers:
+
+  * CODEC-FREE byte-level features — size, magic-number format sniff,
+    byte histogram stats (mean/modal byte), Shannon byte entropy,
+    distinct byte count, strided frame sample. These are REAL on any
+    blob (no decoder needed) and are what a 100 TB ingest runs first:
+    corrupt-file triage, format routing, compressed-vs-text detection
+    (entropy ≈ 8 bits ⇒ already compressed).
+  * The codec tier — ``decode_media(..., codec="real")`` is the marked
+    extension point and raises ``NotImplementedError`` (image/audio
+    libraries are not in this container); the default fake codec is the
+    identity so the full dataflow stays exercised.
 
 At 100 TB: media bytes ride the same parquet scan as the metadata
 (no side-channel fetch), ``mapInPandas`` processes whole Arrow record
-batches (no per-row Python), and ``spark.sql.files.maxPartitionBytes``
-bounds decoder memory per task.
+batches (numpy histogram per blob, no per-byte Python), and
+``spark.sql.files.maxPartitionBytes`` bounds decoder memory per task.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -43,11 +50,48 @@ FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("format", T.StringType(), True),
         T.StructField("mean_byte", T.DoubleType(), True),
         T.StructField("top_byte", T.IntegerType(), True),
+        T.StructField("n_distinct_bytes", T.IntegerType(), True),
+        T.StructField("byte_entropy", T.DoubleType(), True),
         T.StructField("frame_sample", T.ArrayType(T.IntegerType()), True),
     ]
 )
+
+# magic-number table for the codec-free format sniff (prefix → MIME)
+_MAGIC: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"%PDF-", "application/pdf"),
+    (b"ID3", "audio/mpeg"),
+    (b"OggS", "audio/ogg"),
+    (b"fLaC", "audio/flac"),
+    (b"\x1aE\xdf\xa3", "video/webm"),
+    (b"\x1f\x8b", "application/gzip"),
+    (b"PK\x03\x04", "application/zip"),
+]
+
+
+def sniff_format(raw: bytes) -> str:
+    """Codec-free container detection from leading magic bytes — the
+    format-routing step of a media ingest. Unknown blobs fall through
+    to application/octet-stream."""
+    for magic, fmt in _MAGIC:
+        if raw.startswith(magic):
+            return fmt
+    if raw[4:8] == b"ftyp":
+        return "video/mp4"
+    if raw.startswith(b"RIFF"):
+        if raw[8:12] == b"WAVE":
+            return "audio/wav"
+        if raw[8:12] == b"AVI ":
+            return "video/avi"
+        return "application/riff"
+    return "application/octet-stream"
 
 
 def fake_media_from_documents(docs: DataFrame) -> DataFrame:
@@ -78,9 +122,13 @@ def decode_media(media_bytes: bytes, codec: str = "fake") -> bytes:
 def extract_media_features(media: DataFrame, codec: str = "fake", frame_stride: int = 64) -> DataFrame:
     """Arrow-batched feature extraction over binary media columns.
 
-    Per blob: byte count, mean byte value, modal byte (min wins ties),
-    and a strided "frame sample" (every ``frame_stride``-th byte) —
-    the deterministic stand-in for image resize / audio frame-sampling.
+    Per blob, all codec-free (real on any blob): byte count, sniffed
+    container format, mean byte value, modal byte (min wins ties),
+    distinct byte count, Shannon byte entropy in bits (≈8 ⇒ already
+    compressed/encrypted, low ⇒ text-like — the classic quality/triage
+    signal), and a strided "frame sample" (every ``frame_stride``-th
+    byte) — the deterministic stand-in for image resize / audio
+    frame-sampling. One numpy histogram per blob; no per-byte Python.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -88,24 +136,34 @@ def extract_media_features(media: DataFrame, codec: str = "fake", frame_stride: 
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
                 raw = decode_media(bytes(blob), codec=codec)
-                if len(raw) == 0:
-                    rows.append((doc_id, 0, None, None, []))
+                fmt = sniff_format(raw)
+                n = len(raw)
+                if n == 0:
+                    rows.append((int(doc_id), 0, fmt, None, None, 0, 0.0, []))
                     continue
-                counts: dict[int, int] = {}
-                total = 0
-                for b in raw:
-                    counts[b] = counts.get(b, 0) + 1
-                    total += b
-                top = min(b for b, c in counts.items() if c == max(counts.values()))
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                counts = np.bincount(arr, minlength=256)
+                nz = counts[counts > 0].astype(np.float64)
+                p = nz / n
+                entropy = float(-(p * np.log2(p)).sum())
                 rows.append(
                     (
                         int(doc_id),
-                        len(raw),
-                        total / len(raw),
-                        int(top),
+                        n,
+                        fmt,
+                        float(arr.sum(dtype=np.int64)) / n,
+                        int(np.argmax(counts)),  # first max == smallest byte
+                        int(nz.size),
+                        entropy,
                         [int(x) for x in raw[::frame_stride]],
                     )
                 )
-            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "mean_byte", "top_byte", "frame_sample"])
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "format", "mean_byte", "top_byte",
+                    "n_distinct_bytes", "byte_entropy", "frame_sample",
+                ],
+            )
 
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)

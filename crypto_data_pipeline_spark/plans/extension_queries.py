@@ -672,10 +672,39 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", F.col("meta.format").alias("format"), F.col("meta.n_bytes").alias("n_bytes"))
 
 
-@register("multimodal_features", survey_ids=("EXT-mm",), oracle=None)
+@register(
+    "multimodal_features",
+    survey_ids=("EXT-mm",),
+    oracle="""
+WITH blobs AS (
+  SELECT doc_id, encode(text) AS b, CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, n, substr(hex(b), 2*i+1, 2) AS bh
+  FROM blobs, UNNEST(range(0, n)) AS t(i)
+),
+freq AS (
+  SELECT doc_id, n, bh, count(*) AS c FROM bytes GROUP BY doc_id, n, bh
+)
+SELECT doc_id,
+       n AS n_bytes,
+       'application/octet-stream' AS format,
+       CAST(count(*) AS INT) AS n_distinct_bytes,
+       round(-sum((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 6) AS byte_entropy
+FROM freq GROUP BY doc_id, n
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over binary blobs (decode step
-    stubbed with a deterministic fake codec; Arrow batch plumbing real)."""
+    """Codec-free byte-level features over binary blobs via mapInPandas
+    (numpy histogram per Arrow batch): size, magic-number format sniff,
+    distinct byte count, Shannon byte entropy. The entropy oracle
+    re-derives byte frequencies in SQL from the hex expansion of the
+    same blob, so the Arrow plumbing is value-checked end to end (6 dp
+    rounding absorbs libm log2 ulp differences)."""
     media = multimodal.fake_media_from_documents(_docs(spark, sf_dir))
     feats = multimodal.extract_media_features(media)
-    return feats.select("doc_id", "n_bytes", F.round("mean_byte", 6).alias("mean_byte"), "top_byte")
+    return feats.select(
+        "doc_id", "n_bytes", "format", "n_distinct_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+    )

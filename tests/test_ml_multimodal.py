@@ -66,6 +66,38 @@ def test_fake_media_schema_and_features(spark):
     assert feats[1].top_byte == 97
     assert feats[1].frame_sample == [97]  # stride 64 over 3 bytes → first only
     assert feats[2].top_byte == 122
+    # "aab": p = (2/3, 1/3) → H = 2/3*log2(3/2) + 1/3*log2(3)
+    import math
+
+    h = (2 / 3) * math.log2(3 / 2) + (1 / 3) * math.log2(3)
+    assert abs(feats[1].byte_entropy - h) < 1e-9
+    assert feats[1].n_distinct_bytes == 2
+    # "zz": single symbol → zero entropy
+    assert feats[2].byte_entropy == 0.0 and feats[2].n_distinct_bytes == 1
+    assert feats[1].format == "application/octet-stream"
+
+
+def test_magic_number_sniffing(spark):
+    """Real container magics route to the right format; the features
+    stay codec-free (computed on the raw bytes either way)."""
+    blobs = [
+        (1, b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, "image/png"),
+        (2, b"\xff\xd8\xff\xe0" + b"\x01" * 16, "image/jpeg"),
+        (3, b"RIFF\x24\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (4, b"\x00\x00\x00\x20ftypisom" + b"\x00" * 8, "video/mp4"),
+        (5, b"\x1f\x8b\x08\x00" + b"\xaa" * 8, "application/gzip"),
+        (6, b"just plain text", "application/octet-stream"),
+    ]
+    for _, raw, want in blobs:
+        assert multimodal.sniff_format(raw) == want
+    media = spark.createDataFrame(
+        [(i, raw, ("sniff", len(raw))) for i, raw, _ in blobs],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {r.doc_id: r for r in multimodal.extract_media_features(media).collect()}
+    for i, raw, want in blobs:
+        assert got[i].format == want
+        assert got[i].n_bytes == len(raw)
 
 
 def test_media_feature_batching_matches_python(spark, sf_dir):
