@@ -1063,3 +1063,28 @@ def model_comparison_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "return_rolling_mean_7d", "price_normalized", "price_standardized",
     ]
     return model_comparison(feats, feature_cols, DATE, entity=None)
+
+
+@register(
+    "model_comparison_sanity",
+    survey_ids=("M5", "M6", "O4"),
+    oracle="""
+SELECT * FROM (VALUES ('gbt', true), ('lasso', true), ('linear', true), ('ridge', true))
+AS t(model, metrics_valid)
+""",
+)
+def model_comparison_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable face of the ML table: metric VALUES are
+    learner-dependent floats (rows-only on model_comparison by design),
+    but the model set and the metric INVARIANTS — rmse >= mae > 0
+    (RMS-AM inequality), r2 <= 1, all finite — are deterministic, so
+    the driver gets a green row pinning the comparison's shape."""
+    cmp = model_comparison_query(spark, sf_dir)
+    valid = (
+        F.col("rmse").isNotNull()
+        & ~F.isnan("rmse")
+        & (F.col("rmse") >= F.col("mae"))
+        & (F.col("mae") > 0)
+        & (F.col("r2") <= 1.0)
+    )
+    return cmp.select("model", valid.alias("metrics_valid"))

@@ -90,6 +90,58 @@ def test_salted_join_matches_plain(spark, sf_dir, how):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_salted_join_spreads_hot_key(spark):
+    """Skew regression proof: a 90%-hot key turns the plain shuffle join
+    into one straggler partition; salted_join must spread it across the
+    salt slices. Fails if the salt path ever degenerates back to
+    hash(key)-only partitioning. AQE is disabled so the assertion sees
+    the raw plan's distribution (AQE's own skew split — enabled in the
+    session factory — is the runtime safety net on top of this)."""
+    n_hot = 50_000
+    hot = spark.range(n_hot).select(
+        F.lit(0).cast("long").alias("user_id"), F.col("id").alias("event_id")
+    )
+    cold = spark.range(5_000).select(
+        (F.col("id") % 500 + 1).alias("user_id"), (F.col("id") + n_hot).alias("event_id")
+    )
+    events = hot.union(cold)
+    users = spark.range(501).select(
+        F.col("id").alias("user_id"), (F.col("id") * 2).alias("score")
+    )
+
+    adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+
+        def max_partition_share(df) -> float:
+            parts = (
+                df.withColumn("pid", F.spark_partition_id()).groupBy("pid").count().collect()
+            )
+            total = sum(r["count"] for r in parts)
+            return max(r["count"] for r in parts) / total
+
+        plain = events.join(users, ["user_id"], "inner")
+        # salt ~= shuffle partitions: with far fewer salt values than
+        # partitions, several slices can hash-collide into one reducer
+        # and the spread stalls around collision_count/salt
+        salted = bucketed.salted_join(events, users, ["user_id"], salt=32)
+        assert max_partition_share(plain) > 0.85  # the straggler exists
+        assert max_partition_share(salted) < 0.25  # ...and salting kills it
+        assert salted.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+
+
+def test_session_enables_aqe_skew_handling(spark):
+    """The factory session must keep AQE skew-join splitting on — the
+    runtime half of the skew story at 100 TB."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
 def test_salted_join_rejects_right_joins(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError, match="salted_join supports"):

@@ -50,6 +50,14 @@ def test_model_comparison_table(feature_df):
     # the unregularized linear fit must recover the clean linear target
     best = out[0]
     assert best.model == "linear" and best.rmse < 0.1 and best.r2 > 0.99
+    # metric invariants (the hash-checked face of model_comparison_sanity)
+    for r in out:
+        assert r.rmse >= r.mae > 0 and r.r2 <= 1.0
+    # ridge(α=1) shrinks a clean linear target strictly toward zero:
+    # never better than the unregularized fit, but still a strong fit
+    by_model = {r.model: r for r in out}
+    assert by_model["ridge"].rmse >= by_model["linear"].rmse
+    assert by_model["ridge"].r2 > 0.9
 
 
 def test_fake_media_schema_and_features(spark):
