@@ -218,33 +218,20 @@ def json_roundtrip_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fan-out, so even the network path is oracle-checkable
 
 
-def _fake_transport(url: str, headers: dict[str, str]) -> tuple[int, dict[str, str], str]:
-    """Deterministic CoinGecko-shaped payloads keyed on (coin, date)."""
-    coin = url.split("/coins/")[1].split("/")[0]
-    date = url.split("date=")[1]
-    seed = (sum(map(ord, coin)) * 31 + sum(map(ord, date))) % 1000
-    price = round(100.0 + seed, 2)
-    body = {
-        "id": coin,
-        "market_data": {
-            "current_price": {"usd": price},
-            "market_cap": {"usd": price * 1e9},
-            "total_volume": {"usd": price * 1e7},
-        },
-    }
-    return 200, {}, json.dumps(body)
-
+from crypto_data_pipeline_spark.sources.http_datasource import (  # noqa: E402
+    fake_price,
+    fake_transport as _fake_transport,
+)
 
 _HTTP_COINS = ("bitcoin", "ethereum", "cardano")
 _HTTP_DATES = ("01-01-2025", "02-01-2025")
 
 
-def _http_oracle() -> str:
+def _http_oracle(coins=_HTTP_COINS, dates=_HTTP_DATES) -> str:
     rows = []
-    for coin in _HTTP_COINS:
-        for date in _HTTP_DATES:
-            seed = (sum(map(ord, coin)) * 31 + sum(map(ord, date))) % 1000
-            price = round(100.0 + seed, 2)
+    for coin in coins:
+        for date in dates:
+            price = fake_price(coin, date)
             d = f"{date[6:]}-{date[3:5]}-{date[:2]}"
             rows.append(f"('{coin}', DATE '{d}', CAST({price} AS DOUBLE))")
     return (
@@ -272,3 +259,34 @@ def http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "coin_id string, fetch_date string, price_usd double"
     ).select("coin_id", F.to_date("fetch_date").alias("fetch_date"), "price_usd")
+
+
+# ---------------------------------------------------------------------------
+# S1/ST4 at cluster scale — the same API surface as a Python DataSource:
+# one InputPartition per coin, fetch runs on the executors
+
+_DIST_COINS = ("bitcoin", "ethereum", "cardano", "solana")
+_DIST_DATES = ("01-01-2025", "02-01-2025", "03-01-2025")
+
+
+@register(
+    "http_ingest_distributed",
+    survey_ids=("S1", "ST4", "U4"),
+    oracle=_http_oracle(_DIST_COINS, _DIST_DATES),
+)
+def http_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executor-side twin of http_ingest: the history API mounted
+    as a Spark 4 Python DataSource (sources/http_datasource.py), read
+    like any other format. Fetch parallelism scales with the cluster —
+    the design for high-QPS internal services where the driver-side
+    thread pool of S1 would be the bottleneck."""
+    from crypto_data_pipeline_spark.sources.http_datasource import CoinHistoryDataSource
+
+    spark.dataSource.register(CoinHistoryDataSource)
+    return (
+        spark.read.format("coin_history_api")
+        .option("coins", ",".join(_DIST_COINS))
+        .option("dates", ",".join(_DIST_DATES))
+        .load()
+        .select("coin_id", "fetch_date", "price_usd")
+    )

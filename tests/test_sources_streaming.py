@@ -415,3 +415,43 @@ def test_http_client_retry_and_fanout():
     results = client2.fetch_many([("bitcoin", "01-01-2025"), ("cardano", "01-01-2025")])
     by_coin = {c: payload for c, _, payload in results}
     assert by_coin["bitcoin"] is not None and by_coin["cardano"] is None
+
+
+def test_http_datasource_distributed_fetch(spark):
+    """The Python DataSource path: one input partition per coin, fetch
+    on the executors, values identical to the driver-side client."""
+    from crypto_data_pipeline_spark.sources import http_datasource as hds
+
+    spark.dataSource.register(hds.CoinHistoryDataSource)
+    df = (
+        spark.read.format("coin_history_api")
+        .option("coins", "bitcoin,ethereum,cardano")
+        .option("dates", "01-01-2025,02-01-2025")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one partition per coin
+    rows = {(r.coin_id, str(r.fetch_date)): r for r in df.collect()}
+    assert len(rows) == 6
+    assert rows[("bitcoin", "2025-01-01")].price_usd == hds.fake_price(
+        "bitcoin", "01-01-2025"
+    )
+    got = rows[("ethereum", "2025-01-02")]
+    assert got.market_cap == got.price_usd * 1e9
+    assert got.volume == got.price_usd * 1e7
+
+
+def test_http_datasource_partial_failure_yields_null_rows(spark):
+    """Retry exhaustion on a dead upstream lands null payload rows
+    instead of failing the scan — partial backfill semantics."""
+    from crypto_data_pipeline_spark.sources import http_datasource as hds
+
+    spark.dataSource.register(hds.CoinHistoryDataSource)
+    df = (
+        spark.read.format("coin_history_api")
+        .option("coins", "bitcoin")
+        .option("dates", "01-01-2025")
+        .option("transport", "down")
+        .load()
+    )
+    [row] = df.collect()
+    assert row.coin_id == "bitcoin" and row.price_usd is None
