@@ -112,6 +112,33 @@ def with_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+# PII-style scrubbing patterns. Deliberately restricted to syntax both
+# Java regex and RE2 (DuckDB) execute identically: no lookaround, no
+# backreferences, greedy quantifiers over disjoint character classes.
+REDACTION_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("idnum", r"\d{9,}", "<ID>"),
+]
+
+
+def with_redactions(df: DataFrame, text: str = "text") -> DataFrame:
+    """Training-corpus scrubbing: count and redact email addresses,
+    IPv4 literals, and long digit runs (account/card/SSN-shaped ids).
+    Counts are measured on the ORIGINAL text; redaction applies the
+    patterns in declaration order (emails before ids, so an address's
+    digits aren't double-counted as an id). Pure regexp codegen — the
+    scan streams at 100 TB like every other operator here."""
+    redacted = F.col(text)
+    for name, pat, repl in REDACTION_PATTERNS:
+        df = df.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text), F.lit(pat), F.lit(0))).cast("long"),
+        )
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.withColumn("redacted", redacted)
+
+
 def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the normalized text (deterministic,
     engine-portable). A content-defined id for exact dedup and

@@ -256,6 +256,35 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_redaction",
+    survey_ids=("EXT-text",),
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\d{9,}')) AS BIGINT) AS n_idnum,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\d{9,}', '<ID>', 'g')) AS redacted_md5
+FROM documents
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scrubbing: per-class PII-shaped match counts on the raw
+    text plus the md5 of the redacted text (the hash value-checks the
+    full redaction output without shipping documents through the
+    gate). Patterns restricted to Java-regex/RE2-identical syntax."""
+    df = text.with_redactions(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id", "n_email", "n_ipv4", "n_idnum",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+@register(
     "doc_fingerprint",
     survey_ids=("EXT-text",),
     oracle=f"SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents",

@@ -170,3 +170,31 @@ def test_lsh_topk_recall_floor(spark, sf_dir, emb):
     # random-hyperplane LSH on near-random vectors is recall-lossy by
     # design; it must still beat a trivial floor and return k rows/query
     assert hits / total >= 0.2, f"LSH recall {hits}/{total}"
+
+
+def test_pii_redaction_patterns_fire(spark):
+    """Crafted PII examples (the synthetic corpus contains none): each
+    pattern class matches, counts come from the original text, and
+    redaction applies in declaration order."""
+    from crypto_data_pipeline_spark.operators import text as txt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or jane@a.io today"),
+            (2, "served from 10.0.0.1 and 192.168.100.200 at 3pm"),
+            (3, "card 4111111111111111 acct 123456789"),
+            (4, "mixed: a@b.com from 8.8.8.8 ref 987654321012"),
+            (5, "clean text, nothing to scrub"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in txt.with_redactions(docs).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_idnum) == (2, 0, 0)
+    assert "bob" not in got[1].redacted and got[1].redacted.count("<EMAIL>") == 2
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_idnum) == (0, 2, 0)
+    assert got[2].redacted == "served from <IP> and <IP> at 3pm"
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_idnum) == (0, 0, 2)
+    assert got[3].redacted == "card <ID> acct <ID>"
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_idnum) == (1, 1, 1)
+    assert got[4].redacted == "mixed: <EMAIL> from <IP> ref <ID>"
+    assert got[5].redacted == got[5].text
