@@ -87,3 +87,32 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_jdbc_option_assembly():
+    """S4's real-database path, exercised to the option boundary (no
+    JDBC driver jar in this container; sources/tables.py is the
+    sandbox stand-in)."""
+    import pytest
+
+    from crypto_data_pipeline_spark.sources.jdbc import jdbc_options
+
+    opts = jdbc_options(
+        "jdbc:postgresql://host/db", "coin_history",
+        partition_column="epoch_day", lower_bound=19000, upper_bound=20000,
+        num_partitions=32, properties={"user": "ro"},
+    )
+    assert opts["partitionColumn"] == "epoch_day"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == (
+        "19000", "20000", "32",
+    )
+    assert opts["fetchsize"] == "10000" and opts["user"] == "ro"
+
+    # bare scan: no partition keys at all
+    bare = jdbc_options("jdbc:postgresql://host/db", "coin_history")
+    assert "partitionColumn" not in bare
+
+    # half-specified range partitioning must be rejected, not silently
+    # single-task
+    with pytest.raises(ValueError, match="must be set together"):
+        jdbc_options("jdbc:x", "t", partition_column="d", num_partitions=8)
