@@ -168,6 +168,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_clusters_star", survey_ids=("EXT-dedup", "EXT-graph"), oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same transitive closure computed by the O(log n)-round
+    large-star/small-star algorithm (operators/graph.py:
+    connected_components_star) — the scale path for adversarial
+    long-chain graphs — checked against the identical recursive-CTE
+    oracle as dedup_clusters, so BOTH CC algorithms are gate-proven
+    equivalent."""
+    from crypto_data_pipeline_spark.operators.graph import connected_components_star
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    cc = connected_components_star(pairs, "id_a", "id_b")
+    return cc.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("v").alias("doc_id_sum"),
+    )
+
+
 @register("dedup_simhash", survey_ids=("EXT-dedup",), oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash near-dup pairs (Hamming <= 3 over 64-bit sketches)."""

@@ -35,3 +35,37 @@ def test_cycle_and_duplicate_edges(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc(spark, [(i, i + 1) for i in range(30)], max_iter=2)
+
+
+def _star(spark, pairs, **kw):
+    from crypto_data_pipeline_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(pairs, "a long, b long")
+    rows = connected_components_star(edges, "a", "b", **kw).collect()
+    return {r.v: r.component for r in rows}
+
+
+def test_star_matches_minlabel_on_basic_shapes(spark):
+    for pairs in (
+        [(i, i + 1) for i in range(5)],
+        [(10, 11), (11, 12), (3, 7), (3, 5), (3, 9)],
+        [(1, 2), (2, 3), (3, 1), (2, 1), (1, 2)],
+    ):
+        assert _star(spark, pairs) == _cc(spark, pairs)
+
+
+def test_star_converges_fast_on_long_chain(spark):
+    """The adversarial case for min-label: a 200-node path has diameter
+    200, but the star algorithm must close it in O(log n) rounds."""
+    pairs = [(i, i + 1) for i in range(200)]
+    got = _star(spark, pairs, max_iter=12)  # would raise if > 12 rounds
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_star_matches_minlabel_on_random_graph(spark):
+    import random
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(120), rng.randrange(120)) for _ in range(80)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _star(spark, pairs) == _cc(spark, pairs)
