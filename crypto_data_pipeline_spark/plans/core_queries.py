@@ -883,6 +883,32 @@ def distinct_users_exact_and_approx(spark: SparkSession, sf_dir: str) -> DataFra
     return ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
 
 
+@register(
+    "value_percentiles",
+    survey_ids=("A7", "EXT-olap"),
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events WHERE value IS NOT NULL GROUP BY 1
+""",
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tail percentiles per event type (linear-interpolated, the
+    pandas/DuckDB definition — same portability contract as
+    describe_stats). The scale path — approx_percentile's KLL-style
+    sketch, mergeable and fixed-memory where exact needs a per-group
+    sort — is asserted within tolerance of this result in the test
+    suite rather than hash-compared (sketches are engine-specific)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization — gaps-and-islands over time gaps (streaming-shaped batch)
 

@@ -699,6 +699,59 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+@register(
+    "stream_dedup_idempotent",
+    survey_ids=("ST2", "EXT-stream"),
+    oracle="SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1",
+)
+def stream_dedup_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once redelivery collapsed to exactly-once IN FLIGHT:
+    every event is delivered twice (explode — the redelivery simulator)
+    and ``dropDuplicatesWithinWatermark`` keeps one copy per event_id,
+    holding key state only inside the watermark horizon (bounded state
+    — the property that makes streaming dedup viable at 100 TB/day,
+    unlike an unbounded dropDuplicates). The sink lands exactly the
+    batch table, so per-type counts hash-match the plain batch oracle.
+    """
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts long, event_type string, value double, props string"
+        )
+        .parquet(f"{sf_dir}/events.[p]arquet")
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        )
+    )
+    redelivered = stream.withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2)))).drop(
+        "_copy"
+    )
+    deduped = redelivered.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_dedup_ckpt_")
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 

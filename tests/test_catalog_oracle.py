@@ -116,3 +116,21 @@ def test_jdbc_option_assembly():
     # single-task
     with pytest.raises(ValueError, match="must be set together"):
         jdbc_options("jdbc:x", "t", partition_column="d", num_partitions=8)
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The sketch path of value_percentiles: approx_percentile must land
+    within 5% relative error of the exact interpolated percentile (the
+    oracle-checked one) on every event type."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    got = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.95)").alias("exact"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("approx"),
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert abs(r.approx - r.exact) <= 0.05 * abs(r.exact), r
