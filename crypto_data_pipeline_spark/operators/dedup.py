@@ -429,3 +429,40 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text: str = "
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def fuzzy_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    block_len: int = 8,
+    prefix_len: int = 40,
+    max_dist: int = 5,
+) -> DataFrame:
+    """Edit-distance near-match pairs (entity-resolution style): block
+    on the first ``block_len`` chars of the normalized text (prefix
+    blocking — the standard record-linkage trick that bounds the
+    comparison space without a cross product), then compute Levenshtein
+    over the first ``prefix_len`` chars within each block and keep
+    pairs at distance <= ``max_dist``.
+
+    Scale shape: one shuffle on the block key, O(block²) comparisons
+    only inside blocks (bounded by construction for prefix blocks over
+    near-dup corpora). Portability note: Spark's levenshtein counts
+    CHARACTERS while DuckDB's counts BYTES — oracle-paired callers must
+    project to ASCII first (see dedup_fuzzy_levenshtein)."""
+    from crypto_data_pipeline_spark.operators.text import normalized
+
+    norm = normalized(text)
+    side = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(norm, 1, prefix_len).alias("s"),
+        F.substring(norm, 1, block_len).alias("blk"),
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("dist", F.levenshtein(F.col("a.s"), F.col("b.s")).cast("long"))
+        .where(F.col("dist") <= max_dist)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "dist")
+    )

@@ -884,6 +884,40 @@ def distinct_users_exact_and_approx(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "rolling_time_window_30d",
+    survey_ids=("W7", "EXT-olap"),
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT entity_id, fetch_date,
+       round(avg(price) OVER (PARTITION BY entity_id ORDER BY fetch_date
+             RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW) + 1e-9, 6) AS avg_30d,
+       CAST(count(*) OVER (PARTITION BY entity_id ORDER BY fetch_date
+             RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW) AS BIGINT) AS n_in_window
+FROM history
+""",
+)
+def rolling_time_window_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-range rolling window — the calendar twin of the row-count
+    rolling features: average over the trailing 30 calendar DAYS
+    (rangeBetween on epoch days), which unlike a 30-ROW frame stays
+    correct across gaps in the series. n_in_window exposes how many
+    days actually populated each frame. Same single entity-partitioned
+    Exchange as every other window in the chain."""
+    h = _history(spark, sf_dir)
+    w = (
+        Window.partitionBy(ENTITY)
+        .orderBy(F.unix_date(F.col(DATE)))
+        .rangeBetween(-29, 0)
+    )
+    return h.select(
+        ENTITY,
+        DATE,
+        F.round(F.avg(PRICE).over(w) + F.lit(1e-9), 6).alias("avg_30d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
+    )
+
+
+@register(
     "value_percentiles",
     survey_ids=("A7", "EXT-olap"),
     oracle="""

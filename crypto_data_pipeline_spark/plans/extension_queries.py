@@ -186,6 +186,45 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ASCII projection for edit-distance parity: Spark levenshtein counts
+# characters, DuckDB counts bytes — identical only on ASCII, so both
+# sides strip to [a-z0-9 ] (then re-collapse whitespace) first.
+_ASCII_SQL = (
+    f"trim(regexp_replace(regexp_replace({NORM_SQL}, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    survey_ids=("EXT-dedup",),
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         substr({_ASCII_SQL}, 1, 40) AS s,
+         substr({_ASCII_SQL}, 1, 8) AS blk
+  FROM documents WHERE lang = 'en'
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 5
+""",
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-matching (entity-resolution style) over the
+    English documents: prefix-blocked Levenshtein pairs
+    (operators/dedup.py:fuzzy_pairs_blocked). ASCII-projected on both
+    engines because DuckDB's levenshtein is byte-based."""
+    docs = _docs(spark, sf_dir).where(F.col("lang") == "en")
+    ascii_col = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(text.normalized("text"), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    staged = docs.select("doc_id", ascii_col.alias("_ascii"))
+    return dedup.fuzzy_pairs_blocked(staged, id_col="doc_id", text="_ascii")
+
+
 @register("dedup_simhash", survey_ids=("EXT-dedup",), oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash near-dup pairs (Hamming <= 3 over 64-bit sketches)."""

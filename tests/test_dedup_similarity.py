@@ -198,3 +198,25 @@ def test_pii_redaction_patterns_fire(spark):
     assert (got[4].n_email, got[4].n_ipv4, got[4].n_idnum) == (1, 1, 1)
     assert got[4].redacted == "mixed: <EMAIL> from <IP> ref <ID>"
     assert got[5].redacted == got[5].text
+
+
+def test_fuzzy_pairs_blocked_edit_distance(spark):
+    """Prefix blocking + Levenshtein: typo-distance pairs inside a
+    block match; docs in different blocks never compare."""
+    from crypto_data_pipeline_spark.operators.dedup import fuzzy_pairs_blocked
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumped over the lazy dog"),   # dist 3 on the 40-prefix (insertion shifts the truncated tail)
+            (3, "the quick brown fox jumps over the hazy dog"),    # dist 1
+            (4, "a completely different document about spark"),
+            (5, "the quick red fox"),  # same block, far beyond max_dist
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b): r.dist for r in fuzzy_pairs_blocked(docs, max_dist=5).collect()}
+    assert got[(1, 2)] == 3 and got[(1, 3)] == 1
+    assert (2, 3) in got  # transitively close pair also surfaces
+    assert all(4 not in pair for pair in got)  # different block
+    assert all(5 not in pair for pair in got)  # same block, too far
