@@ -72,6 +72,55 @@ def upsert_parquet(
     return spark.read.parquet(path)
 
 
+def upsert_parquet_incremental(
+    spark: SparkSession,
+    new_rows: DataFrame,
+    path: str,
+    keys: list[str],
+    order_by: list[str] = ("created_at",),
+    partition_cols: list[str] = ("year", "month"),
+) -> DataFrame:
+    """The scale path of S7: merge ``new_rows`` rewriting ONLY the
+    partitions that received new keys, via dynamic partition overwrite.
+
+    At 100 TB a daily backfill touches a handful of partitions;
+    ``upsert_parquet``'s full merge would rewrite the whole table.
+    Here: (1) the touched partition values are collected (tiny by
+    construction — it is the set of partitions in the DELTA), (2) only
+    those partitions' existing rows are read back (the IN-filter prunes
+    the scan to those directories), (3) the merged result is
+    checkpointed (read-before-overwrite barrier), then written with
+    ``partitionOverwriteMode=dynamic`` so untouched partition
+    directories are never rewritten."""
+    partition_cols = list(partition_cols)
+    if not _exists(spark, path):
+        merged = latest_per_key(new_rows, keys, list(order_by))
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+        return spark.read.parquet(path)
+
+    touched = [tuple(r) for r in new_rows.select(*partition_cols).distinct().collect()]
+    existing = spark.read.parquet(path)
+    part_tuple = F.struct(*[F.col(c) for c in partition_cols])
+    touched_lit = F.array(
+        *[
+            F.struct(*[F.lit(v).alias(c) for c, v in zip(partition_cols, t)])
+            for t in touched
+        ]
+    )
+    existing_touched = existing.where(F.array_contains(touched_lit, part_tuple))
+    merged = latest_per_key(
+        existing_touched.unionByName(new_rows), keys, list(order_by)
+    ).localCheckpoint()  # materialize before overwriting what we read
+
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return spark.read.parquet(path)
+
+
 def refresh_monthly_aggregate(
     spark: SparkSession,
     silver: DataFrame,

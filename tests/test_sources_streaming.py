@@ -455,3 +455,37 @@ def test_http_datasource_partial_failure_yields_null_rows(spark):
     )
     [row] = df.collect()
     assert row.coin_id == "bitcoin" and row.price_usd is None
+
+
+def test_incremental_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic-partition-overwrite upsert: a delta touching one month
+    must leave every other month's files byte-identical on disk."""
+    import os
+
+    from crypto_data_pipeline_spark.sources.upsert import upsert_parquet_incremental
+
+    path = str(tmp_path / "table")
+    base = spark.createDataFrame(
+        [(k, 2024, m, float(k * m), f"t{m}") for m in (1, 2, 3) for k in (1, 2)],
+        "id long, year int, month int, v double, created_at string",
+    )
+    upsert_parquet_incremental(spark, base, path, keys=["id", "year", "month"])
+
+    def dir_state(month):
+        d = f"{path}/year=2024/month={month}"
+        return sorted((f, os.path.getmtime(os.path.join(d, f)))
+                      for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before = {m: dir_state(m) for m in (1, 2, 3)}
+    delta = spark.createDataFrame(
+        [(1, 2024, 2, 99.0, "t9"), (7, 2024, 2, 7.0, "t9")],
+        "id long, year int, month int, v double, created_at string",
+    )
+    out = upsert_parquet_incremental(spark, delta, path, keys=["id", "year", "month"])
+
+    # untouched months: identical files, same mtimes
+    assert dir_state(1) == before[1] and dir_state(3) == before[3]
+    # touched month: update applied last-write-wins, insert added
+    m2 = {r.id: r.v for r in out.where("month = 2").collect()}
+    assert m2 == {1: 99.0, 2: 4.0, 7: 7.0}
+    assert out.count() == 7
