@@ -947,11 +947,7 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sessionization — gaps-and-islands over time gaps (streaming-shaped batch)
 
 
-@register(
-    "sessionization",
-    survey_ids=("W3", "ST1", "A2"),
-    bench=True,
-    oracle="""
+_SESSIONS_ORACLE = """
 WITH stamped AS (
   SELECT user_id, event_id, epoch_us(ts) AS us,
          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
@@ -980,7 +976,14 @@ SELECT user_id,
        round(avg(duration_us) / 1e6, 6) AS avg_session_sec
 FROM per_session
 GROUP BY 1
-""",
+"""
+
+
+@register(
+    "sessionization",
+    survey_ids=("W3", "ST1", "A2"),
+    bench=True,
+    oracle=_SESSIONS_ORACLE,
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap sessionization: the batch twin of a streaming
@@ -1008,6 +1011,58 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
         F.round(F.avg("duration_us") / 1e6, 6).alias("avg_session_sec"),
+    )
+
+
+@register(
+    "session_window_native",
+    survey_ids=("ST1", "A2", "EXT-stream"),
+    oracle=_SESSIONS_ORACLE,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME 30-minute-gap sessions computed with Spark's native
+    ``session_window`` aggregate instead of the hand-rolled
+    gaps-and-islands windows — one groupBy, no lag/running-sum chain,
+    and the identical construct runs unchanged under readStream with a
+    watermark (the streaming upgrade path). Verified against the same
+    oracle as `sessionization`: a probe test pinned that an
+    exactly-30:00 gap MERGES in both formulations (session_window
+    splits strictly-greater gaps, like the islands `>`)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_session = ev.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+        F.round(F.avg("duration_us") / 1e6, 6).alias("avg_session_sec"),
+    )
+
+
+@register(
+    "value_histogram",
+    survey_ids=("A6", "EXT-olap"),
+    oracle="""
+SELECT event_type,
+       CAST(least(floor(value / 50), 19) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (20 buckets of 50,
+    top bucket open) — the one-pass distribution profile a quality
+    dashboard runs at any scale. Bucket arithmetic is explicit floor
+    division (exact for this data: bucket boundaries are integers,
+    representable exactly as doubles) so both engines agree without a
+    width_bucket builtin."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(19)).cast("int")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
     )
 
 
