@@ -134,3 +134,22 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     assert len(got) > 0
     for r in got:
         assert abs(r.approx - r.exact) <= 0.05 * abs(r.exact), r
+
+
+def test_filtered_projection_pushes_down_and_prunes(spark, sf_dir):
+    """Plan-level proof of the S4/P-family contract: all three
+    predicates reach the parquet scan as PushedFilters and the scan
+    reads only the referenced columns (props/ts are not in ReadSchema
+    beyond what the filters need)."""
+    from crypto_data_pipeline_spark.plans.core_queries import filtered_projection
+
+    df = filtered_projection(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
+    assert "PushedFilters: [" in scan
+    pushed = scan.split("PushedFilters: [")[1]
+    assert "In(event_type" in pushed
+    assert "IsNotNull(value)" in pushed
+    # column pruning: the wide props JSON column must not be read
+    read_schema = scan.split("ReadSchema: ")[1]
+    assert "props" not in read_schema
