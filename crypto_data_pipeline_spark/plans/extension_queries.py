@@ -704,25 +704,10 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sources_streaming.py::test_sessionizer_matches_batch_twin."""
     import tempfile
 
+    from crypto_data_pipeline_spark.sources.tables import load_events_stream
     from crypto_data_pipeline_spark.streaming.sessionize import sessionize_stream
 
-    # self-sufficient on a caller-provided bare session, like load_table
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.ts is parquet TIMESTAMP(NANOS) → long under nanosAsLong;
-    # same div-1000 truncation as the batch loader (tables.load_table)
-    stream = (
-        spark.readStream.schema(
-            "event_id long, user_id long, ts long, event_type string, value double, props string"
-        )
-        .parquet(f"{sf_dir}/events.[p]arquet")  # glob → parent dir becomes basePath
-        .select(
-            "user_id",
-            "event_id",
-            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-            "value",
-        )
-    )
+    stream = load_events_stream(spark, sf_dir).select("user_id", "event_id", "ts", "value")
     out_dir = tempfile.mkdtemp(prefix="sessionize_out_")
     ckpt = tempfile.mkdtemp(prefix="sessionize_ckpt_")
     q = (
@@ -754,19 +739,9 @@ def stream_dedup_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, user_id long, ts long, event_type string, value double, props string"
-        )
-        .parquet(f"{sf_dir}/events.[p]arquet")
-        .select(
-            "event_id",
-            "event_type",
-            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-        )
-    )
+    from crypto_data_pipeline_spark.sources.tables import load_events_stream
+
+    stream = load_events_stream(spark, sf_dir).select("event_id", "event_type", "ts")
     redelivered = stream.withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2)))).drop(
         "_copy"
     )

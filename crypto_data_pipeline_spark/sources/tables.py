@@ -54,7 +54,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name in _NANO_TS_COLS.get(name, ()) and isinstance(field.dataType, T.LongType):
             df = df.withColumn(field.name, F.expr(f"timestamp_micros({field.name} div 1000)"))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Parquet TIMESTAMP(isAdjustedToUTC=false) surfaces as
+            # TIMESTAMP_NTZ, which unix_micros()/date_trunc interop
+            # rejects. Under the UTC session zone forced above, casting
+            # to TIMESTAMP is wall-clock-identity, so every downstream
+            # extraction still agrees with the timezone-naive DuckDB
+            # oracle.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``load_table(..., "events")``: a readStream
+    over the same parquet file with ``ts`` normalized to TIMESTAMP.
+
+    Streaming sources need an explicit schema, and the testdata's
+    physical ts encoding has two observed generations — TIMESTAMP(NANOS)
+    (surfaces as long under nanosAsLong) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (surfaces as TIMESTAMP_NTZ) — so the schema
+    is taken from the batch footer and the matching conversion applied,
+    keeping both generations bit-identical to the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        # glob → the parent dir becomes basePath, single-file stream
+        .parquet(f"{sf_dir}/events.[p]arquet")
+    )
+    ts_type = batch_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:

@@ -143,13 +143,24 @@ def test_filtered_projection_pushes_down_and_prunes(spark, sf_dir):
     beyond what the filters need)."""
     from crypto_data_pipeline_spark.plans.core_queries import filtered_projection
 
-    df = filtered_projection(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # executedPlan().toString() truncates each metadata field to
+    # spark.sql.maxMetadataStringLength (default 100 chars), which cuts
+    # PushedFilters mid-list; widen it for the assertion, then restore.
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        df = filtered_projection(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     scan = next(line for line in plan.splitlines() if "FileScan parquet" in line)
     assert "PushedFilters: [" in scan
-    pushed = scan.split("PushedFilters: [")[1]
+    # slice to the list's closing bracket (the In-list nests its own
+    # brackets, so cut at the ReadSchema delimiter, not the first "]")
+    pushed = scan.split("PushedFilters: [")[1].split("], ReadSchema")[0]
     assert "In(event_type" in pushed
     assert "IsNotNull(value)" in pushed
+    assert "GreaterThanOrEqual(ts" in pushed
     # column pruning: the wide props JSON column must not be read
     read_schema = scan.split("ReadSchema: ")[1]
     assert "props" not in read_schema
