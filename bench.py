@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from crypto_data_pipeline_spark import get_spark
-from crypto_data_pipeline_spark.plans.registry import load_all
+from crypto_data_pipeline_spark.plans.registry import load_with_extras
 
 
 def main() -> None:
@@ -30,7 +30,9 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark("bench")
-    specs = [s for s in load_all().values() if s.bench]
+    # extras included: bench-flagged showcase queries keep their
+    # BENCH_r01-comparable timings even when demoted from the driver gate
+    specs = [s for s in load_with_extras().values() if s.bench]
 
     # Warm-up, untimed: run every query once at the tiny SF so Janino
     # compiles each plan's whole-stage codegen (keyed on generated

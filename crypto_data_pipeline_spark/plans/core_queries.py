@@ -216,6 +216,7 @@ def drop_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pct_change",
+    extra=True,
     survey_ids=("W4", "W1"),
     oracle=f"""
 WITH {HISTORY_CTE}
@@ -257,6 +258,7 @@ def lag_lead_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rolling_trend_variance",
+    extra=True,
     survey_ids=("W7", "W8"),
     bench=True,
     oracle=f"""
@@ -629,6 +631,7 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 @register(
     "event_type_pivot",
+    extra=True,
     survey_ids=("A9",),
     oracle=f"""
 SELECT user_id,
@@ -740,6 +743,7 @@ def distinct_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "repeat_customers",
+    extra=True,
     survey_ids=("A2", "A6"),
     oracle="""
 SELECT o_custkey, count(*) AS n_orders
@@ -800,6 +804,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_by_nation",
+    extra=True,
     survey_ids=("J2", "J3", "A1", "F2"),
     bench=True,
     oracle="""
@@ -868,6 +873,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "distinct_users_exact_and_approx",
+    extra=True,
     survey_ids=("A6", "EXT-olap"),
     oracle="""
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
@@ -885,6 +891,7 @@ def distinct_users_exact_and_approx(spark: SparkSession, sf_dir: str) -> DataFra
 
 @register(
     "rolling_time_window_30d",
+    extra=True,
     survey_ids=("W7", "EXT-olap"),
     oracle=f"""
 WITH {HISTORY_CTE}
@@ -919,6 +926,7 @@ def rolling_time_window_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "value_percentiles",
+    extra=True,
     survey_ids=("A7", "EXT-olap"),
     oracle="""
 SELECT event_type,
@@ -1016,6 +1024,7 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_window_native",
+    extra=True,
     survey_ids=("ST1", "A2", "EXT-stream"),
     oracle=_SESSIONS_ORACLE,
 )
@@ -1042,6 +1051,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "value_histogram",
+    extra=True,
     survey_ids=("A6", "EXT-olap"),
     oracle="""
 SELECT event_type,
@@ -1152,7 +1162,8 @@ def processed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("rolling_7d_variance", F.round("rolling_7d_variance", 6))
 
 
-@register("prediction_features", survey_ids=("W5", "W6", "W9", "W10", "F8", "F9", "F10", "J4", "A11", "A12"), oracle=None)
+@register("prediction_features",
+    extra=True, survey_ids=("W5", "W6", "W9", "W10", "F8", "F9", "F10", "J4", "A11", "A12"), oracle=None)
 def prediction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transform notebook's 34-column prediction table end-to-end
     (each constituent operator is oracle-checked individually; the

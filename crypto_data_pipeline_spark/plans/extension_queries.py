@@ -58,6 +58,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact_survivors",
+    extra=True,
     survey_ids=("EXT-dedup",),
     oracle=f"""
 SELECT doc_id, content_hash
@@ -168,7 +169,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters_star", survey_ids=("EXT-dedup", "EXT-graph"), oracle=_CLUSTERS_ORACLE)
+@register("dedup_clusters_star",
+    extra=True, survey_ids=("EXT-dedup", "EXT-graph"), oracle=_CLUSTERS_ORACLE)
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same transitive closure computed by the O(log n)-round
     large-star/small-star algorithm (operators/graph.py:
@@ -237,6 +239,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality",
+    extra=True,
     survey_ids=("EXT-text",),
     bench=True,
     oracle=f"""
@@ -288,6 +291,7 @@ def _lang_case_sql() -> str:
 
 @register(
     "lang_id",
+    extra=True,
     survey_ids=("EXT-text",),
     oracle=f"SELECT doc_id, lang, {_lang_case_sql()} AS lang_pred FROM documents",
 )
@@ -299,6 +303,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_counts",
+    extra=True,
     survey_ids=("EXT-text",),
     oracle=f"""
 SELECT doc_id,
@@ -314,6 +319,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pii_redaction",
+    extra=True,
     survey_ids=("EXT-text",),
     oracle=r"""
 SELECT doc_id,
@@ -343,6 +349,7 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprint",
+    extra=True,
     survey_ids=("EXT-text",),
     oracle=f"SELECT doc_id, md5({NORM_SQL}) AS fingerprint FROM documents",
 )
@@ -375,7 +382,8 @@ FROM g
 """
 
 
-@register("doc_fingerprint_rolling", survey_ids=("EXT-text",), oracle=_ROLLING_FP_ORACLE)
+@register("doc_fingerprint_rolling",
+    extra=True, survey_ids=("EXT-text",), oracle=_ROLLING_FP_ORACLE)
 def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (Rabin-Karp char-8-gram) fingerprint: min gram hash
     + distinct gram count — edit-robust, exact-integer, oracle-checked."""
@@ -562,6 +570,7 @@ _MIX_RATES = {"en": 0.3}
 
 @register(
     "sample_hash_10pct",
+    extra=True,
     survey_ids=("EXT-sample",),
     oracle=f"""
 SELECT doc_id, lang, source FROM documents
@@ -582,6 +591,7 @@ def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "train_val_test_split",
+    extra=True,
     survey_ids=("EXT-sample",),
     oracle=f"""
 SELECT {sampling.sql_split_case('doc_id', _SPLITS, salt=11)} AS split, lang,
@@ -605,6 +615,7 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mix_rebalance_langs",
+    extra=True,
     survey_ids=("EXT-sample",),
     oracle=f"""
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -772,6 +783,7 @@ def stream_dedup_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_ingest",
+    extra=True,
     survey_ids=("EXT-mm",),
     oracle="""
 SELECT doc_id,
@@ -788,6 +800,7 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
+    extra=True,
     survey_ids=("EXT-mm",),
     oracle="""
 WITH blobs AS (
@@ -820,5 +833,155 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = multimodal.extract_media_features(media)
     return feats.select(
         "doc_id", "n_bytes", "format", "n_distinct_bytes",
+        F.round("byte_entropy", 6).alias("byte_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# merged driver-facing queries: the driver's CORRECTNESS gate checks at
+# most registry.DRIVER_CAP entries, so the per-doc text / sampling /
+# multimodal scalars are ALSO exposed as single wide frames (one gate
+# slot each). The granular single-concern variants above stay registered
+# as extra=True — still oracle-tested locally and usable for debugging.
+
+_TEXT_METRICS_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         CAST(len({TOKENS_SQL}) AS BIGINT) AS n_words,
+         CAST(length(text) - length(regexp_replace(text, '[!?.,;:]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio,
+         CAST(len(list_filter({TOKENS_SQL}, t -> t IN {STOPWORDS["en"]})) AS DOUBLE)
+           / len({TOKENS_SQL}) AS stopword_ratio,
+         CAST(list_sum(list_transform({TOKENS_SQL}, t -> length(t))) AS DOUBLE)
+           / len({TOKENS_SQL}) AS mean_word_len,
+         {_lang_case_sql()} AS lang_pred,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS re_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '\\d{{9,}}')) AS BIGINT) AS n_idnum,
+         md5(regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+               '\\d{{9,}}', '<ID>', 'g')) AS redacted_md5,
+         md5({NORM_SQL}) AS fingerprint,
+         lang
+  FROM documents
+),
+scored AS (
+  SELECT *,
+         round(0.3 * least(CAST(n_words AS DOUBLE) / 200, 1.0)
+               + 0.3 * (1 - punct_ratio)
+               + 0.4 * least(stopword_ratio * 5, 1.0), 6) AS quality_score
+  FROM q
+),
+r AS ({_ROLLING_FP_ORACLE})
+SELECT scored.*, r.rolling_min_hash, r.n_grams
+FROM scored JOIN r USING (doc_id)
+"""
+
+
+@register("text_metrics", survey_ids=("EXT-text",), oracle=_TEXT_METRICS_ORACLE)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole per-document text-analysis battery in ONE pass over
+    ``documents`` — quality stats + composite score, stopword-hit
+    language ID, dual tokenizer counts, PII match counts + redacted-text
+    md5, content fingerprint, and the Rabin-Karp rolling fingerprint —
+    every column the codegen twin of the granular extra=True queries
+    above. One scan, zero shuffles, one gate slot."""
+    df = text.with_quality_score(text.with_text_stats(_docs(spark, sf_dir)))
+    df = text.with_lang_id(df)
+    df = text.with_token_counts(df)
+    df = text.with_redactions(df)
+    df = text.with_fingerprint(df)
+    df = text.with_rolling_fingerprint(df)
+    return df.select(
+        "doc_id", "lang", "n_chars_calc", "n_words", "punct_ratio",
+        "stopword_ratio", "mean_word_len", "quality_score", "lang_pred",
+        "re_tokens", "n_email", "n_ipv4", "n_idnum",
+        F.md5("redacted").alias("redacted_md5"),
+        "fingerprint", "rolling_min_hash", "n_grams",
+    )
+
+
+@register(
+    "sampling_membership",
+    survey_ids=("EXT-sample",),
+    oracle=f"""
+SELECT doc_id, lang, source,
+       CAST({sampling.sql_hash_bucket('doc_id', salt=7)} < {int(0.1 * sampling.MOD)} AS INT) AS in_10pct,
+       {sampling.sql_split_case('doc_id', _SPLITS, salt=11)} AS split,
+       CAST({sampling.sql_hash_bucket('doc_id', salt=3)} <
+            CASE WHEN lang = 'en' THEN {int(0.3 * sampling.MOD)} ELSE {sampling.MOD} END AS INT) AS mix_keep
+FROM documents
+""",
+)
+def sampling_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every deterministic sampling decision as per-row flags in one
+    frame: ~10% keyed sample membership (salt 7), the 80/10/10
+    train/val/test label (salt 11), and the language-rebalance keep flag
+    (en → 30%, salt 3). The oracle hash-compares EVERY row's decision
+    bits, which is a strictly stronger check than the filtered variants
+    (extra=True above) — membership of all three operators proven from
+    one scan with no shuffle."""
+    docs = _docs(spark, sf_dir)
+    b7 = sampling.hash_bucket(F.col("doc_id"), salt=7)
+    b3 = sampling.hash_bucket(F.col("doc_id"), salt=3)
+    mix_thresh = F.when(
+        F.col("lang") == "en", F.lit(int(0.3 * sampling.MOD))
+    ).otherwise(F.lit(sampling.MOD))
+    return docs.select(
+        "doc_id", "lang", "source",
+        (b7 < F.lit(int(0.1 * sampling.MOD))).cast("int").alias("in_10pct"),
+        sampling.split_column(F.col("doc_id"), _SPLITS, salt=11).alias("split"),
+        (b3 < mix_thresh).cast("int").alias("mix_keep"),
+    )
+
+
+@register(
+    "multimodal_pipeline",
+    survey_ids=("EXT-mm",),
+    oracle="""
+WITH blobs AS (
+  SELECT doc_id, encode(text) AS b, CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+bytes AS (
+  SELECT doc_id, n, substr(hex(b), 2*i+1, 2) AS bh
+  FROM blobs, UNNEST(range(0, n)) AS t(i)
+),
+freq AS (
+  SELECT doc_id, n, bh, count(*) AS c FROM bytes GROUP BY doc_id, n, bh
+)
+SELECT doc_id,
+       'fake/bin' AS meta_format,
+       n AS n_bytes,
+       'application/octet-stream' AS format,
+       CAST(count(*) AS INT) AS n_distinct_bytes,
+       round(-sum((c / CAST(n AS DOUBLE)) * log2(c / CAST(n AS DOUBLE))), 6) AS byte_entropy
+FROM freq GROUP BY doc_id, n
+""",
+)
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal ingest + codec-free featurization end to end in one
+    gate slot: binary media column with typed metadata struct (the
+    ingest plumbing — meta_format / n_bytes come from the codegen
+    octet_length path), then Arrow-batched mapInPandas byte features
+    (format sniff, distinct byte count, Shannon entropy re-derived by
+    the oracle from the hex expansion of the same blob). Covers both
+    extra=True multimodal variants above."""
+    media = multimodal.fake_media_from_documents(_docs(spark, sf_dir))
+    feats = multimodal.extract_media_features(media)
+    meta = media.select(
+        "doc_id",
+        F.col("meta.format").alias("meta_format"),
+        F.col("meta.n_bytes").alias("meta_n_bytes"),
+    )
+    return feats.join(meta, "doc_id").select(
+        "doc_id", "meta_format",
+        F.col("meta_n_bytes").alias("n_bytes"),
+        "format", "n_distinct_bytes",
         F.round("byte_entropy", 6).alias("byte_entropy"),
     )

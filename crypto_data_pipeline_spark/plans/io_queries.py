@@ -271,6 +271,7 @@ _DIST_DATES = ("01-01-2025", "02-01-2025", "03-01-2025")
 
 @register(
     "http_ingest_distributed",
+    extra=True,
     survey_ids=("S1", "ST4", "U4"),
     oracle=_http_oracle(_DIST_COINS, _DIST_DATES),
 )

@@ -10,10 +10,12 @@ import math
 import duckdb
 import pytest
 
-from crypto_data_pipeline_spark.plans.registry import load_all
+from crypto_data_pipeline_spark.plans.registry import load_with_extras
 from crypto_data_pipeline_spark.sources.tables import TABLES
 
-SPECS = load_all()
+# extras included: demoted-from-the-driver-gate queries keep full local
+# oracle coverage even though they no longer consume driver check slots
+SPECS = load_with_extras()
 ORACLE_SPECS = [s for s in SPECS.values() if s.oracle is not None]
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from crypto_data_pipeline_spark.plans.registry import load_all
+from crypto_data_pipeline_spark.plans.registry import load_with_extras
 
 EXPECTED_PREDICTION_COLS = [
     # table-3 base (10)
@@ -26,7 +26,7 @@ EXPECTED_PREDICTION_COLS = [
 
 @pytest.fixture(scope="module")
 def pred(spark, sf_dir):
-    return load_all()["prediction_features"].fn(spark, sf_dir)
+    return load_with_extras()["prediction_features"].fn(spark, sf_dir)
 
 
 def test_prediction_table_schema(pred):
