@@ -1104,6 +1104,50 @@ def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sliding_hourly_15m",
+    extra=True,
+    survey_ids=("ST3", "A1", "EXT-stream"),
+    oracle="""
+WITH slid AS (
+  SELECT date_trunc('hour', ts) + INTERVAL 15 MINUTE
+           * CAST(floor(date_part('minute', ts) / 15) - 3 + k AS BIGINT) AS window_start,
+         event_type, value
+  FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+)
+SELECT window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM slid GROUP BY 1, 2
+""",
+)
+def sliding_hourly_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING window aggregate — 1-hour windows every 15 minutes, the
+    third streaming window shape next to tumbling (tumbling_hourly) and
+    session (sessionization / session_window_native). Each event lands
+    in slide/width = 4 overlapping windows; Spark's ``window()`` with a
+    slideDuration expands exactly that assignment JVM-side, and the
+    identical expression runs under readStream with a watermark. The
+    oracle reproduces the 4-window expansion with an UNNEST: window
+    starts are the four 15-minute marks in (ts - 1h, ts]."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # The notebook pipelines end-to-end (EDA 10-col table; 34-col prediction
 # table; model comparison)
