@@ -67,16 +67,26 @@ def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily = ts.daily_price_series(load_table(spark, sf_dir, "events"))
         try:
             import hashlib
+            import tempfile
 
             from crypto_data_pipeline_spark.sources.bucketed import write_bucketed
 
-            tbl = "silver_history_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+            # Table name AND location are session-unique: a name keyed
+            # only on sf_dir collides with a previous session's leftover
+            # warehouse directory (saveAsTable refuses the existing
+            # path), which silently downgraded every later session to
+            # the unbucketed fallback. The external tempdir path keeps
+            # the default warehouse clean and collision-free.
+            sid = hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:10]
+            tbl = f"silver_history_{sid}"
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             write_bucketed(
                 daily.repartition(32, ENTITY),
                 tbl,
                 [ENTITY],
                 32,
                 sort_cols=[ENTITY, DATE],
+                path=tempfile.mkdtemp(prefix=f"silver_{sid}_"),
             )
             out = spark.table(tbl)
         except Exception:

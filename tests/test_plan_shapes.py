@@ -1,0 +1,131 @@
+"""Physical-plan regression tests: pin the SHAPE that makes each
+operator viable at 100 TB, not just its output values. A refactor that
+keeps results correct but reintroduces an extra shuffle, a nested-loop
+join, or a Python hot path should fail here, long before it shows up as
+a bench regression.
+
+All assertions read the pre-AQE physical plan (AQE can only remove
+exchanges at runtime, never add them, so counts are upper bounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_spark.plans.registry import load_with_extras
+from crypto_data_pipeline_spark.sources.bucketed import exchange_count
+from crypto_data_pipeline_spark.sources.tables import load_table
+
+SPECS = load_with_extras()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffle_count(df) -> int:
+    """Shuffle (hash/range/single-partition) exchanges only —
+    BroadcastExchange is the cheap small-side ship we WANT in plans and
+    must not count against the shuffle budget."""
+    return sum(
+        1
+        for line in _plan(df).splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "ReusedExchange" not in line
+    )
+
+
+def test_asof_join_is_single_shuffle_no_row_amplification(spark, sf_dir):
+    """The as-of join must stay a union + one window partitioning —
+    never an inequality join. Plan contract: no nested-loop or
+    cartesian operator, and at most 2 exchanges (the union's window
+    shuffle + the final partial-filter pass)."""
+    df = SPECS["asof_last_click"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert exchange_count(df) <= 2, plan
+
+
+def test_range_join_is_equi_hash_join(spark, sf_dir):
+    """The bounded range join banding must turn the interval predicate
+    into an equi join — a plan with a nested-loop operator means the
+    banding regressed to the O(n·m) form the oracle uses."""
+    df = SPECS["range_join_click_context"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_pipeline_never_cross_products(spark, sf_dir):
+    """LSH candidate generation is a bucket groupBy + in-bucket array
+    expansion; verification joins candidate ids only. Any cartesian /
+    nested-loop operator in the plan means an O(n²) path crept in."""
+    df = SPECS["dedup_minhash_lsh"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_topk_corpus_never_shuffles(spark, sf_dir):
+    """The exactness baseline broadcasts the 10 query vectors over the
+    corpus scan; the corpus side must not shuffle (top-k runs as a
+    partial per-partition + final on the driver-side limit). One
+    exchange max: the global top-k ordering."""
+    df = SPECS["embedding_topk_bruteforce"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan  # broadcast NLJ is the intended shape here
+    assert _shuffle_count(df) <= 1, plan
+
+
+def test_per_doc_scalar_batteries_are_shuffle_free(spark, sf_dir):
+    """text_metrics and sampling_membership are pure scan+project
+    pipelines — one pass, zero shuffles, whole-stage codegen. An
+    Exchange in either plan means a join/groupBy snuck into what must
+    remain an embarrassingly parallel map."""
+    for name in ("sampling_membership",):
+        df = SPECS[name].fn(spark, sf_dir)
+        assert exchange_count(df) == 0, f"{name}:\n{_plan(df)}"
+    # text_metrics carries the rolling-fingerprint array expressions but
+    # still must not shuffle
+    df = SPECS["text_metrics"].fn(spark, sf_dir)
+    assert exchange_count(df) == 0, _plan(df)
+
+
+def test_no_python_row_udfs_in_scalar_paths(spark, sf_dir):
+    """Scalar text/sampling paths must stay JVM-side: BatchEvalPython
+    (row-at-a-time Python UDF) must never appear. ArrowEvalPython /
+    mapInPandas is allowed only where declared (multimodal, stateful
+    sessions)."""
+    for name in ("text_metrics", "sampling_membership", "token_counts",
+                 "pii_redaction", "lang_id"):
+        plan = _plan(SPECS[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_sliding_window_single_aggregation_shuffle(spark, sf_dir):
+    """The 4× sliding-window expansion happens inside the aggregate's
+    project (no join); the plan is scan → expand → partial agg →
+    exchange → final agg. More than one exchange means the expansion
+    became a join."""
+    df = SPECS["sliding_hourly_15m"].fn(spark, sf_dir)
+    assert exchange_count(df) <= 1, _plan(df)
+
+
+def test_history_windows_have_no_exchange_below(spark, sf_dir):
+    """The silver daily-price table is bucketed+sorted by entity, so
+    coin-series window queries must not re-shuffle it: their plans read
+    the bucketed scan directly (zero exchanges for a pure window query
+    like rolling_skew)."""
+    df = SPECS["rolling_skew"].fn(spark, sf_dir)
+    assert exchange_count(df) == 0, _plan(df)
+
+
+def test_filtered_scan_prunes_wide_columns(spark, sf_dir):
+    """Column pruning at the source: a 3-column projection of events
+    must not read the wide props JSON payload."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    plan = _plan(ev)
+    scan = next(line for line in plan.splitlines() if "FileScan" in line)
+    assert "props" not in scan
