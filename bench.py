@@ -46,11 +46,19 @@ def main() -> None:
         spec.fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
     specs[0].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Median of 3 timed runs per query: single-shot timings on a busy
+    # 32-thread local JVM swing ±50% from GC/scheduling noise (observed
+    # on the minhash pipeline); the median is the standard steady-state
+    # estimator and stays honest (unlike min, it can't ride a lucky
+    # cache line-up).
     timings: dict[str, float] = {}
     for spec in specs:
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[spec.name] = round(sorted(runs)[1], 3)
 
     print(
         json.dumps(

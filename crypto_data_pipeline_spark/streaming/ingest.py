@@ -67,14 +67,19 @@ def streaming_hourly_aggregate(
     events_stream: DataFrame,
     watermark: str = "2 hours",
     window: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
-    """ST3 (bounded-lateness variant): watermarked tumbling-window
-    count/sum per event_type — the streaming twin of the batch
-    ``tumbling_hourly`` catalog query. Append output mode emits a
-    window once the watermark passes its end."""
+    """ST3 (bounded-lateness variant): watermarked windowed count/sum
+    per event_type — the streaming twin of the batch ``tumbling_hourly``
+    (slide=None) and ``sliding_hourly_15m`` (slide='15 minutes')
+    catalog queries. With a slide, each event enters window/slide
+    overlapping windows; state per key stays bounded by the watermark
+    either way. Append output mode emits a window once the watermark
+    passes its end."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events_stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
         .select(F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value")
     )

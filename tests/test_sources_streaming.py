@@ -489,3 +489,48 @@ def test_incremental_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     m2 = {r.id: r.v for r in out.where("month = 2").collect()}
     assert m2 == {1: 99.0, 2: 4.0, 7: 7.0}
     assert out.count() == 7
+
+
+def test_streaming_sliding_aggregate_matches_batch(spark, sf_dir, tmp_path):
+    """The SLIDING-window streaming twin (1h windows every 15min): the
+    watermarked stream over finite input must emit a subset of the
+    batch sliding_hourly_15m result, equal on every emitted window, and
+    must have released everything safely past the watermark."""
+    from crypto_data_pipeline_spark.plans.registry import load_with_extras
+    from crypto_data_pipeline_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev")
+    events.select("user_id", "event_id", "ts", "event_type", "value").write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        ingest.streaming_hourly_aggregate(stream, slide="15 minutes")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.hour_start, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in load_with_extras()["sliding_hourly_15m"].fn(spark, sf_dir).collect()
+    }
+    assert got, "stream must emit closed windows"
+    assert set(got) <= set(batch)
+    for k, v in got.items():
+        assert v == batch[k], k
+    import datetime as _dt
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    released = {k for k in batch if k[0] < max_ts - _dt.timedelta(hours=3, minutes=15)}
+    assert released <= set(got)
