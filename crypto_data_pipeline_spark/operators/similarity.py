@@ -14,6 +14,7 @@ Two paths:
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -134,6 +135,54 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", bucket)
 
 
+@dataclass
+class IvfIndex:
+    """A built IVF index: the cell-assigned (and persisted) corpus plus
+    the centroid table. In production this is the at-rest state — the
+    corpus written partitioned by `_cell`, centroids in a sidecar; here
+    it lets a session build once and serve every subsequent query batch
+    (the FAISS train/add vs search split)."""
+
+    assigned: DataFrame  # (id_col, _cv, _cell)
+    centers: list[list[float]]
+    id_col: str
+
+
+def _unit_normed(df: DataFrame, keep: str, vec_col: str) -> DataFrame:
+    # two-step so the norm is computed once per row, not per element
+    return (
+        df.select(F.col(keep), as_double(vec_col).alias("_r"))
+        .withColumn("_nrm", norm(F.col("_r")))
+        .select(keep, F.transform("_r", lambda x: x / F.col("_nrm")).alias("_v"))
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> IvfIndex:
+    """Train the coarse quantizer and assign every corpus vector to its
+    cell — the one-off indexing pass. KMeans runs over L2-normalized
+    vectors (L2 on the unit sphere orders like cosine); the assigned
+    frame is persisted so repeated probes never re-pay the fit."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c_n = _unit_normed(corpus, id_col, vec_col).withColumnRenamed("_v", "_cv")
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="_cell")
+    model = km.fit(c_n.select(array_to_vector("_cv").alias("_fv")))
+    assigned = (
+        model.transform(c_n.withColumn("_fv", array_to_vector("_cv")))
+        .select(id_col, "_cv", "_cell")
+        .persist()
+    )
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return IvfIndex(assigned=assigned, centers=centers, id_col=id_col)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -145,50 +194,38 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """ANN top-k via an IVF (inverted-file) index: a KMeans coarse
     quantizer partitions the corpus into `n_centroids` cells; a query
     probes only its `nprobe` nearest cells. The classic FAISS-style
-    scale path re-expressed in Spark: the quantizer is `pyspark.ml`
-    KMeans over L2-normalized vectors (L2 on the unit sphere orders
-    like cosine), cell assignment rides the fitted model, and query→
-    cell probing is a pure expression against the (tiny, broadcast)
-    centroid literal — array_sort on (distance, cell) structs, slice
-    nprobe, explode, equi-join on cell id.
+    scale path re-expressed in Spark: cell assignment rides the fitted
+    model (see build_ivf_index), and query→cell probing is a pure
+    expression against the (tiny, broadcast) centroid literal —
+    array_sort on (distance, cell) structs, slice nprobe, explode,
+    equi-join on cell id.
 
     At rest the cell id is the storage partition key, so a query reads
-    nprobe partitions instead of the corpus. Training cost is one
-    KMeans fit over (a sample of) the corpus — amortized in production,
-    re-fit per call here for self-containment."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    nprobe partitions instead of the corpus. Pass a prebuilt ``index``
+    to amortize the quantizer fit across query batches (the session
+    caches one per corpus in the catalog layer); without it the index
+    is built inline for self-containment."""
     from pyspark.sql import Window
 
-    def unit_normed(df: DataFrame, keep: str) -> DataFrame:
-        # two-step so the norm is computed once per row, not per element
-        return (
-            df.select(F.col(keep), as_double(vec_col).alias("_r"))
-            .withColumn("_nrm", norm(F.col("_r")))
-            .select(keep, F.transform("_r", lambda x: x / F.col("_nrm")).alias("_v"))
-        )
-
-    c_n = unit_normed(corpus, id_col).withColumnRenamed("_v", "_cv")
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="_cell")
-    model = km.fit(c_n.select(array_to_vector("_cv").alias("_fv")))
-    assigned = model.transform(c_n.withColumn("_fv", array_to_vector("_cv"))).select(
-        id_col, "_cv", "_cell"
-    )
+    if index is None:
+        index = build_ivf_index(corpus, id_col, vec_col, n_centroids, seed)
+    assigned = index.assigned
 
     centers = F.array(
         *[
             F.struct(
                 F.lit(ci).alias("_cell"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("_ctr"),
+                F.array(*[F.lit(x) for x in c]).alias("_ctr"),
             )
-            for ci, c in enumerate(model.clusterCenters())
+            for ci, c in enumerate(index.centers)
         ]
     )
-    q_n = unit_normed(queries, query_id_col).withColumnRenamed("_v", "_qv")
+    q_n = _unit_normed(queries, query_id_col, vec_col).withColumnRenamed("_v", "_qv")
     scored_centers = F.transform(
         centers,
         lambda c: F.struct(
