@@ -271,6 +271,29 @@ def _table_buckets(vec: Column, dim: int, bits: int, tables: int, seed: int = 42
     return F.array(*out)
 
 
+def build_lsh_keys(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 5,
+    tables: int = 10,
+) -> DataFrame:
+    """The corpus side of the LSH index: one (id, table, bucket) row per
+    hash table, persisted. This is the at-rest state — in production
+    the corpus is written partitioned by (t, b) once and every query
+    batch joins against it; here the persist plays that role so
+    repeated batches skip the tables×bits projection pass."""
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.explode(_table_buckets(as_double(vec_col), dim, bits, tables)).alias("tb"),
+        )
+        .select(id_col, "tb.t", "tb.b")
+        .persist()
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -282,6 +305,7 @@ def lsh_topk(
     bits: int = 5,
     tables: int = 10,
     exclude_self: bool = True,
+    corpus_keys: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via MULTI-TABLE random-hyperplane LSH: `tables`
     independent `bits`-bit sign hashes; a corpus vector is a candidate
@@ -300,9 +324,9 @@ def lsh_topk(
     query prunes to `tables` partitions at rest."""
     from pyspark.sql import Window
 
-    c_keys = corpus.select(
-        F.col(id_col), F.explode(_table_buckets(as_double(vec_col), dim, bits, tables)).alias("tb")
-    ).select(id_col, "tb.t", "tb.b")
+    c_keys = corpus_keys
+    if c_keys is None:
+        c_keys = build_lsh_keys(corpus, id_col, vec_col, dim, bits, tables)
     q_keys = queries.select(
         F.col(query_id_col),
         F.explode(_table_buckets(as_double(vec_col), dim, bits, tables)).alias("tb"),
