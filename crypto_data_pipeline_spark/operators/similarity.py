@@ -141,11 +141,14 @@ class IvfIndex:
     the centroid table. In production this is the at-rest state — the
     corpus written partitioned by `_cell`, centroids in a sidecar; here
     it lets a session build once and serve every subsequent query batch
-    (the FAISS train/add vs search split)."""
+    (the FAISS train/add vs search split). Build params ride along so a
+    probe with mismatched params errors instead of silently returning
+    wrong/empty candidates."""
 
     assigned: DataFrame  # (id_col, _cv, _cell)
     centers: list[list[float]]
     id_col: str
+    seed: int = 42
 
 
 def _unit_normed(df: DataFrame, keep: str, vec_col: str) -> DataFrame:
@@ -180,7 +183,7 @@ def build_ivf_index(
         .persist()
     )
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    return IvfIndex(assigned=assigned, centers=centers, id_col=id_col)
+    return IvfIndex(assigned=assigned, centers=centers, id_col=id_col, seed=seed)
 
 
 def ivf_topk(
@@ -214,6 +217,13 @@ def ivf_topk(
 
     if index is None:
         index = build_ivf_index(corpus, id_col, vec_col, n_centroids, seed)
+    elif (len(index.centers), index.seed, index.id_col) != (n_centroids, seed, id_col):
+        raise ValueError(
+            f"prebuilt IVF index (n_centroids={len(index.centers)}, seed={index.seed}, "
+            f"id_col={index.id_col!r}) does not match the probe call "
+            f"(n_centroids={n_centroids}, seed={seed}, id_col={id_col!r})"
+        )
+    id_col = index.id_col
     assigned = index.assigned
 
     centers = F.array(
@@ -271,6 +281,22 @@ def _table_buckets(vec: Column, dim: int, bits: int, tables: int, seed: int = 42
     return F.array(*out)
 
 
+@dataclass
+class LshIndex:
+    """A built LSH index: the persisted corpus (id, table, bucket) keys
+    plus the hash params they were generated with. Query-side buckets
+    must use the SAME (dim, bits, tables, seed) family — a probe with
+    different params would silently join against foreign buckets — so
+    lsh_topk validates the call's params against these."""
+
+    keys: DataFrame  # (id_col, t, b)
+    id_col: str
+    dim: int
+    bits: int
+    tables: int
+    seed: int = 42
+
+
 def build_lsh_keys(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -278,20 +304,22 @@ def build_lsh_keys(
     dim: int = 64,
     bits: int = 5,
     tables: int = 10,
-) -> DataFrame:
+    seed: int = 42,
+) -> LshIndex:
     """The corpus side of the LSH index: one (id, table, bucket) row per
     hash table, persisted. This is the at-rest state — in production
     the corpus is written partitioned by (t, b) once and every query
     batch joins against it; here the persist plays that role so
     repeated batches skip the tables×bits projection pass."""
-    return (
+    keys = (
         corpus.select(
             F.col(id_col),
-            F.explode(_table_buckets(as_double(vec_col), dim, bits, tables)).alias("tb"),
+            F.explode(_table_buckets(as_double(vec_col), dim, bits, tables, seed)).alias("tb"),
         )
         .select(id_col, "tb.t", "tb.b")
         .persist()
     )
+    return LshIndex(keys=keys, id_col=id_col, dim=dim, bits=bits, tables=tables, seed=seed)
 
 
 def lsh_topk(
@@ -304,8 +332,9 @@ def lsh_topk(
     dim: int = 64,
     bits: int = 5,
     tables: int = 10,
+    seed: int = 42,
     exclude_self: bool = True,
-    corpus_keys: DataFrame | None = None,
+    corpus_keys: LshIndex | None = None,
 ) -> DataFrame:
     """ANN top-k via MULTI-TABLE random-hyperplane LSH: `tables`
     independent `bits`-bit sign hashes; a corpus vector is a candidate
@@ -324,14 +353,23 @@ def lsh_topk(
     query prunes to `tables` partitions at rest."""
     from pyspark.sql import Window
 
-    c_keys = corpus_keys
-    if c_keys is None:
-        c_keys = build_lsh_keys(corpus, id_col, vec_col, dim, bits, tables)
+    if corpus_keys is None:
+        corpus_keys = build_lsh_keys(corpus, id_col, vec_col, dim, bits, tables, seed)
+    elif (corpus_keys.dim, corpus_keys.bits, corpus_keys.tables, corpus_keys.seed, corpus_keys.id_col) != (
+        dim, bits, tables, seed, id_col
+    ):
+        raise ValueError(
+            f"prebuilt LSH index (dim={corpus_keys.dim}, bits={corpus_keys.bits}, "
+            f"tables={corpus_keys.tables}, seed={corpus_keys.seed}, id_col={corpus_keys.id_col!r}) "
+            f"does not match the probe call (dim={dim}, bits={bits}, tables={tables}, "
+            f"seed={seed}, id_col={id_col!r})"
+        )
+    id_col = corpus_keys.id_col
     q_keys = queries.select(
         F.col(query_id_col),
-        F.explode(_table_buckets(as_double(vec_col), dim, bits, tables)).alias("tb"),
+        F.explode(_table_buckets(as_double(vec_col), dim, bits, tables, seed)).alias("tb"),
     ).select(query_id_col, "tb.t", "tb.b")
-    cands = c_keys.join(F.broadcast(q_keys), ["t", "b"])
+    cands = corpus_keys.keys.join(F.broadcast(q_keys), ["t", "b"])
     if exclude_self:
         # see brute_force_topk: only valid when ids share a namespace
         cands = cands.where(F.col(query_id_col) != F.col(id_col))

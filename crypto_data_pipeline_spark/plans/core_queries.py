@@ -80,13 +80,21 @@ def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
             sid = hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:10]
             tbl = f"silver_history_{sid}"
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            # the tempdir must outlive the session (the table reads from
+            # it) but not the process — without the atexit hook each
+            # (session, sf_dir) leaks a full silver copy in /tmp
+            import atexit
+            import shutil
+
+            silver_dir = tempfile.mkdtemp(prefix=f"silver_{sid}_")
+            atexit.register(shutil.rmtree, silver_dir, ignore_errors=True)
             write_bucketed(
                 daily.repartition(32, ENTITY),
                 tbl,
                 [ENTITY],
                 32,
                 sort_cols=[ENTITY, DATE],
-                path=tempfile.mkdtemp(prefix=f"silver_{sid}_"),
+                path=silver_dir,
             )
             out = spark.table(tbl)
         except Exception:

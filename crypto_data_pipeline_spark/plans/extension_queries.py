@@ -452,6 +452,21 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CACHE: dict[tuple[str, str], "similarity.IvfIndex"] = {}
+_LSH_CACHE: dict[tuple[str, str], "similarity.LshIndex"] = {}
+
+
+def _cache_put(cache: dict, key: tuple[str, str], value, frame_of) -> None:
+    """Insert, evicting (and unpersisting) every other entry: stale
+    keys — prior sessions' applicationIds or other sf_dirs — would
+    otherwise pin their persisted partitions for the process lifetime.
+    One live index per cache matches the access pattern (a session
+    works one sf_dir at a time)."""
+    for k in [k for k in cache if k != key]:
+        try:
+            frame_of(cache.pop(k)).unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
+    cache[key] = value
 
 
 @register("embedding_ann_ivf", survey_ids=("EXT-sim",), oracle=None)
@@ -467,12 +482,9 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = _IVF_CACHE.get(key)
     if index is None:
         index = similarity.build_ivf_index(embs)
-        _IVF_CACHE[key] = index
+        _cache_put(_IVF_CACHE, key, index, lambda ix: ix.assigned)
     queries = embs.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.ivf_topk(embs, queries, k=5, index=index)
-
-
-_LSH_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 @register("embedding_ann_lsh", survey_ids=("EXT-sim",), oracle=None)
@@ -487,7 +499,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_keys = _LSH_CACHE.get(key)
     if c_keys is None:
         c_keys = similarity.build_lsh_keys(embs)
-        _LSH_CACHE[key] = c_keys
+        _cache_put(_LSH_CACHE, key, c_keys, lambda ix: ix.keys)
     queries = embs.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.lsh_topk(embs, queries, k=5, corpus_keys=c_keys)
 

@@ -66,10 +66,11 @@ def load_all() -> dict[str, QuerySpec]:
     id covered, within the driver's check budget."""
     _import_plans()
     main = {name: s for name, s in QUERIES.items() if not s.extra}
-    assert len(main) <= DRIVER_CAP, (
-        f"{len(main)} driver-facing queries exceed the {DRIVER_CAP}-entry "
-        "check budget; mark redundant-coverage entries extra=True"
-    )
+    if len(main) > DRIVER_CAP:  # not assert: must survive python -O
+        raise RuntimeError(
+            f"{len(main)} driver-facing queries exceed the {DRIVER_CAP}-entry "
+            "check budget; mark redundant-coverage entries extra=True"
+        )
     return main
 
 

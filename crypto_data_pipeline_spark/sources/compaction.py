@@ -40,13 +40,17 @@ def parquet_dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
     it = fs.listFiles(hpath, True)
+    root = hpath.toUri().getPath().rstrip("/")
     n_files = 0
     total = 0
     while it.hasNext():
         status = it.next()
-        name = status.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue  # _SUCCESS, checksums, metadata
+        rel = status.getPath().toUri().getPath()[len(root) :].lstrip("/")
+        # skip hidden files AND files under hidden dirs (_temporary/
+        # from an interrupted write, _spark_metadata/ from a streaming
+        # sink) — either would inflate the computed output file count
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
         n_files += 1
         total += status.getLen()
     return n_files, total

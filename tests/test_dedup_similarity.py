@@ -172,6 +172,25 @@ def test_lsh_topk_recall_floor(spark, sf_dir, emb):
     assert hits / total >= 0.2, f"LSH recall {hits}/{total}"
 
 
+def test_prebuilt_index_param_mismatch_raises(spark, sf_dir):
+    import pytest
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 3").selectExpr("vec_id AS query_id", "embedding")
+
+    lsh = similarity.build_lsh_keys(embs, bits=5, tables=10)
+    with pytest.raises(ValueError, match="LSH index"):
+        similarity.lsh_topk(embs, queries, bits=6, corpus_keys=lsh)
+
+    ivf = similarity.build_ivf_index(embs, n_centroids=4)
+    with pytest.raises(ValueError, match="IVF index"):
+        similarity.ivf_topk(embs, queries, n_centroids=8, index=ivf)
+    # matching params probe fine and honor the index's id_col
+    assert similarity.ivf_topk(embs, queries, n_centroids=4, index=ivf).count() > 0
+    ivf.assigned.unpersist()
+    lsh.keys.unpersist()
+
+
 def test_pii_redaction_patterns_fire(spark):
     """Crafted PII examples (the synthetic corpus contains none): each
     pattern class matches, counts come from the original text, and
