@@ -1,0 +1,77 @@
+"""Benchmark-contamination detection over the `documents` table
+(north star: LLM-training-data pipeline ops; BASELINE.json:6).
+
+Training corpora must be screened for verbatim overlap with evaluation
+benchmarks before training (the n-gram decontamination step of
+GPT-3/PaLM-style data pipelines: a training document is contaminated
+when it shares an exact word n-gram with any benchmark document).
+
+Spark-first shape, sized for 100 TB:
+  * the benchmark side is tiny by construction (eval suites are
+    thousands of documents vs billions of training docs), so its
+    distinct n-gram set BROADCASTS — the corpus never shuffles to
+    find candidates;
+  * corpus n-grams are generated inline by the same higher-order
+    array expression the dedup operators use (`word_shingles`) — the
+    scan streams through whole-stage codegen, no Python;
+  * only matching (doc, gram) rows reach the groupBy, so the one
+    shuffle carries contaminated hits, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from crypto_data_pipeline_spark.operators.dedup import shingle_sets
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-corpus-document contamination report: how many of the doc's
+    distinct word n-grams appear in ANY benchmark document.
+
+    Returns (doc_id, n_hits, n_grams, contamination_ratio), one row per
+    contaminated document (docs with zero overlap are absent — at scale
+    the clean 99.9% never leaves the scan stage).
+    """
+    bench_grams = (
+        shingle_sets(benchmark, id_col=id_col, text=text, k=n)
+        .select(F.explode("sh").alias("sg"))
+        .distinct()
+    )
+    corp = shingle_sets(corpus, id_col=id_col, text=text, k=n).select(
+        "id", F.size("sh").alias("n_grams"), F.explode("sh").alias("sg")
+    )
+    return (
+        corp.join(F.broadcast(bench_grams), "sg")
+        .groupBy("id", "n_grams")
+        .agg(F.count("*").alias("n_hits"))  # sh is distinct per doc
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("contamination_ratio"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    max_ratio: float = 0.0,
+) -> DataFrame:
+    """The filter twin: corpus rows whose contamination ratio is at or
+    below ``max_ratio`` (default: drop any overlap). Left anti join on
+    the (small) hit list, so the corpus passes through unshuffled."""
+    dirty = contamination_hits(corpus, benchmark, id_col, text, n).where(
+        F.col("contamination_ratio") > max_ratio
+    )
+    return corpus.join(F.broadcast(dirty.select(id_col)), id_col, "left_anti")

@@ -17,7 +17,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from crypto_data_pipeline_spark.operators import dedup, multimodal, sampling, similarity, text
+from crypto_data_pipeline_spark.operators import (
+    contamination,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from crypto_data_pipeline_spark.operators.text import LANG_PRIORITY, STOPWORDS
 from crypto_data_pipeline_spark.plans.registry import register
 from crypto_data_pipeline_spark.sources.tables import load_table
@@ -1019,3 +1026,49 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "format", "n_distinct_bytes",
         F.round("byte_entropy", 6).alias("byte_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (EXT-text / EXT-dedup): n-gram overlap screening
+
+_SHINGLE_SQL = f"""
+  SELECT doc_id AS id,
+         CASE WHEN len({TOKENS_SQL}) >= 3
+              THEN list_distinct(list_transform(range(len({TOKENS_SQL}) - 2),
+                     i -> array_to_string(list_slice({TOKENS_SQL}, i + 1, i + 3), ' ')))
+              ELSE [array_to_string({TOKENS_SQL}, ' ')]
+         END AS sh
+  FROM documents
+"""
+
+_CONTAMINATION_ORACLE = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+bench AS (SELECT DISTINCT unnest(sh) AS sg FROM sh WHERE id % 97 = 0),
+corp AS (SELECT id, len(sh) AS n_grams, unnest(sh) AS sg FROM sh WHERE id % 97 <> 0)
+SELECT corp.id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       round(CAST(count(*) AS DOUBLE) / n_grams, 6) AS contamination_ratio
+FROM corp JOIN bench USING (sg)
+GROUP BY 1, corp.n_grams
+"""
+
+
+@register(
+    "contamination_ngram",
+    survey_ids=("EXT-text", "EXT-dedup"),
+    extra=True,
+    oracle=_CONTAMINATION_ORACLE,
+)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screening: every ~1%-of-corpus document
+    (doc_id % 97 == 0) plays the held-out eval set; the rest is the
+    training corpus. A corpus doc is reported with how many of its
+    distinct word 3-grams appear verbatim anywhere in the benchmark —
+    the GPT-3/PaLM decontamination primitive. The benchmark n-gram set
+    broadcasts (eval suites are tiny vs the corpus), so the corpus
+    never shuffles to find candidates."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where((F.col("doc_id") % 97) == 0)
+    corpus = docs.where((F.col("doc_id") % 97) != 0)
+    return contamination.contamination_hits(corpus, bench)

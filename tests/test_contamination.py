@@ -1,0 +1,45 @@
+"""Benchmark-contamination screening: hit detection and the filter
+twin agree, clean docs survive, and the report is consistent."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_spark.operators import contamination
+from crypto_data_pipeline_spark.sources.tables import load_table
+
+
+def _split(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where((F.col("doc_id") % 97) == 0)
+    corpus = docs.where((F.col("doc_id") % 97) != 0)
+    return docs, bench, corpus
+
+
+def test_hits_are_consistent_and_bounded(spark, sf_dir):
+    _, bench, corpus = _split(spark, sf_dir)
+    hits = contamination.contamination_hits(corpus, bench).collect()
+    assert len(hits) > 0  # synthetic docs share template phrases
+    for r in hits:
+        assert 1 <= r.n_hits <= r.n_grams
+        assert abs(r.contamination_ratio - round(r.n_hits / r.n_grams, 6)) < 1e-9
+
+
+def test_decontaminate_removes_exactly_the_hit_docs(spark, sf_dir):
+    _, bench, corpus = _split(spark, sf_dir)
+    dirty = {
+        r.doc_id for r in contamination.contamination_hits(corpus, bench).collect()
+    }
+    clean = {r.doc_id for r in contamination.decontaminate(corpus, bench).collect()}
+    all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert clean == all_ids - dirty
+    assert clean  # not everything is contaminated
+
+
+def test_self_contamination_is_total(spark, sf_dir):
+    docs, _, _ = _split(spark, sf_dir)
+    sample = docs.limit(20)
+    hits = contamination.contamination_hits(sample, sample)
+    # every doc collides with itself on every n-gram → ratio 1.0
+    full = hits.where(F.col("contamination_ratio") == 1.0).count()
+    assert full == sample.count()
