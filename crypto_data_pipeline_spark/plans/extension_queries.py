@@ -1072,3 +1072,34 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.where((F.col("doc_id") % 97) == 0)
     corpus = docs.where((F.col("doc_id") % 97) != 0)
     return contamination.contamination_hits(corpus, bench)
+
+
+@register(
+    "interval_join_pairs",
+    survey_ids=("EXT-stream", "EXT-asof"),
+    extra=True,
+    oracle="""
+WITH purch AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) AS click_us,
+       c.value AS click_value
+FROM purch p JOIN clicks c
+  ON p.user_id = c.user_id
+ AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+""",
+)
+def interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/joins.py:click_purchase_pairs): every (purchase, click)
+    pair where the click fell in the preceding hour. The SAME plan
+    function runs as a watermarked symmetric-hash streaming join —
+    tests/test_streaming_join.py proves the streaming result equals
+    this frame — so the oracle here certifies both executions."""
+    from crypto_data_pipeline_spark.streaming.joins import click_purchase_pairs
+
+    return click_purchase_pairs(load_table(spark, sf_dir, "events"))
