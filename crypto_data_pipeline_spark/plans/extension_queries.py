@@ -1103,3 +1103,53 @@ def interval_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_spark.streaming.joins import click_purchase_pairs
 
     return click_purchase_pairs(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "zorder_cluster_keys",
+    survey_ids=("EXT-olap",),
+    extra=True,
+    oracle="""
+WITH b AS (
+  SELECT CAST(min(user_id) AS DOUBLE) AS xmin, CAST(max(user_id) AS DOUBLE) AS xmax,
+         min(value) AS vmin, max(value) AS vmax
+  FROM events WHERE value IS NOT NULL
+),
+q AS (
+  SELECT event_id,
+         least(greatest(CAST(floor((CAST(user_id AS DOUBLE) - xmin) / (xmax - xmin + 1e-9) * 65536) AS BIGINT),
+                        CAST(0 AS BIGINT)), CAST(65535 AS BIGINT)) AS zx,
+         least(greatest(CAST(floor((value - vmin) / (vmax - vmin + 1e-9) * 65536) AS BIGINT),
+                        CAST(0 AS BIGINT)), CAST(65535 AS BIGINT)) AS zy
+  FROM events, b WHERE value IS NOT NULL
+)
+SELECT event_id, zx, zy,
+       CAST(list_sum(list_transform(range(16), i ->
+            (((zx >> i) & 1) << (2 * i)) | (((zy >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+FROM q
+""",
+)
+def zorder_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-order clustering key for every event over the
+    (user_id, value) plane — the layout key write_zordered
+    (sources/zorder.py) range-partitions files on so parquet footer
+    stats prune on BOTH dimensions. Quantizer bounds ride a broadcast
+    1-row aggregate; bucketize + bit interleave are pure IEEE/bit
+    expressions the oracle mirrors term for term."""
+    from crypto_data_pipeline_spark.sources.zorder import bucketize, zvalue
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_id", "user_id", "value")
+    )
+    bounds = ev.agg(
+        F.min("user_id").alias("_xmin"), F.max("user_id").alias("_xmax"),
+        F.min("value").alias("_ymin"), F.max("value").alias("_ymax"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn("zx", bucketize(F.col("user_id"), F.col("_xmin"), F.col("_xmax")))
+        .withColumn("zy", bucketize(F.col("value"), F.col("_ymin"), F.col("_ymax")))
+        .select("event_id", "zx", "zy", zvalue(F.col("zx"), F.col("zy")).alias("z"))
+    )
