@@ -100,6 +100,37 @@ def with_lang_id(df: DataFrame, text: str = "text") -> DataFrame:
     return df
 
 
+# Gopher/C4-style document-level quality rules (Rae et al. 2021 §A1.1,
+# Raffel et al. 2020 §2.2 — thresholds adapted to this corpus's short
+# synthetic docs). Declaration order is the fail_reasons output order.
+QUALITY_RULES: tuple[tuple[str, str], ...] = (
+    ("too_short", "n_words < 20"),
+    ("too_long", "n_words > 5000"),
+    ("word_len_out", "mean_word_len < 3.0 OR mean_word_len > 10.0"),
+    ("punct_heavy", "punct_ratio > 0.1"),
+    ("no_stopwords", "stopword_ratio < 0.02"),
+    ("low_alpha", "alpha_ratio < 0.6"),
+)
+
+
+def with_quality_filter(df: DataFrame, text: str = "text") -> DataFrame:
+    """Composite corpus-quality filter: every QUALITY_RULES predicate
+    as a named flag, ``fail_reasons`` (comma-joined failed rule names,
+    declaration order) and the ``keep`` bit. Expects the stat columns
+    of with_text_stats; adds ``alpha_ratio`` (share of [a-z ] chars in
+    the normalized text — the Gopher alphabetic-character rule). All
+    flags are single boolean expressions over already-computed stats,
+    so the filter adds zero passes over the data."""
+    norm = normalized(text)
+    df = df.withColumn(
+        "alpha_ratio",
+        F.length(F.regexp_replace(norm, "[^a-z ]", "")).cast("double") / F.length(norm),
+    )
+    reasons = [F.when(F.expr(cond), F.lit(name)) for name, cond in QUALITY_RULES]
+    df = df.withColumn("fail_reasons", F.concat_ws(",", *reasons))
+    return df.withColumn("keep", (F.col("fail_reasons") == "").cast("int"))
+
+
 def with_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish regex token count
     (letter runs / digit runs / single punctuation)."""

@@ -278,6 +278,49 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QF_REASONS_SQL = ", ".join(
+    f"CASE WHEN {cond} THEN '{name}' END" for name, cond in text.QUALITY_RULES
+)
+
+_QUALITY_FILTER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({TOKENS_SQL}) AS BIGINT) AS n_words,
+         CAST(length(text) - length(regexp_replace(text, '[!?.,;:]', '', 'g')) AS DOUBLE)
+           / length(text) AS punct_ratio,
+         CAST(len(list_filter({TOKENS_SQL}, t -> t IN {STOPWORDS["en"]})) AS DOUBLE)
+           / len({TOKENS_SQL}) AS stopword_ratio,
+         CAST(list_sum(list_transform({TOKENS_SQL}, t -> length(t))) AS DOUBLE)
+           / len({TOKENS_SQL}) AS mean_word_len,
+         CAST(length(regexp_replace({NORM_SQL}, '[^a-z ]', '', 'g')) AS DOUBLE)
+           / length({NORM_SQL}) AS alpha_ratio
+  FROM documents
+)
+SELECT doc_id, lang, n_words, alpha_ratio,
+       concat_ws(',', {_QF_REASONS_SQL}) AS fail_reasons,
+       CAST(concat_ws(',', {_QF_REASONS_SQL}) = '' AS INT) AS keep
+FROM t
+"""
+
+
+@register(
+    "quality_filter",
+    survey_ids=("EXT-text",),
+    extra=True,
+    oracle=_QUALITY_FILTER_ORACLE,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style composite corpus filter: every document scored
+    against the named rule battery (length, word-shape, punctuation,
+    stopword-presence, alphabetic-ratio), emitting the keep bit and
+    the exact failed-rule list. The oracle's rule predicates are
+    generated from the SAME text.QUALITY_RULES table the Spark
+    expressions use, so thresholds cannot drift between engines. One
+    scan, zero shuffles, pure codegen."""
+    df = text.with_quality_filter(text.with_text_stats(_docs(spark, sf_dir)))
+    return df.select("doc_id", "lang", "n_words", "alpha_ratio", "fail_reasons", "keep")
+
+
 def _lang_score_sql(lang: str) -> str:
     return f"len(list_filter({TOKENS_SQL}, t -> t IN {STOPWORDS[lang]}))"
 

@@ -1,0 +1,35 @@
+"""Composite quality filter: crafted documents hit exactly the rules
+they violate, and fail_reasons preserves declaration order."""
+
+from __future__ import annotations
+
+from crypto_data_pipeline_spark.operators import text
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.with_quality_filter(text.with_text_stats(df))
+    return {r.doc_id: (r.keep, r.fail_reasons) for r in out.collect()}
+
+
+def test_rules_fire_individually(spark):
+    good = "the cat and the dog ran to the park in the morning " * 3  # 36 words, stopwords
+    rows = [
+        (1, good),
+        (2, "the cat and dog"),  # too_short (has stopwords, fine otherwise)
+        (3, ("extraordinarily " * 30 + "the a of to in is and " * 2).strip()),  # long words
+        (4, good.replace(" ", "!!! ")),  # punct_heavy
+        (5, "zebra quartz jumps over lazy foxes near rivers " * 5),  # no_stopwords
+    ]
+    got = _run(spark, rows)
+    assert got[1] == (1, "")
+    assert got[2][1].startswith("too_short")
+    assert "word_len_out" in got[3][1]
+    assert "punct_heavy" in got[4][1]
+    assert got[5] == (0, "no_stopwords")
+
+
+def test_fail_reasons_in_declaration_order(spark):
+    # short AND stopword-free → both rules, declaration order
+    got = _run(spark, [(1, "zebra quartz fox")])
+    assert got[1] == (0, "too_short,no_stopwords")
