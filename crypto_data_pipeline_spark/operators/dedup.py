@@ -20,6 +20,8 @@ array functions so signatures stay inside codegen).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from crypto_data_pipeline_spark.operators.text import normalized, tokens
@@ -43,6 +45,27 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
     """Keep exactly one row (min id) per normalized-content hash.
     Window-over-hash instead of join-back → single shuffle."""
     w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        df.withColumn("content_hash", F.md5(normalized(text)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def exact_dedup_prioritized(
+    df: DataFrame,
+    order_by: Sequence,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Cross-source survivorship: keep ONE row per normalized-content
+    hash, chosen by ``order_by`` (e.g. source-priority rank, then id as
+    the deterministic tiebreak) — the "keep the best copy" step when
+    the same document arrives from multiple crawls/feeds of different
+    quality. Same single-shuffle window-over-hash plan as exact_dedup,
+    only the ORDER BY differs."""
+    w = Window.partitionBy("content_hash").orderBy(*order_by)
     return (
         df.withColumn("content_hash", F.md5(normalized(text)))
         .withColumn("_rn", F.row_number().over(w))

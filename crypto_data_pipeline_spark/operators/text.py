@@ -131,6 +131,62 @@ def with_quality_filter(df: DataFrame, text: str = "text") -> DataFrame:
     return df.withColumn("keep", (F.col("fail_reasons") == "").cast("int"))
 
 
+def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher §A1.1 duplicate
+    n-gram fraction, doc-level): ``dup_word_ratio`` = share of word
+    occurrences that are repeats, ``dup_2gram_ratio`` = same over
+    adjacent word 2-grams (0.0 for sub-2-word docs). High values mark
+    boilerplate/spam for the quality filter. Pure higher-order array
+    expressions over one tokenization — no shuffle, no Python."""
+    toks = tokens(text)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 2), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))
+    )
+    dup_word = F.round(1 - F.size(F.array_distinct(toks)).cast("double") / n, 6)
+    dup_2gram = F.when(n >= 2, F.round(
+        1 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 6
+    )).otherwise(F.lit(0.0))
+    return df.withColumn("dup_word_ratio", dup_word).withColumn(
+        "dup_2gram_ratio", dup_2gram
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk: int = 32,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    token windows of ``chunk`` words starting every ``stride`` words
+    (overlapping when stride < chunk) — the context-window packing
+    prep step of an LLM training pipeline.
+
+    One row per (doc, window start): (id, start, n_tokens, chunk_text).
+    The window starts are a generated integer sequence exploded inline
+    and each chunk is a slice of the one tokenization — a single scan,
+    no self-join, no Python; row amplification is the output itself
+    (~n_words/stride rows per doc), which is the operator's contract.
+    """
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+    toks = tokens(text)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    exploded = df.select(
+        F.col(id_col), toks.alias("_toks"), F.explode(starts).alias("start")
+    )
+    piece = F.slice(F.col("_toks"), F.col("start") + 1, chunk)
+    return exploded.select(
+        id_col,
+        F.col("start").cast("long").alias("start"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
 def with_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish regex token count
     (letter runs / digit runs / single punctuation)."""

@@ -321,6 +321,82 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", "lang", "n_words", "alpha_ratio", "fail_reasons", "keep")
 
 
+@register(
+    "dedup_survivor_priority",
+    survey_ids=("EXT-dedup",),
+    extra=True,
+    oracle=f"""
+SELECT doc_id, source, content_hash
+FROM (
+  SELECT doc_id, source, md5({NORM_SQL}) AS content_hash,
+         row_number() OVER (PARTITION BY md5({NORM_SQL})
+                            ORDER BY CAST(substr(source, 4) AS INT), doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+""",
+)
+def dedup_survivor_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source survivorship: one copy per exact-duplicate group,
+    keeping the copy from the highest-priority source (lower srcN rank
+    wins; doc_id tiebreak) — "keep the best copy" when the same doc
+    arrives from multiple feeds. Single window shuffle on the content
+    hash (operators/dedup.py:exact_dedup_prioritized)."""
+    out = dedup.exact_dedup_prioritized(
+        _docs(spark, sf_dir),
+        order_by=[F.expr("CAST(substring(source, 4) AS INT)"), F.col("doc_id")],
+    )
+    return out.select("doc_id", "source", "content_hash")
+
+
+@register(
+    "repetition_stats",
+    survey_ids=("EXT-text",),
+    extra=True,
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_word_ratio,
+       CASE WHEN len(toks) >= 2
+            THEN round(1 - CAST(len(list_distinct(list_transform(range(len(toks) - 1),
+                   i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')))) AS DOUBLE)
+                 / (len(toks) - 1), 6)
+            ELSE 0.0
+       END AS dup_2gram_ratio
+FROM t
+""",
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition signals (Gopher duplicate n-gram fraction,
+    doc-level): repeated-word share and repeated-2-gram share per
+    document — the boilerplate/spam axis the composite quality filter
+    draws on."""
+    return text.with_repetition_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "dup_word_ratio", "dup_2gram_ratio"
+    )
+
+
+@register(
+    "doc_chunks",
+    survey_ids=("EXT-text", "EXT-sample"),
+    extra=True,
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS start,
+       CAST(len(list_slice(toks, i + 1, i + 32)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, i + 1, i + 32), ' ') AS chunk_text
+FROM t, UNNEST(range(0, len(toks), 16)) AS u(i)
+""",
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: every document split into 32-token
+    windows every 16 tokens (50% overlap) — the context-window prep
+    step before token-budget packing (pack_token_budget). Inline
+    sequence-explode + slice of one tokenization: single scan, no
+    self-join, no Python."""
+    return text.chunk_tokens(_docs(spark, sf_dir), chunk=32, stride=16)
+
+
 def _lang_score_sql(lang: str) -> str:
     return f"len(list_filter({TOKENS_SQL}, t -> t IN {STOPWORDS[lang]}))"
 
