@@ -65,12 +65,24 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
-    q = queries.select(F.col(query_id_col), as_double(vec_col).alias("_qv"))
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv"))
+    # norms are hoisted to per-ROW columns before the crossJoin — the
+    # per-pair expression would otherwise recompute each side's norm
+    # once per (query, corpus) pair, k|Q|× redundant work. Same
+    # expression tree per value, so results are bit-identical to the
+    # inline cosine() and the DuckDB oracle.
+    q = queries.select(
+        F.col(query_id_col), as_double(vec_col).alias("_qv")
+    ).withColumn("_qn", norm(F.col("_qv")))
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("_cv")).withColumn(
+        "_cn", norm(F.col("_cv"))
+    )
     scored = c.crossJoin(F.broadcast(q))
     if exclude_self:
         scored = scored.where(F.col(query_id_col) != F.col(id_col))
-    scored = scored.withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    scored = scored.withColumn(
+        "cosine",
+        F.round(dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 6),
+    )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -92,14 +104,17 @@ def near_dup_pairs_by_cosine(
     side = df.select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
+    ).withColumn("n", norm(F.col("v")))  # per-row, not per-pair (see brute_force_topk)
     a, b = side.alias("a"), side.alias("b")
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
     return (
         a.join(b, cond)
-        .withColumn("cosine", F.round(cosine(F.col("a.v"), F.col("b.v")), 6))
+        .withColumn(
+            "cosine",
+            F.round(dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 6),
+        )
         .where(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )
