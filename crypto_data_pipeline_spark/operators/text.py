@@ -187,6 +187,52 @@ def chunk_tokens(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms (smoothed idf =
+    ln((N+1)/(df+1)) + 1, tf = in-doc count / doc length) — the
+    classic keyword-extraction / relevance-weighting primitive.
+
+    Plan shape at scale: one explode of the tokenization, ONE shuffle
+    on term for (doc, term) counts, a broadcast join of the (small,
+    vocabulary-sized) document-frequency table back onto it, and a
+    per-doc window for the top-k. The corpus row count rides in via a
+    broadcast 1-row aggregate, not a driver collect. Scores are
+    rounded to 6 dp before ranking (id/term tiebreaks) so the ranking
+    is deterministic and engine-portable.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col), F.size(tokens(text)).alias("_len"), F.explode(tokens(text)).alias("term")
+    )
+    per_doc = terms.groupBy(id_col, "_len", "term").agg(F.count(F.lit(1)).alias("_tc"))
+    docfreq = per_doc.groupBy("term").agg(F.countDistinct(id_col).alias("_df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        per_doc.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("_tc").cast("double") / F.col("_len"))
+                * (F.log((F.col("_n").cast("double") + 1) / (F.col("_df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
 def with_token_counts(df: DataFrame, text: str = "text") -> DataFrame:
     """Whitespace token count + a BPE-ish regex token count
     (letter runs / digit runs / single punctuation)."""

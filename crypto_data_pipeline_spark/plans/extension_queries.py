@@ -397,6 +397,35 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_tokens(_docs(spark, sf_dir), chunk=32, stride=16)
 
 
+@register(
+    "tfidf_top_terms",
+    survey_ids=("EXT-text",),
+    extra=True,
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+terms AS (SELECT doc_id, len(toks) AS dlen, unnest(toks) AS term FROM t),
+pd AS (SELECT doc_id, dlen, term, count(*) AS tc FROM terms GROUP BY 1, 2, 3),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS dfreq FROM pd GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM t),
+scored AS (
+  SELECT pd.doc_id, pd.term,
+         round((CAST(tc AS DOUBLE) / dlen)
+               * (ln((CAST(nd AS DOUBLE) + 1) / (dfreq + 1)) + 1), 6) AS tfidf
+  FROM pd JOIN dfq USING (term), n
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (smoothed idf). One term
+    shuffle + broadcast document-frequency join + per-doc top-k window
+    (operators/text.py:tfidf_top_terms); scores rounded to 6 dp before
+    ranking so both engines rank identically."""
+    return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def _lang_score_sql(lang: str) -> str:
     return f"len(list_filter({TOKENS_SQL}, t -> t IN {STOPWORDS[lang]}))"
 
