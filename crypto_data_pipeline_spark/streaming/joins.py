@@ -29,6 +29,7 @@ def click_purchase_pairs(
     events: DataFrame,
     lookback: str = "1 hour",
     watermark_delay: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """(purchase, click) pairs where the click landed within
     ``lookback`` before the purchase, for the same user.
@@ -41,7 +42,15 @@ def click_purchase_pairs(
     Returns (event_id, user_id, purchase_us, click_us, click_value):
     epoch-microsecond longs rather than timestamps so the output is
     bit-stable across engines and sinks.
+
+    ``how="left_outer"`` additionally emits click-less purchases with
+    null click columns. In streaming, an outer row is held until the
+    watermark proves no matching click can still arrive (purchase_ts +
+    lookback + watermark_delay), then emitted exactly once — the state
+    store's eviction doubles as the "no match exists" proof.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
     clicks = (
         events.where(F.col("event_type") == "click")
         .select(
@@ -63,7 +72,7 @@ def click_purchase_pairs(
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {lookback}")),
-        "inner",
+        how,
     )
     return joined.select(
         "event_id",

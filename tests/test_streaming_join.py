@@ -36,6 +36,64 @@ def test_stream_join_matches_batch_twin(spark, sf_dir, tmp_path):
     assert expected  # the synthetic stream has qualifying pairs
 
 
+def test_stream_left_outer_join_releases_unmatched(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream join: click-less purchases are emitted
+    with null click columns once the watermark proves no match can
+    arrive. A far-future 'clock' purchase in a second micro-batch
+    drives the watermark past every batch-0 purchase, so the streaming
+    result (minus the clock's own still-held row) equals the batch
+    twin exactly."""
+    import glob
+    import os
+    import shutil
+
+    events = load_table(spark, sf_dir, "events")
+    stage0 = str(tmp_path / "stage0")
+    events.coalesce(1).write.parquet(stage0)
+    max_ts = events.agg(F.max("ts")).first()[0]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    f0 = shutil.copy(glob.glob(stage0 + "/part-*.parquet")[0], src + "/batch0.parquet")
+    now = os.path.getmtime(f0)
+    # two clock batches: watermark updates at end-of-batch and state
+    # evicts in the NEXT batch, so clock1 advances the watermark past
+    # every real purchase and clock2 triggers the eviction pass that
+    # emits their outer rows
+    for i, days in enumerate((10, 20), start=1):
+        # the global watermark is the MIN across both branch watermarks,
+        # so each clock batch must tick BOTH event types — a purchase
+        # alone would leave the click branch's watermark at batch 0
+        clock = spark.createDataFrame(
+            [(-2 * i, max_ts, -1, "purchase", 0.0, "{}"),
+             (-2 * i - 1, max_ts, -1, "click", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS"))
+        stage = str(tmp_path / f"stage{i}")
+        clock.select(*events.columns).coalesce(1).write.parquet(stage)
+        fi = shutil.copy(glob.glob(stage + "/part-*.parquet")[0], src + f"/batch{i}.parquet")
+        os.utime(fi, (now + 60 * i, now + 60 * i))  # strictly later per batch
+
+    schema = spark.read.parquet(stage0).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = (
+        click_purchase_pairs(stream, how="left_outer")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = _collect_pairs(spark.read.parquet(out).where(F.col("user_id") != -1))
+    expected = _collect_pairs(click_purchase_pairs(events, how="left_outer"))
+    assert got == expected
+    assert any(r[3] is None for r in expected)  # outer rows exist
+
+
 def test_stream_join_plan_is_stateful_symmetric_hash(spark, sf_dir):
     """The streaming plan must be the watermark-evicting symmetric hash
     join (StreamingSymmetricHashJoin), not a nested loop — state stays
