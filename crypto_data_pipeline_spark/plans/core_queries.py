@@ -1067,6 +1067,87 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_ORACLE = """
+WITH stamped AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, event_type, us,
+         SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM stamped
+),
+per_session AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'click' THEN us END) AS first_click_us,
+         max(CASE WHEN event_type = 'purchase' THEN us END) AS last_purchase_us
+  FROM sessions
+  GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN first_click_us IS NOT NULL
+                      AND last_purchase_us >= first_click_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       round(CAST(sum(CASE WHEN first_click_us IS NOT NULL
+                            AND last_purchase_us >= first_click_us THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS conv_rate
+FROM per_session
+GROUP BY 1
+"""
+
+
+@register(
+    "session_funnel",
+    extra=True,
+    survey_ids=("A2", "W3", "EXT-olap"),
+    oracle=_FUNNEL_ORACLE,
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion funnel over the 30-minute-gap
+    sessions: a session converts when it contains a click and a
+    purchase at-or-after the first click. Same one-Exchange
+    gaps-and-islands chain as `sessionization` (the windows and both
+    groupBys share the user_id partitioning), with the funnel flags as
+    conditional aggregates — no extra shuffle, no self-join."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    stamped = events.select(
+        "user_id", "event_id", "event_type", us.alias("us"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = stamped.withColumn(
+        "session_id",
+        F.sum(
+            F.when(
+                F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > 1800000000), 1
+            ).otherwise(0)
+        ).over(wrun),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("us"))).alias("first_click_us"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("last_purchase_us"),
+    )
+    converted = (
+        F.col("first_click_us").isNotNull()
+        & (F.col("last_purchase_us") >= F.col("first_click_us"))
+    ).cast("int")
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(converted).cast("bigint").alias("n_converted"),
+        F.round(F.sum(converted).cast("double") / F.count(F.lit(1)), 6).alias("conv_rate"),
+    )
+
+
 @register(
     "value_histogram",
     extra=True,

@@ -894,14 +894,48 @@ def catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # custom stateful streaming
 
 
-@register("sessionize_stateful", survey_ids=("ST1", "ST2", "EXT-stream"), oracle=None)
+_SESSIONIZE_STATEFUL_ORACLE = """
+WITH stamped AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, us,
+         SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM stamped
+),
+per_session AS (
+  SELECT user_id, session_id,
+         min(us) AS session_start_us, max(us) AS session_end_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sessions GROUP BY 1, 2
+),
+last AS (SELECT user_id, max(session_id) AS last_id FROM per_session GROUP BY 1)
+SELECT p.user_id, p.session_start_us, p.session_end_us, p.n_events
+FROM per_session p JOIN last l
+  ON p.user_id = l.user_id AND p.session_id <> l.last_id
+"""
+
+
+@register(
+    "sessionize_stateful",
+    survey_ids=("ST1", "ST2", "EXT-stream"),
+    oracle=_SESSIONIZE_STATEFUL_ORACLE,
+)
 def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The applyInPandasWithState gap-sessionizer run as a real
     Structured Streaming query (availableNow over the events parquet,
-    exactly-once file sink), returning the closed sessions. Rows-only
-    driver check by necessity (streaming + state store); the batch
-    equivalence proof lives in
-    tests/test_sources_streaming.py::test_sessionizer_matches_batch_twin."""
+    exactly-once file sink), returning the closed sessions. With no
+    timeout flush, "closed" is exactly "every session except each
+    user's trailing one" — an all-integer frame the gaps-and-islands
+    SQL twin reproduces, so even the custom state-store operator is
+    hash-checked (total_value stays out of the gate projection: its
+    float sum order is engine-specific; the batch-equivalence test
+    tests/test_sources_streaming.py::test_sessionizer_matches_batch_twin
+    covers it)."""
     import tempfile
 
     from crypto_data_pipeline_spark.sources.tables import load_events_stream
@@ -920,7 +954,9 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )
 
 
 @register(

@@ -129,3 +129,24 @@ def test_filtered_scan_prunes_wide_columns(spark, sf_dir):
     plan = _plan(ev)
     scan = next(line for line in plan.splitlines() if "FileScan" in line)
     assert "props" not in scan
+
+
+def test_hive_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Date-partitioned silver layout: a day-equality read must prune
+    at the DIRECTORY level (PartitionFilters on the hive partition
+    column), scanning one partition's files — the at-rest layout that
+    lets a 100 TB table serve a one-day query with a one-day scan."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    ev.write.partitionBy("day").parquet(out)
+
+    back = spark.read.parquet(out)
+    one_day = back.select("day").distinct().limit(1).first()[0]
+    q = back.where(F.col("day") == F.lit(one_day))
+    plan = _plan(q)
+    scan = next(line for line in plan.splitlines() if "FileScan" in line)
+    assert "PartitionFilters" in scan and "day" in scan.split("PartitionFilters")[1][:120]
+    # and the pruned read returns exactly that day's rows
+    assert q.count() == ev.where(F.col("day") == F.lit(one_day)).count()
