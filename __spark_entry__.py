@@ -41,8 +41,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twins for every SQL-expressible query. Hash-dependent ops
-    (minhash/simhash/LSH ANN) and Arrow-UDF plumbing are rows-only by
-    design — their exactness baselines (exact Jaccard, brute-force
-    cosine) ARE oracle-checked."""
+    """DuckDB twins for every SQL-expressible query — including the
+    stateful streaming sessionizer (integer session frame) and the LSH
+    ANN path (deterministic hyperplanes inlined as SQL literals). The
+    remaining rows-only entries are xxhash64-dependent ops
+    (minhash/simhash), the iterative-KMeans IVF index, and the ML model
+    zoo — each with an oracle-checked exactness baseline or pinned
+    sanity twin."""
     return {name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None}

@@ -642,13 +642,64 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(embs, queries, k=5, index=index)
 
 
-@register("embedding_ann_lsh", survey_ids=("EXT-sim",), oracle=None)
+def _lsh_oracle(dim: int = 64, bits: int = 5, tables: int = 10, k: int = 5) -> str:
+    """DuckDB twin of the full multi-table LSH ANN pipeline. The
+    hyperplanes are deterministic (LCG, similarity._hyperplanes), so
+    they inline as literals in a VALUES table and DuckDB re-derives the
+    same buckets, candidates, and ranking — even the recall-lossy ANN
+    path is differentially checked, not just its exact baseline. Bucket
+    bits are sign decisions (dot > 0), so engine summation-order noise
+    (~1e-16) cannot flip them except for dots within 1e-15 of zero —
+    probability ~0 for random planes."""
+    from crypto_data_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits * tables, seed=42)
+    rows = []
+    for t in range(tables):
+        for i in range(bits):
+            lit = "[" + ", ".join(repr(x) for x in planes[t * bits + i]) + "]"
+            rows.append(f"({t}, {i}, {lit}::DOUBLE[])")
+    values = ",\n".join(rows)
+    return f"""
+WITH planes(t, i, pv) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+keys AS (
+  SELECT e.vec_id, p.t,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                       THEN (1 << p.i) ELSE 0 END) AS BIGINT) AS b
+  FROM e CROSS JOIN planes p GROUP BY 1, 2
+),
+qk AS (SELECT vec_id AS query_id, t, b FROM keys WHERE vec_id < 10),
+cands AS (
+  SELECT DISTINCT qk.query_id, c.vec_id
+  FROM qk JOIN keys c USING (t, b)
+  WHERE c.vec_id <> qk.query_id
+),
+scored AS (
+  SELECT cands.query_id, cands.vec_id,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+           AS cosine
+  FROM cands
+  JOIN e q ON q.vec_id = cands.query_id
+  JOIN e c ON c.vec_id = cands.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}
+"""
+
+
+@register("embedding_ann_lsh", survey_ids=("EXT-sim",), oracle=_lsh_oracle())
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via random-hyperplane LSH bucketing (recall-lossy scale
-    path; tests compare recall against the brute-force baseline). The
-    corpus (id, table, bucket) keys — the at-rest index side — build
-    once per (session, corpus) and are cached, mirroring the IVF
-    train/search split."""
+    path; tests ALSO compare recall against the brute-force baseline).
+    The corpus (id, table, bucket) keys — the at-rest index side —
+    build once per (session, corpus) and are cached, mirroring the IVF
+    train/search split. Hash-checked end to end: the deterministic
+    hyperplanes inline into the DuckDB oracle (see _lsh_oracle)."""
     embs = _embs(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     c_keys = _LSH_CACHE.get(key)
