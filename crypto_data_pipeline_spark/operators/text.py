@@ -110,6 +110,7 @@ QUALITY_RULES: tuple[tuple[str, str], ...] = (
     ("punct_heavy", "punct_ratio > 0.1"),
     ("no_stopwords", "stopword_ratio < 0.02"),
     ("low_alpha", "alpha_ratio < 0.6"),
+    ("repetitive", "dup_2gram_ratio > 0.1"),
 )
 
 
@@ -118,9 +119,12 @@ def with_quality_filter(df: DataFrame, text: str = "text") -> DataFrame:
     as a named flag, ``fail_reasons`` (comma-joined failed rule names,
     declaration order) and the ``keep`` bit. Expects the stat columns
     of with_text_stats; adds ``alpha_ratio`` (share of [a-z ] chars in
-    the normalized text — the Gopher alphabetic-character rule). All
-    flags are single boolean expressions over already-computed stats,
-    so the filter adds zero passes over the data."""
+    the normalized text — the Gopher alphabetic-character rule) and the
+    repetition columns (with_repetition_stats) when absent. All flags
+    are single boolean expressions over already-computed stats, so the
+    filter adds zero passes over the data."""
+    if "dup_2gram_ratio" not in df.columns:
+        df = with_repetition_stats(df, text)
     norm = normalized(text)
     df = df.withColumn(
         "alpha_ratio",

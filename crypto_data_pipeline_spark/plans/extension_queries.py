@@ -293,10 +293,16 @@ WITH t AS (
          CAST(list_sum(list_transform({TOKENS_SQL}, t -> length(t))) AS DOUBLE)
            / len({TOKENS_SQL}) AS mean_word_len,
          CAST(length(regexp_replace({NORM_SQL}, '[^a-z ]', '', 'g')) AS DOUBLE)
-           / length({NORM_SQL}) AS alpha_ratio
+           / length({NORM_SQL}) AS alpha_ratio,
+         CASE WHEN len({TOKENS_SQL}) >= 2
+              THEN round(1 - CAST(len(list_distinct(list_transform(range(len({TOKENS_SQL}) - 1),
+                     i -> array_to_string(list_slice({TOKENS_SQL}, i + 1, i + 2), ' ')))) AS DOUBLE)
+                   / (len({TOKENS_SQL}) - 1), 6)
+              ELSE 0.0
+         END AS dup_2gram_ratio
   FROM documents
 )
-SELECT doc_id, lang, n_words, alpha_ratio,
+SELECT doc_id, lang, n_words, alpha_ratio, dup_2gram_ratio,
        concat_ws(',', {_QF_REASONS_SQL}) AS fail_reasons,
        CAST(concat_ws(',', {_QF_REASONS_SQL}) = '' AS INT) AS keep
 FROM t
@@ -318,7 +324,10 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions use, so thresholds cannot drift between engines. One
     scan, zero shuffles, pure codegen."""
     df = text.with_quality_filter(text.with_text_stats(_docs(spark, sf_dir)))
-    return df.select("doc_id", "lang", "n_words", "alpha_ratio", "fail_reasons", "keep")
+    return df.select(
+        "doc_id", "lang", "n_words", "alpha_ratio", "dup_2gram_ratio",
+        "fail_reasons", "keep",
+    )
 
 
 @register(

@@ -13,20 +13,25 @@ def _run(spark, rows):
 
 
 def test_rules_fire_individually(spark):
-    good = "the cat and the dog ran to the park in the morning " * 3  # 36 words, stopwords
+    # varied words so the repetition rule stays quiet on the good doc
+    good = (
+        "the cat and a dog ran to my park in one morning while two birds "
+        "sang of old songs as the sun rose over a quiet hill and children "
+        "walked to school past the red barn near this river bend today"
+    )
     rows = [
         (1, good),
         (2, "the cat and dog"),  # too_short (has stopwords, fine otherwise)
         (3, ("extraordinarily " * 30 + "the a of to in is and " * 2).strip()),  # long words
         (4, good.replace(" ", "!!! ")),  # punct_heavy
-        (5, "zebra quartz jumps over lazy foxes near rivers " * 5),  # no_stopwords
+        (5, "zebra quartz jumps over lazy foxes near rivers " * 5),  # no_stopwords + repeats
     ]
     got = _run(spark, rows)
     assert got[1] == (1, "")
     assert got[2][1].startswith("too_short")
     assert "word_len_out" in got[3][1]
     assert "punct_heavy" in got[4][1]
-    assert got[5] == (0, "no_stopwords")
+    assert got[5] == (0, "no_stopwords,repetitive")
 
 
 def test_fail_reasons_in_declaration_order(spark):
