@@ -201,6 +201,45 @@ def build_ivf_index(
     return IvfIndex(assigned=assigned, centers=centers, id_col=id_col, seed=seed)
 
 
+def write_ivf_index(index: IvfIndex, path: str) -> None:
+    """Persist the index at rest: the assigned corpus partitioned BY
+    CELL (hive layout — a probe of nprobe cells reads nprobe
+    directories, the FAISS inverted-list property expressed as storage
+    partitioning) plus a JSON sidecar with the centroids and build
+    params. Local-fs sidecar IO here; on a cluster the same bytes go
+    to object storage."""
+    import json
+    import os
+
+    index.assigned.write.mode("overwrite").partitionBy("_cell").parquet(
+        os.path.join(path, "assigned")
+    )
+    with open(os.path.join(path, "centers.json"), "w") as f:
+        json.dump(
+            {"centers": index.centers, "id_col": index.id_col, "seed": index.seed}, f
+        )
+
+
+def read_ivf_index(spark, path: str) -> IvfIndex:
+    """Load a write_ivf_index layout. The assigned frame is a lazy
+    partitioned scan — cell-equality predicates prune at the directory
+    level, so a probe touches nprobe partitions, not the corpus."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centers.json")) as f:
+        meta = json.load(f)
+    assigned = spark.read.parquet(os.path.join(path, "assigned")).select(
+        meta["id_col"], "_cv", "_cell"
+    )
+    return IvfIndex(
+        assigned=assigned,
+        centers=[[float(x) for x in c] for c in meta["centers"]],
+        id_col=meta["id_col"],
+        seed=int(meta["seed"]),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -172,6 +172,32 @@ def test_lsh_topk_recall_floor(spark, sf_dir, emb):
     assert hits / total >= 0.2, f"LSH recall {hits}/{total}"
 
 
+def test_ivf_index_roundtrips_through_cell_partitioned_layout(spark, sf_dir, tmp_path):
+    """write_ivf_index → read_ivf_index: probing the at-rest index
+    returns exactly the in-memory probe's rows, the layout is hive-
+    partitioned by cell (directory-level pruning for a probe), and a
+    one-cell read scans just that partition."""
+    import os
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+    ivf = similarity.build_ivf_index(embs, n_centroids=4)
+    mem = {tuple(r) for r in similarity.ivf_topk(embs, queries, n_centroids=4, index=ivf).collect()}
+
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(ivf, path)
+    ivf.assigned.unpersist()
+    loaded = similarity.read_ivf_index(spark, path)
+    got = {tuple(r) for r in similarity.ivf_topk(embs, queries, n_centroids=4, index=loaded).collect()}
+    assert got == mem
+
+    cells = [d for d in os.listdir(path + "/assigned") if d.startswith("_cell=")]
+    assert len(cells) == 4
+    one = loaded.assigned.where("_cell = 0")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
 def test_prebuilt_index_param_mismatch_raises(spark, sf_dir):
     import pytest
 
