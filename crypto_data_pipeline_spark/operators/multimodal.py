@@ -119,6 +119,56 @@ def decode_media(media_bytes: bytes, codec: str = "fake") -> bytes:
     return media_bytes  # fake codec: identity — plumbing stays real
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame_off", T.LongType(), False),
+        T.StructField("n_frame_bytes", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, stride: int = 2, codec: str = "fake"
+) -> DataFrame:
+    """Frame sampling over binary media: split each blob into fixed
+    ``frame_bytes`` frames and emit every ``stride``-th one as its own
+    row — the video/audio frame-extraction plumbing (one row per kept
+    frame, ready for a per-frame decoder or embedding stage).
+
+    Row amplification happens INSIDE mapInPandas (Arrow batch in,
+    longer Arrow batch out), so blobs never ride a shuffle to be split.
+    Frame identity is md5 over the frame's UPPERCASE hex — the one
+    blob-slice spelling DuckDB can mirror (`md5(substr(hex(b), …))`),
+    keeping even this binary operator differentially checkable.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                raw = decode_media(bytes(blob), codec=codec)
+                n = len(raw)
+                n_frames = (n + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    frame = raw[i * frame_bytes : (i + 1) * frame_bytes]
+                    rows.append(
+                        (
+                            int(doc_id),
+                            i,
+                            i * frame_bytes,
+                            len(frame),
+                            hashlib.md5(frame.hex().upper().encode()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select("doc_id", "media").mapInPandas(batches, FRAME_SCHEMA)
+
+
 def extract_media_features(media: DataFrame, codec: str = "fake", frame_stride: int = 64) -> DataFrame:
     """Arrow-batched feature extraction over binary media columns.
 

@@ -386,6 +386,34 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frames",
+    survey_ids=("EXT-mm",),
+    extra=True,
+    oracle="""
+WITH blobs AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       CAST(i * 64 AS BIGINT) AS frame_off,
+       CAST(least(64, n - i * 64) AS BIGINT) AS n_frame_bytes,
+       md5(substr(h, CAST(i * 128 + 1 AS BIGINT), 128)) AS frame_md5
+FROM blobs, UNNEST(range(0, CAST(ceil(n / 64.0) AS BIGINT), 2)) AS t(i)
+""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary media column: every 2nd 64-byte
+    frame of each blob as its own row with an md5 identity the oracle
+    re-derives from the hex expansion (operators/multimodal.py:
+    sample_frames — Arrow-batched mapInPandas, amplification inside
+    the batch, no shuffle of blob bytes)."""
+    media = multimodal.fake_media_from_documents(_docs(spark, sf_dir))
+    return multimodal.sample_frames(media, frame_bytes=64, stride=2)
+
+
+@register(
     "doc_chunks",
     survey_ids=("EXT-text", "EXT-sample"),
     extra=True,
