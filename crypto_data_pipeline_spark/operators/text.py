@@ -202,12 +202,13 @@ def tfidf_top_terms(
     classic keyword-extraction / relevance-weighting primitive.
 
     Plan shape at scale: one explode of the tokenization, ONE shuffle
-    on term for (doc, term) counts, a broadcast join of the (small,
-    vocabulary-sized) document-frequency table back onto it, and a
-    per-doc window for the top-k. The corpus row count rides in via a
-    broadcast 1-row aggregate, not a driver collect. Scores are
-    rounded to 6 dp before ranking (id/term tiebreaks) so the ranking
-    is deterministic and engine-portable.
+    on term for (doc, term) counts, the document-frequency table joined
+    back ON THE SAME term partitioning (no broadcast hint — a web-scale
+    vocabulary is not broadcast-safe; Catalyst/AQE still broadcasts it
+    when it measures small), and a per-doc window for the top-k. The
+    corpus row count rides in via a broadcast 1-row aggregate, not a
+    driver collect. Scores are rounded to 6 dp before ranking (id/term
+    tiebreaks) so the ranking is deterministic and engine-portable.
     """
     from pyspark.sql import Window
 
@@ -218,7 +219,7 @@ def tfidf_top_terms(
     docfreq = per_doc.groupBy("term").agg(F.countDistinct(id_col).alias("_df"))
     n_docs = df.agg(F.countDistinct(id_col).alias("_n"))
     scored = (
-        per_doc.join(F.broadcast(docfreq), "term")
+        per_doc.join(docfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

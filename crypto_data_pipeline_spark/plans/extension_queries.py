@@ -457,9 +457,9 @@ SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords (smoothed idf). One term
-    shuffle + broadcast document-frequency join + per-doc top-k window
-    (operators/text.py:tfidf_top_terms); scores rounded to 6 dp before
-    ranking so both engines rank identically."""
+    shuffle reused by the document-frequency join + per-doc top-k
+    window (operators/text.py:tfidf_top_terms); scores rounded to 6 dp
+    before ranking so both engines rank identically."""
     return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 

@@ -38,3 +38,34 @@ def test_fail_reasons_in_declaration_order(spark):
     # short AND stopword-free → both rules, declaration order
     got = _run(spark, [(1, "zebra quartz fox")])
     assert got[1] == (0, "too_short,no_stopwords")
+
+
+def test_quality_filter_runs_stateless_on_a_stream(spark, sf_dir, tmp_path):
+    """The whole scalar battery (stats + repetition + filter) is pure
+    projection, so the SAME plan runs under readStream with no state
+    store or watermark — streaming output equals the batch frame
+    row-for-row."""
+    from crypto_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    schema = docs.schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.[p]arquet")
+
+    def battery(df):
+        return text.with_quality_filter(text.with_text_stats(df)).select(
+            "doc_id", "fail_reasons", "keep"
+        )
+
+    out = str(tmp_path / "out")
+    q = (
+        battery(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    expected = {tuple(r) for r in battery(docs).collect()}
+    assert got == expected and got
