@@ -376,6 +376,51 @@ def build_lsh_keys(
     return LshIndex(keys=keys, id_col=id_col, dim=dim, bits=bits, tables=tables, seed=seed)
 
 
+def write_lsh_index(index: LshIndex, path: str) -> None:
+    """Persist the LSH index at rest: keys partitioned BY TABLE (one
+    directory per hash table — a probe reads its colliding buckets via
+    footer min/max on the sorted ``b`` column within each table dir)
+    plus a JSON sidecar carrying the hash-family params, so a reader
+    can never probe with a mismatched family."""
+    import json
+    import os
+
+    (
+        index.keys.repartitionByRange(index.tables, "t", "b")
+        .sortWithinPartitions("t", "b")
+        .write.mode("overwrite")
+        .partitionBy("t")
+        .parquet(os.path.join(path, "keys"))
+    )
+    with open(os.path.join(path, "params.json"), "w") as f:
+        json.dump(
+            {
+                "id_col": index.id_col,
+                "dim": index.dim,
+                "bits": index.bits,
+                "tables": index.tables,
+                "seed": index.seed,
+            },
+            f,
+        )
+
+
+def read_lsh_index(spark, path: str) -> LshIndex:
+    """Load a write_lsh_index layout; the keys come back as a lazy
+    partitioned scan (table-directory pruning + bucket min/max
+    pruning), params from the sidecar."""
+    import json
+    import os
+
+    with open(os.path.join(path, "params.json")) as f:
+        p = json.load(f)
+    keys = spark.read.parquet(os.path.join(path, "keys")).select(p["id_col"], "t", "b")
+    return LshIndex(
+        keys=keys, id_col=p["id_col"], dim=int(p["dim"]), bits=int(p["bits"]),
+        tables=int(p["tables"]), seed=int(p["seed"]),
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

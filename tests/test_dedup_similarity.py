@@ -198,6 +198,30 @@ def test_ivf_index_roundtrips_through_cell_partitioned_layout(spark, sf_dir, tmp
     assert "PartitionFilters" in plan
 
 
+def test_lsh_index_roundtrips_through_table_partitioned_layout(spark, sf_dir, tmp_path):
+    """write_lsh_index → read_lsh_index: probing the at-rest index
+    returns exactly the in-memory probe's rows and the params sidecar
+    still guards against family mismatch."""
+    import os
+
+    import pytest
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+    idx = similarity.build_lsh_keys(embs)
+    mem = {tuple(r) for r in similarity.lsh_topk(embs, queries, corpus_keys=idx).collect()}
+
+    path = str(tmp_path / "lsh")
+    similarity.write_lsh_index(idx, path)
+    idx.keys.unpersist()
+    loaded = similarity.read_lsh_index(spark, path)
+    got = {tuple(r) for r in similarity.lsh_topk(embs, queries, corpus_keys=loaded).collect()}
+    assert got == mem
+    assert len([d for d in os.listdir(path + "/keys") if d.startswith("t=")]) == 10
+    with pytest.raises(ValueError, match="LSH index"):
+        similarity.lsh_topk(embs, queries, bits=7, corpus_keys=loaded)
+
+
 def test_prebuilt_index_param_mismatch_raises(spark, sf_dir):
     import pytest
 
