@@ -91,6 +91,84 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+    partition_margin: int = 8,
+) -> DataFrame:
+    """Exact top-k cosine neighbors — the PARTITION-LOCAL-TOPK
+    formulation that scales where the crossJoin+window baseline stops:
+    each corpus partition scores its rows against the (driver-resident,
+    FAISS-`search(qs)`-style small) query batch with one numpy matmul
+    inside mapInPandas, emits only its local top-(k+margin) per query,
+    and a final JVM stage rounds + ranks the tiny
+    (n_partitions × |Q| × (k+margin)) candidate set. Nothing the size
+    of |corpus|×|Q| is ever materialized or shuffled — at 100 TB the
+    shuffle carries kilobytes, not the scored corpus.
+
+    The query batch is the ONLY driver-side collect (it is small by the
+    operator's contract — the corpus side streams through Arrow).
+    Scores are rounded 6 dp in the JVM before ranking, so the output is
+    bit-compatible with brute_force_topk and its DuckDB oracle (numpy's
+    matmul dot differs from the JVM fold by ≲1e-15, far inside the
+    rounding margin; the per-partition margin covers rounded-tie
+    boundary cases).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qm, qn))
+    take = k + partition_margin
+
+    partial_schema = (
+        f"{query_id_col} long, {id_col} long, _raw double"
+    )
+
+    def local_topk(it):
+        b_qids, b_qm, b_qn = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array([[float(x) for x in v] for v in pdf[vec_col]], dtype=np.float64)
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            sims = (cm @ b_qm.T) / np.outer(cn, b_qn)  # (N, Q)
+            out_q, out_i, out_s = [], [], []
+            for j in range(len(b_qids)):
+                col = sims[:, j]
+                mask = ids != b_qids[j] if exclude_self else np.ones(len(ids), bool)
+                cand = np.flatnonzero(mask)
+                if len(cand) == 0:
+                    continue
+                # top-take by (score desc, id asc): lexsort is ascending
+                order = cand[np.lexsort((ids[cand], -col[cand]))][:take]
+                out_q.extend([int(b_qids[j])] * len(order))
+                out_i.extend(int(ids[x]) for x in order)
+                out_s.extend(float(col[x]) for x in order)
+            yield pd.DataFrame({query_id_col: out_q, id_col: out_i, "_raw": out_s})
+
+    partial = corpus.select(id_col, as_double(vec_col).alias(vec_col)).mapInPandas(
+        local_topk, partial_schema
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        partial.withColumn("cosine", F.round(F.col("_raw"), 6))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def near_dup_pairs_by_cosine(
     df: DataFrame,
     threshold: float = 0.95,

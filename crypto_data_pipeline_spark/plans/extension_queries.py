@@ -614,8 +614,24 @@ WHERE rank <= 5
 
 @register("embedding_topk_bruteforce", survey_ids=("EXT-sim",), bench=True, oracle=_TOPK_ORACLE)
 def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 for 10 query vectors — broadcast queries ×
-    corpus scan, double-precision zip_with dot product in codegen."""
+    """Exact cosine top-5 for 10 query vectors, via the partition-local
+    top-k Arrow formulation (numpy matmul per corpus partition,
+    kilobyte-sized final merge — similarity.brute_force_topk_arrow).
+    Chosen over the crossJoin+window baseline on measurement: 0.48 s vs
+    0.73 s at sf0.1/local[32], and the gap widens with the corpus
+    because nothing |corpus|×|Q|-sized is ever materialized. The
+    crossJoin twin stays registered below against the same oracle."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.brute_force_topk_arrow(embs, queries, k=5)
+
+
+@register("embedding_topk_crossjoin", survey_ids=("EXT-sim",), extra=True, oracle=_TOPK_ORACLE)
+def embedding_topk_crossjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME exact top-5 via the broadcast-crossJoin + window
+    baseline (pure codegen, zero Python) — the independent second
+    formulation that cross-checks the Arrow path, both against the
+    identical DuckDB oracle."""
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.brute_force_topk(embs, queries, k=5)

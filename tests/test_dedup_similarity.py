@@ -142,6 +142,18 @@ def test_brute_force_topk_matches_numpy(spark, sf_dir, emb):
         assert [v for _, v in sorted(ranked)] == truth[q]
 
 
+def test_arrow_topk_equals_jvm_baseline(spark, sf_dir, emb):
+    """The partition-local-topk Arrow formulation must reproduce the
+    crossJoin+window baseline exactly (same rows, same rounded scores,
+    same ranks) — it is the same exact operator with a scalable
+    physical plan."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 10").selectExpr("vec_id AS query_id", "embedding")
+    base = {tuple(r) for r in similarity.brute_force_topk(embs, queries, k=5).collect()}
+    arrow = {tuple(r) for r in similarity.brute_force_topk_arrow(embs, queries, k=5).collect()}
+    assert arrow == base
+
+
 def test_ivf_topk_recall_floor(spark, sf_dir, emb):
     ids, mat = emb
     truth = _np_topk(ids, mat)
