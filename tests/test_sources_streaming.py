@@ -88,6 +88,26 @@ def test_csv_roundtrip(spark, tmp_path):
     assert [tuple(r) for r in back.collect()] == [("bitcoin", dt.date(2025, 1, 1), 60000.0)]
 
 
+def test_orc_and_jsonlines_roundtrip(spark, sf_dir, tmp_path):
+    """Format breadth beyond parquet/CSV/pretty-JSON: ORC and
+    newline-delimited JSON round-trip the lineitem table value-exact
+    (ORC keeps types natively; JSON-lines re-applies the scan schema on
+    read, the schema-on-read contract)."""
+    from crypto_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    expected = sorted(tuple(r) for r in li.collect())
+
+    orc = str(tmp_path / "orc")
+    li.write.orc(orc)
+    assert sorted(tuple(r) for r in spark.read.orc(orc).collect()) == expected
+
+    jl = str(tmp_path / "jsonl")
+    li.write.json(jl)
+    back = spark.read.schema(li.schema).json(jl)
+    assert sorted(tuple(r) for r in back.collect()) == expected
+
+
 def _silver_rows(spark, rows):
     return spark.createDataFrame(
         [
