@@ -890,6 +890,36 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_order_stats",
+    extra=True,
+    survey_ids=("A6", "EXT-olap"),
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP twin of cube_order_stats: the hierarchical grouping-set
+    ladder (flag,status) → (flag) → () in one pass/one shuffle —
+    the drill-down report shape, vs CUBE's full lattice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
     "distinct_users_exact_and_approx",
     extra=True,
     survey_ids=("A6", "EXT-olap"),
