@@ -257,6 +257,124 @@ def jaccard_verified_pairs(
     return out
 
 
+# --- portable MinHash twin: every stage reproducible in ANSI-ish SQL ---
+
+PORTABLE_MOD = 2147483647  # 2^31 - 1: products of two residues fit int64
+PORTABLE_BASE = 131
+
+
+def portable_minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs for the universal hash family
+    h_j(x) = (a_j·x + b_j) mod P — LCG-generated so the Spark
+    expressions and the DuckDB oracle derive the identical family."""
+    state = seed
+    out = []
+    for _ in range(num_hashes):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = (state % (PORTABLE_MOD - 2)) + 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % PORTABLE_MOD
+        out.append((a, b))
+    return out
+
+
+def _poly_fold(arr: Column) -> Column:
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda h, x: (h * PORTABLE_BASE + x) % F.lit(PORTABLE_MOD),
+    )
+
+
+def portable_hashed_shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, hs): distinct word-k-shingle hashes under the polynomial
+    char hash (h·131 + codepoint) mod 2^31-1 — exact integer arithmetic
+    both engines execute bit-identically (the same family the rolling
+    fingerprint proves portable). The CHECKABLE twin of
+    hashed_shingle_sets' xxhash64 fast path."""
+    shingle_hash = lambda s: _poly_fold(F.transform(F.split(s, ""), F.ascii))  # noqa: E731
+    hs = F.array_distinct(F.transform(word_shingles(text, k), shingle_hash))
+    return df.select(F.col(id_col).alias("id"), hs.alias("hs"))
+
+
+def minhash_dedup_pairs_portable(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with EVERY stage engine-portable:
+    polynomial shingle hashes, (a·x+b) mod P signature rows, polynomial
+    band keys, bucket pairing, exact-Jaccard verify — so the whole
+    lossy pipeline (not just its exactness baseline) hash-checks
+    against a DuckDB oracle. Same one-shuffle banding plan as the
+    xxhash64 fast path (lsh_candidate_pairs); the fast path remains
+    the production default, this twin is the differential proof."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide into equal bands")
+    r = num_hashes // bands
+    # no persist: the twin recomputes the (cheap at check SF) shingle
+    # pass rather than managing cache lifecycle inside a library call
+    sets = portable_hashed_shingle_sets(df, id_col, text, shingle_k)
+
+    params = portable_minhash_params(num_hashes)
+
+    def affine(a: int, b: int):
+        # closure factory, NOT default-arg lambdas: pyspark reads the
+        # function's parameter count as the HOF lambda arity
+        return lambda h: (h * a + b) % F.lit(PORTABLE_MOD)
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("hs"), affine(a, b))) for a, b in params]
+    )
+    banded = (
+        sets.select("id", sig.alias("sig"))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            _poly_fold(F.slice(F.col("sig"), b * r + 1, r)).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("id", "band.band_idx", "band.band_hash")
+    )
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    # prune verification to candidate docs only, as in minhash_dedup_pairs
+    cand_ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("_cid")).distinct()
+    pruned = sets.join(F.broadcast(cand_ids), F.col("id") == F.col("_cid"), "left_semi")
+    return jaccard_verified_pairs(pruned, pairs, threshold)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.7,

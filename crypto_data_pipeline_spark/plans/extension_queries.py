@@ -94,6 +94,83 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _portable_minhash_oracle(
+    threshold: float = 0.5, num_hashes: int = 16, bands: int = 4, max_bucket: int = 200
+) -> str:
+    """DuckDB twin of the ENTIRE portable MinHash-LSH pipeline
+    (dedup.minhash_dedup_pairs_portable): polynomial shingle hashes,
+    (a·x+b) mod P signature, polynomial band keys, bucket-capped
+    candidates, raw-Jaccard threshold then 6-dp rounding — every
+    constant generated from the same dedup.portable_minhash_params
+    the Spark expressions use."""
+    m = dedup.PORTABLE_MOD
+    base = dedup.PORTABLE_BASE
+    params = dedup.portable_minhash_params(num_hashes)
+    a_lit = "[" + ", ".join(str(a) for a, _ in params) + "]"
+    b_lit = "[" + ", ".join(str(b) for _, b in params) + "]"
+    r = num_hashes // bands
+    poly = f"(h, x) -> (h * {base} + x) % {m}"
+    return f"""
+WITH s0 AS (
+  SELECT doc_id AS id,
+         CASE WHEN len({TOKENS_SQL}) >= 3
+              THEN list_distinct(list_transform(range(len({TOKENS_SQL}) - 2),
+                     i -> array_to_string(list_slice({TOKENS_SQL}, i + 1, i + 3), ' ')))
+              ELSE [array_to_string({TOKENS_SQL}, ' ')]
+         END AS sh0
+  FROM documents
+),
+hs AS (
+  SELECT id, list_distinct(list_transform(sh0, sg ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(sg, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                       {poly}))) AS hs
+  FROM s0
+),
+sig AS (
+  SELECT id, hs, list_transform(range({num_hashes}), j ->
+           list_min(list_transform(hs, h -> (h * ({a_lit})[j + 1] + ({b_lit})[j + 1]) % {m}))) AS sig
+  FROM hs
+),
+bands AS (
+  SELECT id, b,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sig, b * {r} + 1, b * {r} + {r})),
+                     {poly}) AS band_hash
+  FROM sig, UNNEST(range({bands})) AS t(b)
+),
+sized AS (SELECT b, band_hash, count(*) AS n FROM bands GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM bands x
+  JOIN bands y ON x.b = y.b AND x.band_hash = y.band_hash AND x.id < y.id
+  JOIN sized s ON s.b = x.b AND s.band_hash = x.band_hash
+  WHERE s.n BETWEEN 2 AND {max_bucket}
+)
+SELECT id_a, id_b, round(jraw, 6) AS jaccard
+FROM (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.hs, b.hs))) AS jraw
+  FROM cand c JOIN hs a ON a.id = c.id_a JOIN hs b ON b.id = c.id_b
+)
+WHERE jraw >= {threshold}
+"""
+
+
+@register(
+    "dedup_minhash_portable",
+    survey_ids=("EXT-dedup",),
+    extra=True,
+    oracle=_portable_minhash_oracle(),
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with every stage engine-portable
+    (polynomial hashes instead of xxhash64) — the differential proof
+    that the LOSSY pipeline itself is computed correctly, complementing
+    the xxhash64 fast path's recall tests. Same banding plan shape."""
+    return dedup.minhash_dedup_pairs_portable(_docs(spark, sf_dir), threshold=0.5)
+
+
 _NGRAM_JACCARD_ORACLE = f"""
 WITH s0 AS (
   SELECT doc_id AS id,
