@@ -572,6 +572,86 @@ def simhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text: str = "
     )
 
 
+def simhash_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = 3,
+    bits: int = 28,
+    bands: int = 4,
+) -> DataFrame:
+    """Charikar simhash near-dup pairs with the engine-portable
+    polynomial token hash instead of xxhash64: a 28-bit sign-pack
+    (4 × 7-bit bands, pigeonhole-complete for Hamming ≤ 3), banded
+    candidates, exact bit_count(xor) verify — every value integer and
+    reproducible in DuckDB, so the full lossy simhash pipeline
+    hash-checks. Same plan shape as simhash_candidate_pairs; the
+    64-bit xxhash64 version stays the production fast path."""
+    if bits % bands:
+        raise ValueError("bits must divide into equal bands")
+    width = bits // bands
+    mask = (1 << width) - 1
+    toks = tokens(text)
+
+    def tok_hash(t: Column) -> Column:
+        return _poly_fold(F.transform(F.split(t, ""), F.ascii))
+
+    def contrib(t: Column) -> Column:
+        h = tok_hash(t)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for i in range(bits)
+            ]
+        )
+
+    acc = F.aggregate(
+        toks,
+        F.array(*[F.lit(0) for _ in range(bits)]),
+        lambda a, t: F.zip_with(a, contrib(t), lambda x, y: x + y),
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(bits):
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(acc, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sh = df.select(F.col(id_col).alias("id"), packed.alias("sh"))
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("sh", b * width).bitwiseAND(F.lit(mask)).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sh", "band.band_idx", "band.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def fuzzy_pairs_blocked(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -171,6 +171,55 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs_portable(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _portable_simhash_oracle(max_hamming: int = 3, bits: int = 28, bands: int = 4) -> str:
+    """DuckDB twin of dedup.simhash_pairs_portable — polynomial token
+    hashes, 28-bit sign-pack, 7-bit banding, bit_count(xor) verify."""
+    m = dedup.PORTABLE_MOD
+    base = dedup.PORTABLE_BASE
+    width = bits // bands
+    mask = (1 << width) - 1
+    return f"""
+WITH t AS (SELECT doc_id AS id, {TOKENS_SQL} AS toks FROM documents),
+th AS (
+  SELECT id, list_transform(toks, tok ->
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(tok, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                       (h, x) -> (h * {base} + x) % {m})) AS hs
+  FROM t
+),
+sh AS (
+  SELECT id, CAST(list_sum(list_transform(range({bits}), b ->
+           CASE WHEN list_sum(list_transform(hs, h ->
+                      CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sh
+  FROM th
+),
+bands AS (
+  SELECT id, sh, b, (sh >> (b * {width})) & {mask} AS band_key
+  FROM sh, UNNEST(range({bands})) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b, a.sh AS sh_a, c.sh AS sh_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.band_key = c.band_key AND a.id < c.id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+@register(
+    "dedup_simhash_portable",
+    survey_ids=("EXT-dedup",),
+    extra=True,
+    oracle=_portable_simhash_oracle(),
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup pairs with every stage engine-portable — the
+    differential proof for the simhash family, complementing the
+    xxhash64 64-bit fast path (dedup_simhash, rows-only)."""
+    return dedup.simhash_pairs_portable(_docs(spark, sf_dir))
+
+
 _NGRAM_JACCARD_ORACLE = f"""
 WITH s0 AS (
   SELECT doc_id AS id,
