@@ -43,9 +43,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible query — including the
     stateful streaming sessionizer (integer session frame) and the LSH
-    ANN path (deterministic hyperplanes inlined as SQL literals). The
-    remaining rows-only entries are xxhash64-dependent ops
-    (minhash/simhash), the iterative-KMeans IVF index, and the ML model
-    zoo — each with an oracle-checked exactness baseline or pinned
-    sanity twin."""
+    ANN path (deterministic hyperplanes inlined as SQL literals); the
+    MinHash-LSH and simhash pipelines additionally hash-check end to
+    end via engine-portable polynomial-hash twins (extras). The
+    remaining rows-only entries are the xxhash64 fast paths, the
+    iterative-KMeans IVF index, and the ML model zoo — each shadowed
+    by an oracle-checked twin, exactness baseline, or sanity pin."""
     return {name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None}
