@@ -920,6 +920,47 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_ntile_deciles",
+    extra=True,
+    survey_ids=("A6", "EXT-olap"),
+    oracle="""
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi
+FROM (
+  SELECT value,
+         CAST(ntile(10) OVER (ORDER BY value, event_id) AS INT) AS decile
+  FROM events WHERE value IS NOT NULL
+)
+GROUP BY 1
+""",
+)
+def value_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing via NTILE over a TOTAL order (value, event_id
+    tiebreak — without it equal values straddle bucket edges
+    nondeterministically), reduced to per-decile count/min/max. Both
+    engines use the ANSI equal-buckets-remainder-first rule, so the
+    assignment hash-matches exactly.
+
+    Scale note: an unpartitioned ORDER BY window is a one-partition
+    sort — correct here as the exactness reference, but at 100 TB the
+    same report comes from approx_percentile boundaries + width_bucket
+    (value_percentiles covers that sketch path)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(10).over(w).cast("int").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+@register(
     "distinct_users_exact_and_approx",
     extra=True,
     survey_ids=("A6", "EXT-olap"),
