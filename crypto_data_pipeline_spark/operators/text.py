@@ -191,6 +191,64 @@ def chunk_tokens(
     )
 
 
+def with_winnowing(
+    df: DataFrame,
+    text: str = "text",
+    k: int = 8,
+    window: int = 4,
+    base: int = 131,
+    mod: int = 2147483647,
+) -> DataFrame:
+    """Winnowing document sketch (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): over the char-k-gram rolling hashes, select the MINIMUM
+    of every ``window`` consecutive hashes; the distinct selected set
+    is the document's sketch. Guarantees: any shared substring of
+    length ≥ k+window-1 contributes at least one common fingerprint,
+    while storing only ~2/(window+1) of the grams — the match-detection
+    density/robustness trade the paper proves.
+
+    Adds n_fps (sketch size), min_fp, and fp_sum (exact-integer
+    checksum of the sketch). Pure array expressions under the portable
+    polynomial hash, so the DuckDB oracle reproduces the sketch
+    bit-for-bit."""
+    codes = F.transform(F.split(normalized(text), ""), F.ascii)
+    staged = df.withColumn("_codes", codes)
+    c = F.col("_codes")
+    n = F.size(c)
+
+    def poly(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda h, x: (h * base + x) % F.lit(mod)
+        )
+
+    grams = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(0), n - k), lambda i: poly(F.slice(c, i + 1, k))),
+    ).otherwise(F.array(poly(c)))
+    staged = staged.withColumn("_grams", grams)
+    g = F.col("_grams")
+    m = F.size(g)
+    sel = F.when(
+        m >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), m - window),
+                lambda i: F.array_min(F.slice(g, i + 1, window)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(g)))
+    staged = staged.withColumn("_fps", sel)
+    return (
+        staged.withColumn("n_fps", F.size("_fps").cast("long"))
+        .withColumn("min_fp", F.array_min("_fps"))
+        .withColumn(
+            "fp_sum",
+            F.aggregate(F.col("_fps"), F.lit(0).cast("long"), lambda a, x: a + x),
+        )
+        .drop("_codes", "_grams", "_fps")
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

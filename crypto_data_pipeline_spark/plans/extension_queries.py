@@ -700,6 +700,52 @@ FROM g
 """
 
 
+_WINNOWING_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id,
+         list_transform(string_split({NORM_SQL}, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(codes) >= 8 THEN
+           list_transform(range(len(codes) - 7), i ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(codes, i + 1, i + 8)),
+                         (h, x) -> (h * 131 + x) % 2147483647))
+         ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                           (h, x) -> (h * 131 + x) % 2147483647)]
+         END AS grams
+  FROM c
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= 4 THEN
+           list_distinct(list_transform(range(len(grams) - 3), i ->
+             list_min(list_slice(grams, i + 1, i + 4))))
+         ELSE [list_min(grams)]
+         END AS fps
+  FROM g
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fps,
+       list_min(fps) AS min_fp,
+       CAST(list_sum(fps) AS BIGINT) AS fp_sum
+FROM w
+"""
+
+
+@register("doc_winnowing", extra=True, survey_ids=("EXT-text", "EXT-dedup"),
+    oracle=_WINNOWING_ORACLE)
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing sketch per document: window-4 minimum selection
+    over the char-8-gram rolling hashes (operators/text.py:
+    with_winnowing) — the substring-match-guaranteed fingerprint set,
+    reproduced bit-for-bit by the oracle."""
+    return text.with_winnowing(_docs(spark, sf_dir)).select(
+        "doc_id", "n_fps", "min_fp", "fp_sum"
+    )
+
+
 @register("doc_fingerprint_rolling",
     extra=True, survey_ids=("EXT-text",), oracle=_ROLLING_FP_ORACLE)
 def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
