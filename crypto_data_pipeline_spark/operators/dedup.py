@@ -652,6 +652,60 @@ def simhash_pairs_portable(
     )
 
 
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_shared: int = 2,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Substring-level near-dup/containment pairs via shared winnowing
+    fingerprints: two documents share a fingerprint iff they share a
+    substring of length ≥ k+window-1 chars (the MOSS guarantee) — this
+    catches partial overlap and containment that whole-document
+    Jaccard dilutes away. Returns (id_a, id_b, shared, containment)
+    where containment = shared / min(|sketch_a|, |sketch_b|).
+
+    Plan: explode sketches, ONE shuffle on fingerprint, bucket pair
+    expansion with the same hot-bucket cap as LSH banding (a
+    boilerplate fingerprint shared by B docs would otherwise cost
+    O(B²)), then a broadcast join of the (small) per-doc sketch sizes.
+    Every value is exact-integer/single-division — fully
+    oracle-checkable."""
+    from crypto_data_pipeline_spark.operators.text import winnow_fps
+
+    sets = df.select(F.col(id_col).alias("id"), winnow_fps(text).alias("fps"))
+    sizes = sets.select("id", F.size("fps").cast("long").alias("n_fps"))
+    ex = sets.select("id", F.explode("fps").alias("fp"))
+    buckets = (
+        ex.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).groupBy("p.id_a", "p.id_b").agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    return (
+        pairs.where(F.col("shared") >= min_shared)
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_fps", "n_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_fps", "n_b")), "id_b")
+        .select(
+            "id_a", "id_b", "shared",
+            F.round(F.col("shared") / F.least("n_a", "n_b"), 6).alias("containment"),
+        )
+    )
+
+
 def fuzzy_pairs_blocked(
     df: DataFrame,
     id_col: str = "doc_id",

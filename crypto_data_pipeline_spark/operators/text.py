@@ -211,10 +211,29 @@ def with_winnowing(
     checksum of the sketch). Pure array expressions under the portable
     polynomial hash, so the DuckDB oracle reproduces the sketch
     bit-for-bit."""
+    staged = df.withColumn("_fps", winnow_fps(text, k, window, base, mod))
+    return (
+        staged.withColumn("n_fps", F.size("_fps").cast("long"))
+        .withColumn("min_fp", F.array_min("_fps"))
+        .withColumn(
+            "fp_sum",
+            F.aggregate(F.col("_fps"), F.lit(0).cast("long"), lambda a, x: a + x),
+        )
+        .drop("_fps")
+    )
+
+
+def winnow_fps(
+    text: str = "text",
+    k: int = 8,
+    window: int = 4,
+    base: int = 131,
+    mod: int = 2147483647,
+) -> Column:
+    """The winnowing sketch as a column: distinct window-minima of the
+    char-k-gram rolling hashes (see with_winnowing)."""
     codes = F.transform(F.split(normalized(text), ""), F.ascii)
-    staged = df.withColumn("_codes", codes)
-    c = F.col("_codes")
-    n = F.size(c)
+    n = F.size(codes)
 
     def poly(arr: Column) -> Column:
         return F.aggregate(
@@ -223,30 +242,26 @@ def with_winnowing(
 
     grams = F.when(
         n >= k,
-        F.transform(F.sequence(F.lit(0), n - k), lambda i: poly(F.slice(c, i + 1, k))),
-    ).otherwise(F.array(poly(c)))
-    staged = staged.withColumn("_grams", grams)
-    g = F.col("_grams")
-    m = F.size(g)
-    sel = F.when(
-        m >= window,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), m - window),
-                lambda i: F.array_min(F.slice(g, i + 1, window)),
-            )
-        ),
-    ).otherwise(F.array(F.array_min(g)))
-    staged = staged.withColumn("_fps", sel)
-    return (
-        staged.withColumn("n_fps", F.size("_fps").cast("long"))
-        .withColumn("min_fp", F.array_min("_fps"))
-        .withColumn(
-            "fp_sum",
-            F.aggregate(F.col("_fps"), F.lit(0).cast("long"), lambda a, x: a + x),
-        )
-        .drop("_codes", "_grams", "_fps")
-    )
+        F.transform(F.sequence(F.lit(0), n - k), lambda i: poly(F.slice(codes, i + 1, k))),
+    ).otherwise(F.array(poly(codes)))
+
+    def windowed_min(g: Column) -> Column:
+        m = F.size(g)
+        return F.when(
+            m >= window,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), m - window),
+                    lambda i: F.array_min(F.slice(g, i + 1, window)),
+                )
+            ),
+        ).otherwise(F.array(F.array_min(g)))
+
+    # bind the gram array to a lambda VARIABLE before windowing — the
+    # raw grams expression referenced inside the window lambda would
+    # re-hash the whole document once per window position; as a lambda
+    # var it is evaluated once per row
+    return F.element_at(F.transform(F.array(grams), windowed_min), 1)
 
 
 def tfidf_top_terms(

@@ -700,6 +700,65 @@ FROM g
 """
 
 
+_WINNOW_FPS_CTE = f"""c AS (
+  SELECT doc_id,
+         list_transform(string_split({NORM_SQL}, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(codes) >= 8 THEN
+           list_transform(range(len(codes) - 7), i ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(codes, i + 1, i + 8)),
+                         (h, x) -> (h * 131 + x) % 2147483647))
+         ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                           (h, x) -> (h * 131 + x) % 2147483647)]
+         END AS grams
+  FROM c
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= 4 THEN
+           list_distinct(list_transform(range(len(grams) - 3), i ->
+             list_min(list_slice(grams, i + 1, i + 4))))
+         ELSE [list_min(grams)]
+         END AS fps
+  FROM g
+)"""
+
+
+_WINNOWING_PAIRS_ORACLE = f"""
+WITH {_WINNOW_FPS_CTE},
+ex AS (SELECT doc_id AS id, unnest(fps) AS fp FROM w),
+sizes AS (SELECT doc_id AS id, CAST(len(fps) AS BIGINT) AS n_fps FROM w),
+grp AS (SELECT fp, count(*) AS cnt FROM ex GROUP BY 1),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM ex a
+  JOIN ex b ON a.fp = b.fp AND a.id < b.id
+  JOIN grp g ON g.fp = a.fp
+  WHERE g.cnt BETWEEN 2 AND 200
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, c.shared,
+       round(CAST(c.shared AS DOUBLE) / least(sa.n_fps, sb.n_fps), 6) AS containment
+FROM cand c
+JOIN sizes sa ON sa.id = c.id_a
+JOIN sizes sb ON sb.id = c.id_b
+WHERE c.shared >= 2
+"""
+
+
+@register("dedup_winnowing_pairs", extra=True, survey_ids=("EXT-dedup", "EXT-text"),
+    oracle=_WINNOWING_PAIRS_ORACLE)
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level overlap/containment pairs via shared winnowing
+    fingerprints (operators/dedup.py:winnowing_pairs) — catches partial
+    copies whole-document Jaccard dilutes away; hot-fingerprint capped
+    like LSH banding, fully oracle-checked."""
+    return dedup.winnowing_pairs(_docs(spark, sf_dir))
+
+
 _WINNOWING_ORACLE = f"""
 WITH c AS (
   SELECT doc_id,
