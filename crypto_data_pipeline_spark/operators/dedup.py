@@ -706,6 +706,43 @@ def winnowing_pairs(
     )
 
 
+def containment_dedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Drop documents largely CONTAINED in another (winnowing
+    containment ≥ threshold): the quote/boilerplate/repost case where
+    a short doc is a substring of a longer one — invisible to
+    symmetric Jaccard, caught by the asymmetric containment score.
+    The smaller-sketch side of each containing pair loses (id
+    tiebreak); survivors pass through via a broadcast anti join, so
+    the corpus itself never shuffles."""
+    from crypto_data_pipeline_spark.operators.text import winnow_fps
+
+    sizes = df.select(
+        F.col(id_col).alias("_sid"), F.size(winnow_fps(text)).cast("long").alias("_n")
+    )
+    pairs = winnowing_pairs(df, id_col, text, min_shared=2, max_bucket=max_bucket).where(
+        F.col("containment") >= threshold
+    )
+    sized = (
+        pairs.join(F.broadcast(sizes), F.col("id_a") == F.col("_sid"))
+        .withColumnRenamed("_n", "_n_a").drop("_sid")
+        .join(F.broadcast(sizes), F.col("id_b") == F.col("_sid"))
+        .withColumnRenamed("_n", "_n_b").drop("_sid")
+    )
+    losers = sized.select(
+        F.when(F.col("_n_a") < F.col("_n_b"), F.col("id_a"))
+        .when(F.col("_n_b") < F.col("_n_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
+        .alias("_loser")
+    ).distinct()
+    return df.join(F.broadcast(losers), F.col(id_col) == F.col("_loser"), "left_anti")
+
+
 def fuzzy_pairs_blocked(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,46 @@
+"""Winnowing sketches: the MOSS substring guarantee holds, pair
+detection finds partial copies Jaccard misses, and containment dedup
+drops the contained copy only."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_spark.operators import dedup
+
+
+BODY = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "magpies argue about the precise ownership of a shiny button "
+    "found beneath the old oak tree last tuesday morning"
+)
+
+
+def test_shared_substring_yields_shared_fingerprint(spark):
+    # doc 2 embeds a long substring of doc 1 inside unrelated text →
+    # the winnowing guarantee (shared substring >= k+w-1 chars) forces
+    # at least one common fingerprint
+    docs = spark.createDataFrame(
+        [
+            (1, BODY),
+            (2, "completely different preamble " + BODY[20:90] + " and a different ending"),
+            (3, "zebra quartz unrelated content with nothing in common at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.shared for r in dedup.winnowing_pairs(docs, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert not any(3 in p for p in pairs)
+
+
+def test_containment_dedup_drops_the_contained_copy(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, BODY + " plus a long unique continuation that the fragment does not have"),
+            (2, BODY),  # contained in 1
+            (3, "an entirely distinct document about submarine telegraphy and cable ships"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in dedup.containment_dedup(docs, threshold=0.6).collect()}
+    assert kept == {1, 3}
