@@ -920,6 +920,51 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "entity_trend_ols",
+    extra=True,
+    survey_ids=("A1", "M2", "EXT-olap"),
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT entity_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(covar_pop(CAST(fetch_date - DATE '2024-01-01' AS DOUBLE), price)
+             / var_pop(CAST(fetch_date - DATE '2024-01-01' AS DOUBLE)), 6) AS slope,
+       round(avg(price)
+             - covar_pop(CAST(fetch_date - DATE '2024-01-01' AS DOUBLE), price)
+               / var_pop(CAST(fetch_date - DATE '2024-01-01' AS DOUBLE))
+               * avg(CAST(fetch_date - DATE '2024-01-01' AS DOUBLE)), 6) AS intercept,
+       round(corr(CAST(fetch_date - DATE '2024-01-01' AS DOUBLE), price)
+             * corr(CAST(fetch_date - DATE '2024-01-01' AS DOUBLE), price), 6) AS r2
+FROM history
+GROUP BY 1 HAVING count(*) >= 2
+""",
+)
+def entity_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity OLS price trend in closed form: slope = cov(x,y)/
+    var(x), intercept from the means, R² = corr² — per-group model
+    fitting as ONE aggregation over the silver history (no ML library,
+    no iteration), so it distributes like any agg. Deliberately built
+    on the STABLE moment aggregates (covar_pop/var_pop/corr, the same
+    portability contract correlation_by_type proves) rather than raw
+    Σxy sums, whose catastrophic cancellation would wreck cross-engine
+    6-dp agreement at scale."""
+    h = _history(spark, sf_dir)
+    x = F.datediff(F.col(DATE), F.lit("2024-01-01").cast("date")).cast("double")
+    y = F.col(PRICE)
+    slope = F.covar_pop(x, y) / F.var_pop(x)
+    return (
+        h.groupBy(ENTITY)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(slope, 6).alias("slope"),
+            F.round(F.avg(y) - slope * F.avg(x), 6).alias("intercept"),
+            F.round(F.corr(x, y) * F.corr(x, y), 6).alias("r2"),
+        )
+        .where(F.col("n_days") >= 2)
+    )
+
+
+@register(
     "value_ntile_deciles",
     extra=True,
     survey_ids=("A6", "EXT-olap"),
