@@ -264,6 +264,44 @@ def winnow_fps(
     return F.element_at(F.transform(F.array(grams), windowed_min), 1)
 
 
+def boilerplate_ratio(
+    df: DataFrame,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Corpus-boilerplate signal: the share of a document's winnowing
+    fingerprints that appear in at least ``min_docs`` documents —
+    headers, navigation chrome, and license blocks score high while
+    original prose scores low (the cross-document repetition axis of
+    RefinedWeb-style filtering; the within-document axis is
+    with_repetition_stats).
+
+    Plan: explode sketches, ONE shuffle on fingerprint producing the
+    document-frequency table, joined straight back on the same
+    fingerprint partitioning, then a per-doc reduction. Returns
+    (doc_id, n_fps, n_boiler, boilerplate_ratio)."""
+    sets = df.select(F.col(id_col).alias("id"), winnow_fps(text).alias("fps"))
+    ex = sets.select("id", F.explode("fps").alias("fp"))
+    # fps are distinct per doc, so count(*) per fp IS the doc frequency
+    freq = ex.groupBy("fp").agg(F.count(F.lit(1)).alias("_df"))
+    hit = F.when(F.col("_df") >= min_docs, 1).otherwise(0)
+    return (
+        ex.join(freq, "fp")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fps"),
+            F.sum(hit).cast("long").alias("n_boiler"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_fps",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_fps"), 6).alias("boilerplate_ratio"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

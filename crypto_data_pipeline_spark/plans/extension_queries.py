@@ -759,6 +759,27 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnowing_pairs(_docs(spark, sf_dir))
 
 
+@register("boilerplate_ratio", extra=True, survey_ids=("EXT-text",),
+    oracle=f"""
+WITH {_WINNOW_FPS_CTE},
+ex AS (SELECT doc_id AS id, unnest(fps) AS fp FROM w),
+freq AS (SELECT fp, count(*) AS df FROM ex GROUP BY 1),
+j AS (SELECT ex.id, CASE WHEN freq.df >= 5 THEN 1 ELSE 0 END AS hit
+      FROM ex JOIN freq USING (fp))
+SELECT id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_fps,
+       CAST(sum(hit) AS BIGINT) AS n_boiler,
+       round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS boilerplate_ratio
+FROM j GROUP BY 1
+""")
+def boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repetition share per doc: fraction of winnowing
+    fingerprints appearing in ≥5 documents (operators/text.py:
+    boilerplate_ratio) — the template/chrome detector complementing
+    within-doc repetition_stats."""
+    return text.boilerplate_ratio(_docs(spark, sf_dir), min_docs=5)
+
+
 _WINNOWING_ORACLE = f"""
 WITH c AS (
   SELECT doc_id,
