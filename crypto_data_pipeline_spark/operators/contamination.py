@@ -60,6 +60,54 @@ def contamination_hits(
     )
 
 
+def decontaminate_stream(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Streaming-capable decontamination: drop any document sharing a
+    word n-gram with the benchmark. The batch path's per-doc hit
+    AGGREGATION can't run in a streaming append context, so this twin
+    makes the decision PER ROW: the benchmark's distinct n-gram set
+    (small by contract — it's an eval suite) is collected once,
+    broadcast to executors, and each Arrow batch drops rows whose
+    shingle set intersects it. Works identically on a batch frame
+    (tests prove equality with ``decontaminate`` at threshold 0) and
+    under readStream, where it is a stateless filter — no state store,
+    no watermark.
+    """
+    import pandas as pd
+
+    bench_grams = {
+        r.sg
+        for r in shingle_sets(benchmark, id_col=id_col, text=text, k=n)
+        .select(F.explode("sh").alias("sg"))
+        .distinct()
+        .collect()
+    }
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(bench_grams)
+    cols = corpus.columns
+    schema = corpus.schema
+
+    def keep_clean(it):
+        grams = bc.value
+        for pdf in it:
+            mask = []
+            for t in pdf[text]:
+                toks = " ".join(str(t).lower().split()).split(" ")
+                if len(toks) >= n:
+                    doc = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                else:
+                    doc = {" ".join(toks)}
+                mask.append(not (doc & grams))
+            yield pdf[pd.Series(mask, index=pdf.index)][cols]
+
+    return corpus.mapInPandas(keep_clean, schema)
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

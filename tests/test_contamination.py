@@ -36,6 +36,34 @@ def test_decontaminate_removes_exactly_the_hit_docs(spark, sf_dir):
     assert clean  # not everything is contaminated
 
 
+def test_streaming_decontamination_matches_batch(spark, sf_dir, tmp_path):
+    """The per-row streaming decontamination twin keeps exactly the
+    batch operator's survivors on a batch frame, and the SAME plan
+    under readStream (stateless Arrow filter) emits the same rows."""
+    _, bench, corpus = _split(spark, sf_dir)
+    batch_clean = {r.doc_id for r in contamination.decontaminate(corpus, bench).collect()}
+    row_clean = {
+        r.doc_id for r in contamination.decontaminate_stream(corpus, bench).collect()
+    }
+    assert row_clean == batch_clean
+
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        contamination.decontaminate_stream(stream, bench)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert streamed == batch_clean
+
+
 def test_self_contamination_is_total(spark, sf_dir):
     docs, _, _ = _split(spark, sf_dir)
     sample = docs.limit(20)
