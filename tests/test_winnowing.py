@@ -33,6 +33,33 @@ def test_shared_substring_yields_shared_fingerprint(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_winnowing_guarantee_property(spark):
+    """Property (Schleimer et al. theorem): ANY two docs sharing a
+    substring of length ≥ k + window - 1 = 11 normalized chars share
+    at least one winnowing fingerprint. Exercised over a batch of
+    seeded random word soups with planted common substrings."""
+    import random
+
+    rng = random.Random(42)
+    words = ["alpha", "bravo", "cedar", "delta", "ember", "frost", "gamma", "haze"]
+
+    def soup(n):
+        return " ".join(rng.choice(words) for _ in range(n))
+
+    rows = []
+    for i in range(20):
+        shared = soup(6)  # ≥ 11 chars once normalized
+        rows.append((2 * i, soup(15) + " " + shared + " " + soup(15)))
+        rows.append((2 * i + 1, soup(12) + " " + shared + " " + soup(12)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.winnowing_pairs(docs, min_shared=1, max_bucket=1000).collect()
+    }
+    for i in range(20):
+        assert (2 * i, 2 * i + 1) in pairs, f"planted pair {i} missed"
+
+
 def test_containment_dedup_drops_the_contained_copy(spark):
     docs = spark.createDataFrame(
         [

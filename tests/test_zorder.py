@@ -27,6 +27,25 @@ def test_zvalue_matches_python_reference(spark):
         assert r.z == _morton_ref(r.x, r.y, 8), (r.x, r.y)
 
 
+def test_zvalue_monotone_per_dimension(spark):
+    """Property: with one dimension fixed, the Morton value is strictly
+    monotone in the other — the ordering guarantee that makes z-range
+    files compact hyper-rectangles."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(0, 255), st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+    )
+    def prop(x1, x2, y1, y2):
+        if x1 < x2:
+            assert _morton_ref(x1, y1, 8) < _morton_ref(x2, y1, 8)
+        if y1 < y2:
+            assert _morton_ref(x1, y1, 8) < _morton_ref(x1, y2, 8)
+
+    prop()
+
+
 def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     """Each written file must cover a narrow slice of BOTH user_id and
     value — a 10%-of-domain range predicate on either column may
