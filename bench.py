@@ -29,10 +29,24 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # The bench must time the zero-Exchange bucketed silver path, not
+    # the silent fallback (which re-pays an Exchange per query). Fail
+    # loud rather than record a number for the wrong plan.
+    os.environ["SPARK_GRAFT_REQUIRE_SILVER"] = "1"
+
     spark = get_spark("bench")
     # extras included: bench-flagged showcase queries keep their
     # BENCH_r01-comparable timings even when demoted from the driver gate
     specs = [s for s in load_with_extras().values() if s.bench]
+
+    from crypto_data_pipeline_spark.plans.core_queries import history_is_bucketed
+
+    if not history_is_bucketed(spark, sf_dir):
+        print(
+            json.dumps({"metric": "error", "value": -1.0, "unit": "sec",
+                        "error": "silver history is not bucketed"}),
+        )
+        sys.exit(2)
 
     # Warm-up, untimed: run every query once at the tiny SF so Janino
     # compiles each plan's whole-stage codegen (keyed on generated

@@ -77,8 +77,17 @@ def decontaminate_stream(
     (tests prove equality with ``decontaminate`` at threshold 0) and
     under readStream, where it is a stateless filter — no state store,
     no watermark.
+
+    Tokenization parity is by CONSTRUCTION, not re-implementation: the
+    shingle array is produced by the very same Spark expression
+    (`word_shingles`) the batch path uses, upstream of the Arrow
+    stage; Python only performs the broadcast-set membership test. A
+    Python re-tokenization (str.lower/split) diverges from Spark's
+    trim/lower/regexp semantics on non-ASCII and exotic whitespace.
     """
     import pandas as pd
+
+    from crypto_data_pipeline_spark.operators.dedup import word_shingles
 
     bench_grams = {
         r.sg
@@ -95,17 +104,12 @@ def decontaminate_stream(
     def keep_clean(it):
         grams = bc.value
         for pdf in it:
-            mask = []
-            for t in pdf[text]:
-                toks = " ".join(str(t).lower().split()).split(" ")
-                if len(toks) >= n:
-                    doc = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-                else:
-                    doc = {" ".join(toks)}
-                mask.append(not (doc & grams))
+            mask = [not any(g in grams for g in sh) for sh in pdf["_sh"]]
             yield pdf[pd.Series(mask, index=pdf.index)][cols]
 
-    return corpus.mapInPandas(keep_clean, schema)
+    return corpus.withColumn("_sh", word_shingles(text, n)).mapInPandas(
+        keep_clean, schema
+    )
 
 
 def decontaminate(

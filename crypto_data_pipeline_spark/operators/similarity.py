@@ -116,8 +116,14 @@ def brute_force_topk_arrow(
     Scores are rounded 6 dp in the JVM before ranking, so the output is
     bit-compatible with brute_force_topk and its DuckDB oracle (numpy's
     matmul dot differs from the JVM fold by ≲1e-15, far inside the
-    rounding margin; the per-partition margin covers rounded-tie
-    boundary cases).
+    rounding margin). Local selection is TIE-INCLUSIVE, not a fixed
+    slice: a partition ships every row whose raw score is within 2e-6
+    of its local k-th best. Any locally dropped row x then satisfies
+    x < kth_raw - 2e-6, which forces round6(x) < round6(kth_raw)
+    (6-dp roundings are 1e-6 apart at minimum), so x loses the global
+    (rounded desc, id asc) ranking to ≥k rows from its own partition —
+    exact equality with the crossJoin baseline is guaranteed, not
+    probabilistic, even when many rows share a rounded score.
     """
     import numpy as np
     import pandas as pd
@@ -150,8 +156,15 @@ def brute_force_topk_arrow(
                 cand = np.flatnonzero(mask)
                 if len(cand) == 0:
                     continue
-                # top-take by (score desc, id asc): lexsort is ascending
-                order = cand[np.lexsort((ids[cand], -col[cand]))][:take]
+                # (score desc, id asc) order: lexsort is ascending
+                order = cand[np.lexsort((ids[cand], -col[cand]))]
+                if len(order) > take:
+                    # tie-inclusive cutoff at the local k-th best raw
+                    # score: 2e-6 dominates both the 6-dp rounding
+                    # quantum (1e-6) and numpy-vs-JVM noise (~1e-15)
+                    kth = col[order[min(k, len(order)) - 1]]
+                    n_keep = int(np.count_nonzero(col[order] >= kth - 2e-6))
+                    order = order[: max(take, n_keep)]
                 out_q.extend([int(b_qids[j])] * len(order))
                 out_i.extend(int(ids[x]) for x in order)
                 out_s.extend(float(col[x]) for x in order)

@@ -17,6 +17,8 @@ sides).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from crypto_data_pipeline_spark.operators import calendar as cal
@@ -97,10 +99,47 @@ def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
                 path=silver_dir,
             )
             out = spark.table(tbl)
-        except Exception:
+        except Exception as exc:
+            # Loud downgrade: the zero-Exchange bucketed path silently
+            # dying already bit us once (round-3 name collision, commit
+            # 82e295f). Results stay correct either way, but a prod
+            # misconfig would re-pay an Exchange per query — so name the
+            # cause in the log and hard-fail when the caller demands the
+            # bucketed layout (bench.py sets SPARK_GRAFT_REQUIRE_SILVER).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "silver history downgrade: bucketed materialization "
+                "failed (%s: %s); falling back to the inline daily "
+                "aggregation — every downstream query re-pays the "
+                "events->daily Exchange",
+                type(exc).__name__,
+                exc,
+            )
+            if os.environ.get("SPARK_GRAFT_REQUIRE_SILVER"):
+                raise
             out = daily
         _SILVER_CACHE[key] = out
     return out
+
+
+def history_is_bucketed(spark: SparkSession, sf_dir: str) -> bool:
+    """True when `_history` serves the bucketed silver table AND a
+    window-over-entity consumer plans with zero shuffle Exchanges (the
+    fast path every coin-series query rides). Probing a windowed query
+    rather than the bare scan matters: Spark disables bucketed reading
+    when a plan doesn't need the distribution, so the scan line alone
+    says 'Bucketed: false (disabled by query planner)' even when the
+    layout is healthy. Used by bench.py to refuse to time the silently
+    downgraded plan."""
+    from crypto_data_pipeline_spark.sources.bucketed import exchange_count
+
+    df = _history(spark, sf_dir)
+    if "silver_history_" not in df._jdf.queryExecution().executedPlan().toString():
+        return False
+    w = Window.partitionBy(ENTITY).orderBy(DATE)
+    probe = df.select(ENTITY, DATE, F.lag(PRICE).over(w).alias("_p"))
+    return exchange_count(probe) == 0
 
 
 # ---------------------------------------------------------------------------
@@ -1253,10 +1292,15 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == "click", F.col("us"))).alias("first_click_us"),
         F.max(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("last_purchase_us"),
     )
-    converted = (
+    # F.when(...).otherwise(0) mirrors the oracle's CASE ... ELSE 0: a
+    # click-only session makes the raw AND three-valued (TRUE AND NULL =
+    # NULL), and a user whose EVERY session is click-only would sum to
+    # NULL instead of 0 under a bare cast.
+    converted = F.when(
         F.col("first_click_us").isNotNull()
-        & (F.col("last_purchase_us") >= F.col("first_click_us"))
-    ).cast("int")
+        & (F.col("last_purchase_us") >= F.col("first_click_us")),
+        1,
+    ).otherwise(0)
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum(converted).cast("bigint").alias("n_converted"),
@@ -1421,15 +1465,108 @@ def processed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("rolling_7d_variance", F.round("rolling_7d_variance", 6))
 
 
+_SKEW_G1 = """( (avg(price*price*price) OVER w7
+            - 3 * avg(price) OVER w7 * avg(price*price) OVER w7
+            + 2 * avg(price) OVER w7 * avg(price) OVER w7 * avg(price) OVER w7)
+           / power(avg(price*price) OVER w7 - avg(price) OVER w7 * avg(price) OVER w7, 1.5)
+         ) * (sqrt(42.0) / 5)"""
+
+_PREDICTION_ORACLE = f"""
+WITH {HISTORY_CTE},
+pc AS (
+  SELECT entity_id, price, fetch_date,
+         (price / lag(price) OVER {W_ENTITY} - 1) * 100 AS pct_change,
+         CAST(year(fetch_date) AS INT) AS year,
+         CAST(month(fetch_date) AS INT) AS month,
+         strftime(fetch_date, '%Y-%m') AS year_month
+  FROM history
+),
+sev AS (
+  SELECT entity_id, year_month,
+         CASE WHEN (1 + pct_change / 100)
+                   * (1 + lead(pct_change, 1) OVER (PARTITION BY entity_id, year_month
+                                                    ORDER BY fetch_date) / 100) - 1 <= -0.5 THEN 2
+              WHEN (1 + pct_change / 100)
+                   * (1 + lead(pct_change, 1) OVER (PARTITION BY entity_id, year_month
+                                                    ORDER BY fetch_date) / 100) - 1 <= -0.2 THEN 1
+              ELSE 0 END AS s
+  FROM pc
+),
+risk AS (
+  SELECT entity_id, year_month,
+         CASE max(s) WHEN 2 THEN 'High Risk' WHEN 1 THEN 'Medium Risk'
+              ELSE 'Low Risk' END AS risk_level
+  FROM sev GROUP BY 1, 2
+),
+base AS (
+  SELECT p.*, r.risk_level FROM pc p LEFT JOIN risk r USING (entity_id, year_month)
+),
+feat AS (
+  SELECT entity_id, price, fetch_date, pct_change, year, month, year_month, risk_level,
+         (price / lag(price, 7) OVER we - 1) * 100 AS rolling_7d_trend,
+         CASE WHEN count(price) OVER w8 = 8
+              THEN round(var_pop(price) OVER w8, 6) END AS rolling_7d_variance,
+         {", ".join(f"lag(price, {i}) OVER we AS price_lag_{i}" for i in range(1, 8))},
+         lead(price, 1) OVER we AS next_day_price,
+         CASE WHEN count(price) OVER w7 = 7
+              THEN round({_SKEW_G1}, 6) END AS price_skew_7d,
+         CAST(isodow(fetch_date) - 1 AS INT) AS day_of_week,
+         CASE isodow(fetch_date)
+              WHEN 1 THEN 'Lunes' WHEN 2 THEN 'Martes' WHEN 3 THEN 'Miercoles'
+              WHEN 4 THEN 'Jueves' WHEN 5 THEN 'Viernes' WHEN 6 THEN 'Sabado'
+              ELSE 'Domingo' END AS day_name,
+         CASE WHEN isodow(fetch_date) IN (6, 7) THEN 1 ELSE 0 END AS is_weekend,
+         CAST(weekofyear(fetch_date) AS INT) AS week_of_year,
+         CAST(day(fetch_date) AS INT) AS day_of_month,
+         CAST(quarter(fetch_date) AS INT) AS quarter,
+         CAST(dayofyear(fetch_date) AS INT) AS day_of_year,
+         CASE WHEN fetch_date IN ({cal.us_holiday_sql_list()}) THEN 1 ELSE 0 END AS is_us_holiday,
+         CASE WHEN fetch_date IN ({cal.cn_holiday_sql_list()}) THEN 1 ELSE 0 END AS is_china_holiday,
+         CASE WHEN fetch_date + 1 IN ({cal.us_holiday_sql_list()}) THEN 1 ELSE 0 END AS is_pre_us_holiday,
+         abs(pct_change) AS return_abs,
+         CASE WHEN count(abs(pct_change)) OVER w7 = 7
+              THEN round(avg(abs(pct_change)) OVER w7, 6) END AS return_rolling_mean_7d,
+         (price - min(price) OVER wall) / (max(price) OVER wall - min(price) OVER wall)
+           AS price_normalized,
+         round((price - avg(price) OVER wall) / stddev_pop(price) OVER wall, 6)
+           AS price_standardized
+  FROM base
+  WINDOW we AS (PARTITION BY entity_id ORDER BY fetch_date),
+         w8 AS (PARTITION BY entity_id ORDER BY fetch_date
+                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+         w7 AS (PARTITION BY entity_id ORDER BY fetch_date
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+         wall AS (PARTITION BY entity_id)
+)
+SELECT * FROM feat
+WHERE pct_change IS NOT NULL
+  AND rolling_7d_trend IS NOT NULL AND rolling_7d_variance IS NOT NULL
+  AND {" AND ".join(f"price_lag_{i} IS NOT NULL" for i in range(1, 8))}
+  AND next_day_price IS NOT NULL AND price_skew_7d IS NOT NULL
+  AND return_abs IS NOT NULL AND return_rolling_mean_7d IS NOT NULL
+"""
+
+
 @register("prediction_features",
-    extra=True, survey_ids=("W5", "W6", "W9", "W10", "F8", "F9", "F10", "J4", "A11", "A12"), oracle=None)
+    extra=True, survey_ids=("W5", "W6", "W9", "W10", "F8", "F9", "F10", "J4", "A11", "A12"),
+    oracle=_PREDICTION_ORACLE)
 def prediction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The transform notebook's 34-column prediction table end-to-end
-    (each constituent operator is oracle-checked individually; the
-    composed pipeline is rows-only)."""
+    """The transform notebook's full prediction table end-to-end
+    (transform_data.ipynb cell 6): every constituent operator is
+    oracle-checked individually, and this composed DuckDB twin pins the
+    COMPOSITION too — join ordering, year_month recomputation, and the
+    reference's scaling-fit-before-dropna leakage
+    (transform_data.ipynb:576). Engine-noise-prone aggregates
+    (variance/skew/rolling-mean/z-score) are rounded 6 dp on both
+    sides, same as their standalone queries; dropna nullity is decided
+    pre-rounding in both engines."""
     from crypto_data_pipeline_spark.plans.feature_pipeline import prediction_table
 
-    return prediction_table(_history(spark, sf_dir), spark)
+    df = prediction_table(_history(spark, sf_dir), spark)
+    for c in ("rolling_7d_variance", "price_skew_7d",
+              "return_rolling_mean_7d", "price_standardized"):
+        df = df.withColumn(c, F.round(c, 6))
+    return df
 
 
 @register("model_comparison", survey_ids=("M1", "M2", "M3", "M4", "M5", "M6", "O4"), oracle=None)
@@ -1448,6 +1585,145 @@ def model_comparison_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "return_rolling_mean_7d", "price_normalized", "price_standardized",
     ]
     return model_comparison(feats, feature_cols, DATE, entity=None)
+
+
+_LINEAR_RIDGE_ORACLE = f"""
+WITH {HISTORY_CTE},
+feats AS (
+  SELECT entity_id, fetch_date, price AS y,
+         lag(price, 1) OVER {W_ENTITY} AS x1,
+         CAST(isodow(fetch_date) - 1 AS DOUBLE) AS x2
+  FROM history
+),
+clean AS (SELECT * FROM feats WHERE x1 IS NOT NULL),
+split AS (
+  SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY fetch_date) AS rn,
+         count(*) OVER (PARTITION BY entity_id) AS n_ent
+  FROM clean
+),
+train AS (SELECT y, x1, x2 FROM split
+          WHERE rn <= CAST(floor(n_ent * (1 - 1.0/6.0)) AS BIGINT)),
+test  AS (SELECT y, x1, x2 FROM split
+          WHERE rn >  CAST(floor(n_ent * (1 - 1.0/6.0)) AS BIGINT)),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my,
+         stddev_samp(x1) AS s1, stddev_samp(x2) AS s2,
+         stddev_pop(y) AS sy
+  FROM train
+),
+g AS (
+  SELECT n, m1, m2, my, s1, s2, sy,
+         sum(((x1 - m1)/s1) * ((x1 - m1)/s1)) AS z11,
+         sum(((x1 - m1)/s1) * ((x2 - m2)/s2)) AS z12,
+         sum(((x2 - m2)/s2) * ((x2 - m2)/s2)) AS z22,
+         sum(((x1 - m1)/s1) * (y - my)) AS z1y,
+         sum(((x2 - m2)/s2) * (y - my)) AS z2y
+  FROM train, m
+  GROUP BY ALL
+),
+sol AS (
+  SELECT 'linear' AS model, my, m1, m2, s1, s2,
+         (z22*z1y - z12*z2y) / (z11*z22 - z12*z12) AS w1,
+         (z11*z2y - z12*z1y) / (z11*z22 - z12*z12) AS w2
+  FROM g
+  UNION ALL
+  SELECT 'ridge', my, m1, m2, s1, s2,
+         ((z22 + d)*z1y - z12*z2y) / ((z11 + d)*(z22 + d) - z12*z12),
+         ((z11 + d)*z2y - z12*z1y) / ((z11 + d)*(z22 + d) - z12*z12)
+  FROM (SELECT *, (n - 1) / sy AS d FROM g)
+),
+scored AS (
+  SELECT s.model, s.my, s.w1, s.w2,
+         sqrt(avg(pow(t.y - (s.my + s.w1*(t.x1 - s.m1)/s.s1
+                             + s.w2*(t.x2 - s.m2)/s.s2), 2))) AS rmse
+  FROM test t CROSS JOIN sol s
+  GROUP BY s.model, s.my, s.w1, s.w2
+)
+SELECT model, round(my, 6) AS intercept,
+       round(w1, 6) AS w1, round(w2, 6) AS w2,
+       round(rmse, 6) AS rmse_test
+FROM scored
+"""
+
+
+@register(
+    "linear_ridge_closed_form",
+    survey_ids=("M1", "M2", "M4", "M5"),
+    oracle=_LINEAR_RIDGE_ORACLE,
+)
+def linear_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2/M4/M5 VALUE verification: the scaler+linear pipeline's
+    learned parameters pinned to a DuckDB closed-form oracle to 6 dp.
+
+    The Spark side is the real ML pipeline (VectorAssembler →
+    StandardScaler(withMean, withStd) → LinearRegression) fit on the
+    per-entity chronological 5/6 split (models.ipynb:110-137 / M4),
+    features (price_lag_1, day_of_week), label price. The oracle
+    re-derives the solutions analytically:
+
+      * OLS (regParam=0): centered normal equations on the
+        standardized design (Cramer's rule, 2×2).
+      * Ridge (regParam=1, standardization=True): Spark's
+        WeightedLeastSquares adds n·(λ/σy_pop)·varpop(z_j) to the
+        normal-matrix diagonal (λ scaled by the label's population
+        std, penalty scaled by each feature's population variance —
+        identified empirically to ~1e-10 against candidate forms).
+        With scaler-standardized z (samp-std=1), that diagonal is
+        exactly (n-1)/σy.
+
+    Holdout RMSE on the test fold (scaler stats from train — no
+    leakage) pins M5's metric arithmetic too. Agreement is ~1e-10
+    absolute, far inside the 6-dp rounding."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from crypto_data_pipeline_spark.ml.regression import chronological_split
+
+    w = ts.entity_window()
+    feats = (
+        _history(spark, sf_dir)
+        .withColumn("x1", F.lag(PRICE, 1).over(w))
+        .withColumn("x2", ((F.dayofweek(DATE) + 5) % 7).cast("double"))
+        .where(F.col("x1").isNotNull())
+        .select(ENTITY, DATE, F.col(PRICE).alias("y"), "x1", "x2")
+    )
+    train, test = chronological_split(feats, DATE, entity=ENTITY)
+    rows = []
+    for name, reg in (("linear", 0.0), ("ridge", 1.0)):
+        pipe = Pipeline(
+            stages=[
+                VectorAssembler(inputCols=["x1", "x2"], outputCol="_raw"),
+                StandardScaler(
+                    inputCol="_raw", outputCol="features", withMean=True, withStd=True
+                ),
+                LinearRegression(
+                    featuresCol="features", labelCol="y",
+                    regParam=reg, elasticNetParam=0.0,
+                ),
+            ]
+        )
+        model = pipe.fit(train)
+        lrm = model.stages[-1]
+        rmse = RegressionEvaluator(
+            labelCol="y", predictionCol="prediction", metricName="rmse"
+        ).evaluate(model.transform(test))
+        rows.append(
+            (name, float(lrm.intercept), float(lrm.coefficients[0]),
+             float(lrm.coefficients[1]), float(rmse))
+        )
+    out = spark.createDataFrame(
+        rows, "model string, intercept double, w1 double, w2 double, rmse_test double"
+    )
+    return out.select(
+        "model",
+        F.round("intercept", 6).alias("intercept"),
+        F.round("w1", 6).alias("w1"),
+        F.round("w2", 6).alias("w2"),
+        F.round("rmse_test", 6).alias("rmse_test"),
+    )
 
 
 @register(

@@ -39,13 +39,23 @@ def parquet_dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-    it = fs.listFiles(hpath, True)
-    root = hpath.toUri().getPath().rstrip("/")
+    # Qualify the root through the SAME filesystem that will list it, so
+    # relative paths / trailing-dot segments normalize identically to
+    # the listed file paths — a raw len() slice against an unqualified
+    # root mis-splits `rel` and breaks the hidden-segment filter.
+    qroot = fs.makeQualified(hpath)
+    it = fs.listFiles(qroot, True)
+    root = qroot.toUri().getPath().rstrip("/")
     n_files = 0
     total = 0
     while it.hasNext():
         status = it.next()
-        rel = status.getPath().toUri().getPath()[len(root) :].lstrip("/")
+        full = status.getPath().toUri().getPath()
+        if not full.startswith(root + "/"):
+            raise ValueError(
+                f"listed file {full!r} is outside the qualified root {root!r}"
+            )
+        rel = full[len(root) :].lstrip("/")
         # skip hidden files AND files under hidden dirs (_temporary/
         # from an interrupted write, _spark_metadata/ from a streaming
         # sink) — either would inflate the computed output file count

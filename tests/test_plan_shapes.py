@@ -150,3 +150,42 @@ def test_hive_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in scan and "day" in scan.split("PartitionFilters")[1][:120]
     # and the pruned read returns exactly that day's rows
     assert q.count() == ev.where(F.col("day") == F.lit(one_day)).count()
+
+
+def test_silver_downgrade_is_loud(spark, sf_dir, monkeypatch, caplog):
+    """The bucketed-silver materialization must never fail SILENTLY
+    (round-3 regression class: a warehouse misconfig quietly re-pays an
+    events->daily Exchange in every downstream query). Contract:
+    healthy session -> bucketed scan active; broken warehouse -> a
+    WARNING naming the cause; strict mode (what bench.py sets) ->
+    hard failure instead of timing the wrong plan."""
+    import logging
+
+    import pytest
+
+    from crypto_data_pipeline_spark.plans import core_queries as cq
+    from crypto_data_pipeline_spark.sources import bucketed
+
+    # healthy session: the zero-Exchange bucketed path is the one served
+    assert cq.history_is_bucketed(spark, sf_dir)
+
+    def broken_warehouse(*args, **kwargs):
+        raise RuntimeError("warehouse is read-only (simulated)")
+
+    monkeypatch.setattr(bucketed, "write_bucketed", broken_warehouse)
+    monkeypatch.setattr(cq, "_SILVER_CACHE", {})
+    monkeypatch.delenv("SPARK_GRAFT_REQUIRE_SILVER", raising=False)
+    with caplog.at_level(logging.WARNING, logger=cq.__name__):
+        df = cq._history(spark, sf_dir)
+    assert any(
+        "silver history downgrade" in rec.getMessage() and "read-only" in rec.getMessage()
+        for rec in caplog.records
+    )
+    # the fallback still answers correctly (inline daily aggregation)
+    assert df.limit(1).count() == 1
+
+    # strict mode refuses the downgrade outright
+    monkeypatch.setattr(cq, "_SILVER_CACHE", {})
+    monkeypatch.setenv("SPARK_GRAFT_REQUIRE_SILVER", "1")
+    with pytest.raises(RuntimeError, match="read-only"):
+        cq._history(spark, sf_dir)

@@ -94,10 +94,27 @@ def test_stream_left_outer_join_releases_unmatched(spark, sf_dir, tmp_path):
     assert any(r[3] is None for r in expected)  # outer rows exist
 
 
-def test_stream_join_plan_is_stateful_symmetric_hash(spark, sf_dir):
-    """The streaming plan must be the watermark-evicting symmetric hash
-    join (StreamingSymmetricHashJoin), not a nested loop — state stays
-    O(lookback), the 100 TB/day requirement."""
+def test_stream_join_plan_is_stateful_symmetric_hash(spark, sf_dir, tmp_path):
+    """The EXECUTED streaming plan must be the watermark-evicting
+    symmetric hash join (StreamingSymmetricHashJoinExec), not a
+    nested-loop/unbounded-state join — state stays O(lookback), the
+    100 TB/day requirement. Asserting the physical operator (not just
+    'watermark' in the analyzed plan) catches a regression that drops
+    the equi-key predicate: that still watermarks but degrades to
+    unbounded state."""
     stream = load_events_stream(spark, sf_dir)
-    plan = click_purchase_pairs(stream)._jdf.queryExecution().analyzed().toString()
-    assert "watermark" in plan.lower()
+    q = (
+        click_purchase_pairs(stream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+        # explainInternal returns the executed plan of the last batch
+        physical = q._jsq.explainInternal(False)
+    finally:
+        q.stop()
+    assert "StreamingSymmetricHashJoin" in physical, physical
+    assert "BroadcastNestedLoopJoin" not in physical, physical
