@@ -108,15 +108,80 @@ def fake_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pil():
+    """Import-guarded Pillow handle: the real-codec tier activates
+    when the library exists, stays hermetically absent when it
+    doesn't (this container ships no codec libs)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_media(media_bytes: bytes, codec: str = "fake") -> bytes:
-    """The codec boundary. Real decoders (PIL/ffmpeg/librosa) are not
-    available in this environment — ``codec="real"`` is the marked
-    extension point."""
+    """The codec boundary. ``codec="real"`` decodes via Pillow when it
+    is importable (image bytes → raw RGB24), and raises
+    ``NotImplementedError`` otherwise — the marked extension point
+    stays honest in codec-free environments."""
     if codec == "real":
-        raise NotImplementedError(
-            "real media decoding requires image/audio libraries not present in this container"
-        )
+        image_mod = _pil()
+        if image_mod is None:
+            raise NotImplementedError(
+                "real media decoding requires image/audio libraries not present in this container"
+            )
+        import io
+
+        with image_mod.open(io.BytesIO(media_bytes)) as im:
+            return im.convert("RGB").tobytes()
     return media_bytes  # fake codec: identity — plumbing stays real
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mode", T.StringType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+    ]
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Real-codec tier: per-image width/height/mode via Pillow inside
+    ``mapInPandas`` (Arrow batches; one open per blob, header-only
+    parse — PIL is lazy, pixel data is not decoded for size/mode).
+    Undecodable blobs yield null features (corrupt-file triage rows),
+    mirroring how a 100 TB ingest quarantines rather than dies.
+    Raises ``NotImplementedError`` on the driver — before any job is
+    launched — when Pillow is absent."""
+    if _pil() is None:
+        raise NotImplementedError(
+            "extract_image_features requires Pillow; this container has no codec libs"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        image_mod = _pil()
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                try:
+                    with image_mod.open(io.BytesIO(bytes(blob))) as im:
+                        rows.append(
+                            (int(doc_id), im.width, im.height, im.mode,
+                             im.width * im.height)
+                        )
+                except Exception:
+                    rows.append((int(doc_id), None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields]
+            )
+
+    return media.select("doc_id", "media").mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(

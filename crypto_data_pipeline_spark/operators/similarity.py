@@ -226,19 +226,43 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _vec_sql(vec_col: str) -> str:
+    return f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+
+
+def _dot_sql(vec_expr: str, plane: list[float]) -> str:
+    """SQL spelling of dot(): same zip_with+aggregate fold, identical
+    evaluation order, so sign decisions are bit-equal to the Column
+    API version. Literals via repr (shortest round-trip doubles)."""
+    arr = ", ".join(f"{x!r}D" for x in plane)
+    return (
+        f"aggregate(zip_with({vec_expr}, array({arr}), (x, y) -> x * y), "
+        f"0D, (acc, x) -> acc + x)"
+    )
+
+
+def _sign_bits_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """``b`` bucket expression: bit i = sign(v · plane_i), OR-packed.
+    Built as ONE SQL string: the Column-API equivalent issued 64 F.lit
+    py4j round-trips PER PLANE (~3,200 driver calls for a 50-plane
+    family), which profiled at ~4s of pure plan-construction latency
+    per probe — far exceeding the sub-second execution itself. A
+    single F.expr parse is one driver call; the JVM-side expression
+    tree (and therefore every result bit) is unchanged."""
+    terms = [
+        f"(CASE WHEN {_dot_sql(vec_expr, p)} > 0D THEN {1 << i}L ELSE 0L END)"
+        for i, p in enumerate(planes)
+    ]
+    return " | ".join(terms)
+
+
 def with_lsh_bucket(
     df: DataFrame, dim: int = 64, n_planes: int = 16, vec_col: str = "embedding", seed: int = 42
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH bucket id: bit i = sign(v · h_i).
     The bucket column is the partition/cluster key for ANN at scale."""
-    v = as_double(vec_col)
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
-        h = F.array(*[F.lit(x) for x in plane])
-        bucket = bucket.bitwiseOR(
-            F.when(dot(v, h) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
-        )
-    return df.withColumn("lsh_bucket", bucket)
+    bucket = _sign_bits_sql(_vec_sql(vec_col), _hyperplanes(dim, n_planes, seed))
+    return df.withColumn("lsh_bucket", F.expr(bucket))
 
 
 @dataclass
@@ -371,14 +395,18 @@ def ivf_topk(
     id_col = index.id_col
     assigned = index.assigned
 
-    centers = F.array(
-        *[
-            F.struct(
-                F.lit(ci).alias("_cell"),
-                F.array(*[F.lit(x) for x in c]).alias("_ctr"),
+    # one F.expr parse for the whole centroid table — per-element F.lit
+    # would cost ~1k py4j round-trips of driver latency per probe call
+    # (see _sign_bits_sql); repr doubles round-trip exactly
+    centers = F.expr(
+        "array("
+        + ", ".join(
+            "named_struct('_cell', {ci}, '_ctr', array({vals}))".format(
+                ci=ci, vals=", ".join(f"{x!r}D" for x in c)
             )
             for ci, c in enumerate(index.centers)
-        ]
+        )
+        + ")"
     )
     q_n = _unit_normed(queries, query_id_col, vec_col).withColumnRenamed("_v", "_qv")
     scored_centers = F.transform(
@@ -407,23 +435,21 @@ def ivf_topk(
     )
 
 
-def _table_buckets(vec: Column, dim: int, bits: int, tables: int, seed: int = 42) -> Column:
+def _table_buckets(vec_col: str, dim: int, bits: int, tables: int, seed: int = 42) -> Column:
     """array<struct<t,b>> — one (table, bucket) key per hash table.
     Table t's bucket packs the signs of `bits` projections onto planes
-    [t*bits, (t+1)*bits)."""
+    [t*bits, (t+1)*bits). One F.expr parse for the whole family (see
+    _sign_bits_sql for why: py4j literal traffic dominated probe
+    latency)."""
     planes = _hyperplanes(dim, bits * tables, seed)
-    out = []
-    for t in range(tables):
-        bucket = F.lit(0).cast("long")
-        for i in range(bits):
-            h = F.array(*[F.lit(x) for x in planes[t * bits + i]])
-            bucket = bucket.bitwiseOR(
-                F.when(dot(vec, h) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-        out.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
-    return F.array(*out)
+    vec_expr = _vec_sql(vec_col)
+    structs = [
+        "named_struct('t', {t}, 'b', {b})".format(
+            t=t, b=_sign_bits_sql(vec_expr, planes[t * bits : (t + 1) * bits])
+        )
+        for t in range(tables)
+    ]
+    return F.expr("array(" + ", ".join(structs) + ")")
 
 
 @dataclass
@@ -459,7 +485,7 @@ def build_lsh_keys(
     keys = (
         corpus.select(
             F.col(id_col),
-            F.explode(_table_buckets(as_double(vec_col), dim, bits, tables, seed)).alias("tb"),
+            F.explode(_table_buckets(vec_col, dim, bits, tables, seed)).alias("tb"),
         )
         .select(id_col, "tb.t", "tb.b")
         .persist()
@@ -557,7 +583,7 @@ def lsh_topk(
     id_col = corpus_keys.id_col
     q_keys = queries.select(
         F.col(query_id_col),
-        F.explode(_table_buckets(as_double(vec_col), dim, bits, tables, seed)).alias("tb"),
+        F.explode(_table_buckets(vec_col, dim, bits, tables, seed)).alias("tb"),
     ).select(query_id_col, "tb.t", "tb.b")
     cands = corpus_keys.keys.join(F.broadcast(q_keys), ["t", "b"])
     if exclude_self:

@@ -929,7 +929,7 @@ def _cache_put(cache: dict, key: tuple[str, str], value, frame_of) -> None:
     cache[key] = value
 
 
-@register("embedding_ann_ivf", survey_ids=("EXT-sim",), oracle=None)
+@register("embedding_ann_ivf", survey_ids=("EXT-sim",), oracle=None, bench=True)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via an IVF index (KMeans coarse quantizer, nprobe=4).
     The index builds ONCE per (session, corpus) and is cached — the
@@ -997,7 +997,7 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 
 """
 
 
-@register("embedding_ann_lsh", survey_ids=("EXT-sim",), oracle=_lsh_oracle())
+@register("embedding_ann_lsh", survey_ids=("EXT-sim",), oracle=_lsh_oracle(), bench=True)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via random-hyperplane LSH bucketing (recall-lossy scale
     path; tests ALSO compare recall against the brute-force baseline).

@@ -123,6 +123,38 @@ def test_media_feature_batching_matches_python(spark, sf_dir):
         assert abs(got[row.doc_id].mean_byte - sum(raw) / len(raw)) < 1e-9
 
 
-def test_real_codec_is_marked_stub():
+def test_real_codec_raises_hermetically_without_pillow(monkeypatch):
+    """In a codec-free environment the real tier must refuse loudly,
+    never fake an answer. Forced via monkeypatch so this contract
+    holds (and is tested) even on machines where Pillow IS present."""
+    monkeypatch.setattr(multimodal, "_pil", lambda: None)
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"\x00", codec="real")
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_image_features(None)
+
+
+def test_real_codec_decodes_when_pillow_present(spark):
+    """The import-guarded real tier: with Pillow installed, images
+    decode to real width/height/mode features and RGB24 bytes;
+    undecodable blobs quarantine as null-feature rows. Skipped (not
+    faked) where Pillow is absent — this container ships no codec
+    libs, so there the hermetic test above is the active contract."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 3), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    assert multimodal.decode_media(png, codec="real") == b"\xff\x00\x00" * 21
+
+    media = spark.createDataFrame(
+        [(1, png, ("image/png", len(png))), (2, b"not an image", ("junk", 12))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = {r.doc_id: r for r in multimodal.extract_image_features(media).collect()}
+    assert (got[1].width, got[1].height, got[1].mode, got[1].n_pixels) == (7, 3, "RGB", 21)
+    assert got[2].width is None and got[2].n_pixels is None
