@@ -290,6 +290,83 @@ def _unit_normed(df: DataFrame, keep: str, vec_col: str) -> DataFrame:
     )
 
 
+def _centers_expr(centers: list[list[float]]) -> Column:
+    """array<struct<_cell,_ctr>> centroid table as ONE F.expr parse —
+    per-element F.lit would cost ~1k py4j round-trips of driver
+    latency per call (see _sign_bits_sql); repr doubles round-trip
+    exactly."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "named_struct('_cell', {ci}, '_ctr', array({vals}))".format(
+                ci=ci, vals=", ".join(f"{x!r}D" for x in c)
+            )
+            for ci, c in enumerate(centers)
+        )
+        + ")"
+    )
+
+
+def _cell_scores(vec: Column, centers: Column) -> Column:
+    """array<struct<_d,_cell>>: squared Euclidean distance from ``vec``
+    to each centroid, with the cell id as tiebreak field — array_sort
+    over these structs is the (distance, cell) argmin/argsort both the
+    build-side assignment and the probe share."""
+    return F.transform(
+        centers,
+        lambda c: F.struct(
+            _fold_sum(
+                F.zip_with(vec, c["_ctr"], lambda x, y: (x - y) * (x - y))
+            ).alias("_d"),
+            c["_cell"].alias("_cell"),
+        ),
+    )
+
+
+def build_fixed_ivf_index(
+    corpus: DataFrame,
+    centroid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """IVF index with a FIXED, data-derived quantizer: the centroids
+    are the L2-normalized corpus vectors of ``centroid_ids`` (in that
+    order), and every corpus vector is assigned to its (distance,
+    cell)-argmin cell with the same expression the probe uses.
+
+    Unlike the KMeans build (iterative ML, rows-only checkable), this
+    quantizer is a deterministic function of the corpus — so the WHOLE
+    IVF pipeline (assign → nprobe cell choice → candidate join → cosine
+    ranking) has a DuckDB twin and hash-checks end to end
+    (`embedding_ann_ivf_fixed`). Production would keep KMeans for
+    recall; this build exists to differentially prove the probe
+    machinery itself. Cell ordering ties: inter-centroid distance
+    margins are O(0.1) for real embeddings while cross-engine float
+    noise is ~1e-15, so the argmin/argsort agree (same class of
+    argument as the LSH oracle's sign margins)."""
+    rows = (
+        corpus.where(F.col(id_col).isin(list(centroid_ids)))
+        .select(id_col, as_double(vec_col).alias("_r"))
+        .collect()
+    )
+    by_id = {r[0]: r[1] for r in rows}
+    missing = [cid for cid in centroid_ids if cid not in by_id]
+    if missing:
+        raise ValueError(f"centroid ids not present in corpus: {missing}")
+    centers = []
+    for cid in centroid_ids:
+        v = [float(x) for x in by_id[cid]]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        centers.append([x / n for x in v])
+
+    c_n = _unit_normed(corpus, id_col, vec_col).withColumnRenamed("_v", "_cv")
+    cell = F.element_at(F.array_sort(_cell_scores(F.col("_cv"), _centers_expr(centers))), 1)[
+        "_cell"
+    ]
+    assigned = c_n.withColumn("_cell", cell).select(id_col, "_cv", "_cell")
+    return IvfIndex(assigned=assigned, centers=centers, id_col=id_col, seed=-1)
+
+
 def build_ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -395,29 +472,8 @@ def ivf_topk(
     id_col = index.id_col
     assigned = index.assigned
 
-    # one F.expr parse for the whole centroid table — per-element F.lit
-    # would cost ~1k py4j round-trips of driver latency per probe call
-    # (see _sign_bits_sql); repr doubles round-trip exactly
-    centers = F.expr(
-        "array("
-        + ", ".join(
-            "named_struct('_cell', {ci}, '_ctr', array({vals}))".format(
-                ci=ci, vals=", ".join(f"{x!r}D" for x in c)
-            )
-            for ci, c in enumerate(index.centers)
-        )
-        + ")"
-    )
     q_n = _unit_normed(queries, query_id_col, vec_col).withColumnRenamed("_v", "_qv")
-    scored_centers = F.transform(
-        centers,
-        lambda c: F.struct(
-            _fold_sum(F.zip_with(F.col("_qv"), c["_ctr"], lambda x, y: (x - y) * (x - y))).alias(
-                "_d"
-            ),
-            c["_cell"].alias("_cell"),
-        ),
-    )
+    scored_centers = _cell_scores(F.col("_qv"), _centers_expr(index.centers))
     probes = F.slice(F.array_sort(scored_centers), 1, nprobe)
     q_probed = q_n.select(
         query_id_col, "_qv", F.explode(F.transform(probes, lambda p: p["_cell"])).alias("_cell")

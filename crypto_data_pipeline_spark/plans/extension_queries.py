@@ -997,6 +997,75 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 
 """
 
 
+def _ivf_fixed_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """DuckDB twin of the ENTIRE fixed-quantizer IVF pipeline: centroid
+    derivation (normalized vectors of vec_id < n_centroids), corpus
+    cell assignment ((distance, cell) argmin), query nprobe cell
+    choice, candidate equi-join on cell, and rounded-cosine ranking.
+    No literals needed — the quantizer is a function of the corpus, so
+    the oracle derives it from the same table. Distance ordering uses
+    2 - 2·dot on unit vectors (mathematically equal to the Spark
+    side's Euclidean fold; cross-engine float noise ~1e-15 vs
+    inter-centroid margins O(0.1), same class of tie argument as the
+    LSH oracle's sign margins)."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
+ctr AS (SELECT CAST(vec_id AS INT) AS cell, u AS cu FROM n WHERE vec_id < {n_centroids}),
+dists AS (
+  SELECT n.vec_id, ctr.cell,
+         2 - 2 * list_dot_product(n.u, ctr.cu) AS d
+  FROM n CROSS JOIN ctr
+),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dists WHERE vec_id < 10
+  ) WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(qn.u, cn.u), 6) AS cosine
+  FROM probes p
+  JOIN asg a USING (cell)
+  JOIN n qn ON qn.vec_id = p.query_id
+  JOIN n cn ON cn.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= {k}
+"""
+
+
+@register("embedding_ann_ivf_fixed", extra=True, survey_ids=("EXT-sim",), oracle=_ivf_fixed_oracle())
+def embedding_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checked IVF twin: same probe machinery as
+    `embedding_ann_ivf` (assign → nprobe → cell join → cosine rank) but
+    with the deterministic fixed quantizer of
+    `similarity.build_fixed_ivf_index` (centroids = normalized vectors
+    of vec_id 0..15), so the whole pipeline is SQL-expressible and the
+    driver-class check covers IVF end to end — the KMeans build
+    remains the production recall path, proven rows-only + recall
+    floor."""
+    embs = _embs(spark, sf_dir)
+    index = similarity.build_fixed_ivf_index(embs, list(range(16)))
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        embs, queries, k=5, index=index, n_centroids=16, nprobe=4, seed=-1
+    )
+
+
 @register("embedding_ann_lsh", survey_ids=("EXT-sim",), oracle=_lsh_oracle(), bench=True)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via random-hyperplane LSH bucketing (recall-lossy scale
