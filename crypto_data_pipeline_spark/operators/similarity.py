@@ -265,6 +265,38 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", F.expr(bucket))
 
 
+def stream_near_dup_filter(
+    stream: DataFrame,
+    dim: int = 64,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming embedding near-dedup: a row is dropped when another
+    row with the SAME full n_planes-bit LSH signature already arrived
+    within the watermark (signature collision ⇒ the two vectors agree
+    on every hyperplane sign ⇒ cosine-near for adequate n_planes).
+
+    Spark-first shape: the signature is a pure stateless expression
+    (`with_lsh_bucket` — streaming-safe, no shuffle of its own), and
+    survivorship is `dropDuplicatesWithinWatermark` on the bucket key,
+    so state holds one entry per DISTINCT signature inside the
+    watermark window — bounded, evicted by event time — instead of one
+    per row. The batch twin with deterministic survivorship (min id
+    per signature) is `embedding_bucket_dedup` in the query catalog;
+    the streaming path keeps first-arrival per signature, the standard
+    streaming relaxation (arrival order IS the priority at ingest).
+    Works identically on a batch frame via dropDuplicates for tests."""
+    keyed = with_lsh_bucket(stream, dim, n_planes, vec_col, seed)
+    if stream.isStreaming:
+        return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["lsh_bucket"]
+        )
+    return keyed.dropDuplicates(["lsh_bucket"])
+
+
 @dataclass
 class IvfIndex:
     """A built IVF index: the cell-assigned (and persisted) corpus plus

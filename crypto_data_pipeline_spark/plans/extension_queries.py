@@ -997,6 +997,90 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 
 """
 
 
+def _bucket_dedup_oracle(dim: int = 64, n_planes: int = 16) -> str:
+    """DuckDB twin of the full-signature LSH dedup: the deterministic
+    hyperplanes inline as literals (same device as _lsh_oracle; sign
+    margins dwarf cross-engine float noise)."""
+    from crypto_data_pipeline_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed=42)
+    values = ",\n".join(
+        "({i}, [{vals}]::DOUBLE[])".format(i=i, vals=", ".join(repr(x) for x in p))
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(i, pv) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+keys AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                       THEN (1 << p.i) ELSE 0 END) AS BIGINT) AS lsh_bucket
+  FROM e CROSS JOIN planes p GROUP BY 1
+)
+SELECT lsh_bucket,
+       CAST(min(vec_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM keys GROUP BY 1
+"""
+
+
+@register(
+    "embedding_bucket_dedup",
+    extra=True,
+    survey_ids=("EXT-sim", "EXT-dedup"),
+    oracle=_bucket_dedup_oracle(),
+)
+def embedding_bucket_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic batch twin of the streaming LSH near-dedup
+    (`similarity.stream_near_dup_filter`): one survivor (min vec_id)
+    per full 16-bit LSH signature plus the collision count. One
+    signature expression + one hash-groupBy shuffle — the same
+    census-then-survivor shape as exact text dedup, applied to the
+    embedding modality."""
+    embs = similarity.with_lsh_bucket(_embs(spark, sf_dir))
+    return embs.groupBy("lsh_bucket").agg(
+        F.min("vec_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    extra=True,
+    survey_ids=("EXT-sim",),
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e)
+SELECT vec_id, scale,
+       CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS TINYINT))
+            ELSE list_transform(v, x -> CAST(round(x / scale * 127) AS TINYINT)) END AS q
+FROM s
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (the FAISS SQ8 /
+    vector-DB storage trick): q_i = round(x_i/scale*127) with
+    scale = max|x_i|, reconstruction x̂_i = q_i*scale/127. At 100 TB
+    this is the at-rest embedding format — 4× smaller scans, exact
+    max-norm kept per row for dequantization — and it is a pure
+    codegen expression (array_max + transform), zero shuffle, zero
+    Python. Rounding is half-away-from-zero in both engines (Spark
+    HALF_UP, DuckDB round), so the int8 codes hash-match exactly."""
+    v = similarity.as_double("embedding")
+    embs = _embs(spark, sf_dir).select(
+        "vec_id", v.alias("_v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("scale"),
+    )
+    zeros = F.transform(F.col("_v"), lambda x: F.lit(0).cast("tinyint"))
+    codes = F.transform(
+        F.col("_v"), lambda x: F.round(x / F.col("scale") * 127).cast("tinyint")
+    )
+    return embs.select(
+        "vec_id", "scale",
+        F.when(F.col("scale") == 0, zeros).otherwise(codes).alias("q"),
+    )
+
+
 def _ivf_fixed_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:
     """DuckDB twin of the ENTIRE fixed-quantizer IVF pipeline: centroid
     derivation (normalized vectors of vec_id < n_centroids), corpus

@@ -301,3 +301,51 @@ def test_fuzzy_pairs_blocked_edit_distance(spark):
     assert (2, 3) in got  # transitively close pair also surfaces
     assert all(4 not in pair for pair in got)  # different block
     assert all(5 not in pair for pair in got)  # same block, too far
+
+
+def test_stream_near_dup_filter_matches_batch_buckets(spark, sf_dir, tmp_path):
+    """Streaming LSH near-dedup: an availableNow run over the real
+    embeddings (with injected event times) must keep EXACTLY one row
+    per distinct 16-bit signature, the signature set must equal the
+    batch computation's, and every survivor must carry its own
+    vector's signature. Survivor IDENTITY is first-arrival (arrival
+    order is the priority at ingest), so the assertions pin the
+    bucket algebra, not an arrival order the batch twin can't see —
+    deterministic survivorship is the oracle-checked
+    embedding_bucket_dedup query."""
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    stamped = embs.withColumn(
+        "ts", F.timestamp_micros((F.lit(1700000000000000) + F.col("vec_id")).cast("long"))
+    )
+    src = str(tmp_path / "src")
+    stamped.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        similarity.stream_near_dup_filter(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    kept = spark.read.parquet(out).select("vec_id", "lsh_bucket").collect()
+    batch = {
+        (r.vec_id, r.lsh_bucket)
+        for r in similarity.with_lsh_bucket(embs).select("vec_id", "lsh_bucket").collect()
+    }
+    batch_buckets = {b for _, b in batch}
+
+    assert len(kept) == len(batch_buckets)            # one survivor per signature
+    assert {r.lsh_bucket for r in kept} == batch_buckets
+    assert all((r.vec_id, r.lsh_bucket) in batch for r in kept)  # own signature
+
+    # the batch path of the same operator picks the identical bucket set
+    batch_kept = similarity.stream_near_dup_filter(embs.withColumn("ts", F.current_timestamp()))
+    assert {r.lsh_bucket for r in batch_kept.select("lsh_bucket").collect()} == batch_buckets
