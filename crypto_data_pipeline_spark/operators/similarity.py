@@ -265,6 +265,73 @@ def with_lsh_bucket(
     return df.withColumn("lsh_bucket", F.expr(bucket))
 
 
+def with_int8_codes(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (FAISS SQ8): adds
+    ``scale`` = max|x_i| and ``q`` = round(x_i/scale*127) as tinyint.
+    Dequantization is q*scale/127; cosine between vectors is invariant
+    to the per-vector scale, so similarity search can run on the codes
+    alone (see quantized_topk). Pure array expressions — zero shuffle,
+    zero Python, 4× smaller at rest."""
+    v = as_double(vec_col)
+    out = df.withColumn("scale", F.array_max(F.transform(v, lambda x: F.abs(x))))
+    zeros = F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+    codes = F.transform(v, lambda x: F.round(x / F.col("scale") * 127).cast("tinyint"))
+    return out.withColumn("q", F.when(F.col("scale") == 0, zeros).otherwise(codes))
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int8 code arrays (widened to
+    long before multiply — tinyint×tinyint would wrap). Every int is
+    exact in both engines, so quantized scores reproduce bit-for-bit
+    (the only float ops are one sqrt and one division on identical
+    integers)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k cosine search over SQ8-QUANTIZED vectors — the compressed
+    scan path: at 100 TB the int8 codes are 4× less IO than float32
+    and the per-vector scales cancel out of cosine entirely, so the
+    probe never dequantizes. Ranking error vs the float baseline is
+    bounded by quantization noise (recall-tested); the quantized score
+    itself is EXACT — integer dots — hence hash-checkable with no
+    rounding caveats beyond the final 6 dp."""
+    from pyspark.sql import Window
+
+    qc = with_int8_codes(queries.select(query_id_col, vec_col), vec_col).select(
+        query_id_col, F.col("q").alias("_qq")
+    )
+    cc = with_int8_codes(corpus.select(id_col, vec_col), vec_col).select(
+        id_col, F.col("q").alias("_cq")
+    )
+    scored = cc.crossJoin(F.broadcast(qc))
+    if exclude_self:
+        scored = scored.where(F.col(query_id_col) != F.col(id_col))
+    num = _int_dot(F.col("_qq"), F.col("_cq")).cast("double")
+    den = F.sqrt(_int_dot(F.col("_qq"), F.col("_qq")).cast("double")) * F.sqrt(
+        _int_dot(F.col("_cq"), F.col("_cq")).cast("double")
+    )
+    scored = scored.withColumn("cosine_q", F.round(num / den, 6))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_q").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_q", "rank")
+    )
+
+
 def stream_near_dup_filter(
     stream: DataFrame,
     dim: int = 64,

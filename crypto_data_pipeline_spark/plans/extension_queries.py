@@ -1066,19 +1066,49 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen expression (array_max + transform), zero shuffle, zero
     Python. Rounding is half-away-from-zero in both engines (Spark
     HALF_UP, DuckDB round), so the int8 codes hash-match exactly."""
-    v = similarity.as_double("embedding")
-    embs = _embs(spark, sf_dir).select(
-        "vec_id", v.alias("_v"),
-        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("scale"),
+    embs = _embs(spark, sf_dir).select("vec_id", "embedding")
+    return similarity.with_int8_codes(embs).select("vec_id", "scale", "q")
+
+
+@register(
+    "embedding_topk_quantized",
+    extra=True,
+    survey_ids=("EXT-sim",),
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v, x -> CAST(round(x / scale * 127) AS BIGINT)) END AS q
+  FROM s
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id,
+         round(list_dot_product(a.q, b.q)
+               / (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))), 6)
+           AS cosine_q
+  FROM qz a JOIN qz b ON a.vec_id < 10 AND b.vec_id <> a.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_q DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, cosine_q, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+""",
+)
+def embedding_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine over the int8 codes (`similarity.quantized_topk`):
+    the compressed-scan search path. Integer dot products make the
+    quantized score EXACT across engines — the strongest hash-check in
+    the similarity family (no float-fold noise at all before the final
+    sqrt/divide on identical integers). Ranking recall vs the float
+    baseline is pinned in tests/test_dedup_similarity.py."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-    zeros = F.transform(F.col("_v"), lambda x: F.lit(0).cast("tinyint"))
-    codes = F.transform(
-        F.col("_v"), lambda x: F.round(x / F.col("scale") * 127).cast("tinyint")
-    )
-    return embs.select(
-        "vec_id", "scale",
-        F.when(F.col("scale") == 0, zeros).otherwise(codes).alias("q"),
-    )
+    return similarity.quantized_topk(embs, queries, k=5)
 
 
 def _ivf_fixed_oracle(n_centroids: int = 16, nprobe: int = 4, k: int = 5) -> str:

@@ -349,3 +349,37 @@ def test_stream_near_dup_filter_matches_batch_buckets(spark, sf_dir, tmp_path):
     # the batch path of the same operator picks the identical bucket set
     batch_kept = similarity.stream_near_dup_filter(embs.withColumn("ts", F.current_timestamp()))
     assert {r.lsh_bucket for r in batch_kept.select("lsh_bucket").collect()} == batch_buckets
+
+
+def test_quantized_topk_tracks_exact(spark, sf_dir):
+    """SQ8 search quality: top-5 over the int8 codes must stay close
+    to the float baseline — measured 0.98 avg / 0.8 min recall and
+    ≤0.0025 absolute cosine deviation on this corpus at sf0.001 and
+    sf0.01; floors set with slack below that. The quantized score's
+    cross-engine EXACTNESS (integer dots) is separately pinned by the
+    embedding_topk_quantized oracle."""
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.brute_force_topk(embs, queries, k=5).collect()
+    quant = similarity.quantized_topk(embs, queries, k=5).collect()
+
+    ex, qt = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in quant:
+        qt.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(ex[q] & qt[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.9
+    assert min(recalls) >= 0.6
+
+    exact_scores = {(r.query_id, r.vec_id): r.cosine for r in exact}
+    devs = [
+        abs(exact_scores[(r.query_id, r.vec_id)] - r.cosine_q)
+        for r in quant
+        if (r.query_id, r.vec_id) in exact_scores
+    ]
+    assert devs and max(devs) <= 0.01
