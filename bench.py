@@ -41,10 +41,18 @@ def main() -> None:
 
     from crypto_data_pipeline_spark.plans.core_queries import history_is_bucketed
 
-    if not history_is_bucketed(spark, sf_dir):
+    # Every failure mode of the gate (strict-mode raise inside the
+    # materialization, or a non-zero-Exchange plan) must exit through
+    # the same one-JSON-line contract the consumer parses.
+    try:
+        bucketed = history_is_bucketed(spark, sf_dir)
+        gate_err = None if bucketed else "silver history is not bucketed"
+    except Exception as exc:
+        gate_err = f"silver materialization failed: {type(exc).__name__}: {exc}"
+    if gate_err is not None:
         print(
             json.dumps({"metric": "error", "value": -1.0, "unit": "sec",
-                        "error": "silver history is not bucketed"}),
+                        "error": gate_err}),
         )
         sys.exit(2)
 

@@ -310,20 +310,22 @@ def quantized_topk(
     rounding caveats beyond the final 6 dp."""
     from pyspark.sql import Window
 
+    # norms hoisted to per-ROW columns before the crossJoin (same
+    # rationale as brute_force_topk above: the per-pair expression
+    # would recompute each side's self-dot N×Q times instead of N+Q)
     qc = with_int8_codes(queries.select(query_id_col, vec_col), vec_col).select(
         query_id_col, F.col("q").alias("_qq")
-    )
+    ).withColumn("_qn", F.sqrt(_int_dot(F.col("_qq"), F.col("_qq")).cast("double")))
     cc = with_int8_codes(corpus.select(id_col, vec_col), vec_col).select(
         id_col, F.col("q").alias("_cq")
-    )
+    ).withColumn("_cn", F.sqrt(_int_dot(F.col("_cq"), F.col("_cq")).cast("double")))
     scored = cc.crossJoin(F.broadcast(qc))
     if exclude_self:
         scored = scored.where(F.col(query_id_col) != F.col(id_col))
     num = _int_dot(F.col("_qq"), F.col("_cq")).cast("double")
-    den = F.sqrt(_int_dot(F.col("_qq"), F.col("_qq")).cast("double")) * F.sqrt(
-        _int_dot(F.col("_cq"), F.col("_cq")).cast("double")
+    scored = scored.withColumn(
+        "cosine_q", F.round(num / (F.col("_qn") * F.col("_cn")), 6)
     )
-    scored = scored.withColumn("cosine_q", F.round(num / den, 6))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_q").desc(), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -912,6 +912,7 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CACHE: dict[tuple[str, str], "similarity.IvfIndex"] = {}
+_IVF_FIXED_CACHE: dict[tuple[str, str], "similarity.IvfIndex"] = {}
 _LSH_CACHE: dict[tuple[str, str], "similarity.LshIndex"] = {}
 
 
@@ -947,6 +948,14 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(embs, queries, k=5, index=index)
 
 
+def _plane_literal(plane: list[float]) -> str:
+    """One hyperplane as a DuckDB DOUBLE[] literal — repr doubles
+    round-trip exactly. Shared by every oracle that inlines the
+    deterministic `similarity._hyperplanes` family, so the literal
+    convention cannot silently diverge between twins."""
+    return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+
 def _lsh_oracle(dim: int = 64, bits: int = 5, tables: int = 10, k: int = 5) -> str:
     """DuckDB twin of the full multi-table LSH ANN pipeline. The
     hyperplanes are deterministic (LCG, similarity._hyperplanes), so
@@ -959,12 +968,11 @@ def _lsh_oracle(dim: int = 64, bits: int = 5, tables: int = 10, k: int = 5) -> s
     from crypto_data_pipeline_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, bits * tables, seed=42)
-    rows = []
-    for t in range(tables):
-        for i in range(bits):
-            lit = "[" + ", ".join(repr(x) for x in planes[t * bits + i]) + "]"
-            rows.append(f"({t}, {i}, {lit}::DOUBLE[])")
-    values = ",\n".join(rows)
+    values = ",\n".join(
+        f"({t}, {i}, {_plane_literal(planes[t * bits + i])})"
+        for t in range(tables)
+        for i in range(bits)
+    )
     return f"""
 WITH planes(t, i, pv) AS (VALUES {values}),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1005,8 +1013,7 @@ def _bucket_dedup_oracle(dim: int = 64, n_planes: int = 16) -> str:
 
     planes = _hyperplanes(dim, n_planes, seed=42)
     values = ",\n".join(
-        "({i}, [{vals}]::DOUBLE[])".format(i=i, vals=", ".join(repr(x) for x in p))
-        for i, p in enumerate(planes)
+        f"({i}, {_plane_literal(p)})" for i, p in enumerate(planes)
     )
     return f"""
 WITH planes(i, pv) AS (VALUES {values}),
@@ -1171,7 +1178,13 @@ def embedding_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     remains the production recall path, proven rows-only + recall
     floor."""
     embs = _embs(spark, sf_dir)
-    index = similarity.build_fixed_ivf_index(embs, list(range(16)))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    index = _IVF_FIXED_CACHE.get(key)
+    if index is None:
+        index = similarity.build_fixed_ivf_index(embs, list(range(16)))
+        # same per-(session, corpus) amortization as embedding_ann_ivf;
+        # unpersist on the (never-persisted) assignment is a no-op
+        _cache_put(_IVF_FIXED_CACHE, key, index, lambda ix: ix.assigned)
     queries = embs.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -169,6 +169,16 @@ def test_silver_downgrade_is_loud(spark, sf_dir, monkeypatch, caplog):
     # healthy session: the zero-Exchange bucketed path is the one served
     assert cq.history_is_bucketed(spark, sf_dir)
 
+    # run the FAILURE scenarios against a different sf_dir: _history
+    # DROPs its target table name before writing, and the sid is keyed
+    # on (app, sf_dir) — reusing the healthy sf_dir would silently
+    # drop the live session's silver table as a test side effect
+    other_sf = (
+        "/root/testdata/sf0.01"
+        if "sf0.01" not in sf_dir
+        else "/root/testdata/sf0.001"
+    )
+
     def broken_warehouse(*args, **kwargs):
         raise RuntimeError("warehouse is read-only (simulated)")
 
@@ -176,7 +186,7 @@ def test_silver_downgrade_is_loud(spark, sf_dir, monkeypatch, caplog):
     monkeypatch.setattr(cq, "_SILVER_CACHE", {})
     monkeypatch.delenv("SPARK_GRAFT_REQUIRE_SILVER", raising=False)
     with caplog.at_level(logging.WARNING, logger=cq.__name__):
-        df = cq._history(spark, sf_dir)
+        df = cq._history(spark, other_sf)
     assert any(
         "silver history downgrade" in rec.getMessage() and "read-only" in rec.getMessage()
         for rec in caplog.records
@@ -188,4 +198,4 @@ def test_silver_downgrade_is_loud(spark, sf_dir, monkeypatch, caplog):
     monkeypatch.setattr(cq, "_SILVER_CACHE", {})
     monkeypatch.setenv("SPARK_GRAFT_REQUIRE_SILVER", "1")
     with pytest.raises(RuntimeError, match="read-only"):
-        cq._history(spark, sf_dir)
+        cq._history(spark, other_sf)
