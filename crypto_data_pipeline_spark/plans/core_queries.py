@@ -1308,6 +1308,105 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM events"""
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "table_profile",
+    extra=True,
+    survey_ids=("S9", "A6", "EXT-olap"),
+    oracle=_PROFILE_ORACLE,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality census — the first job any 100 TB
+    ingest runs: per column, row count, null count, and EXACT distinct
+    count, in ONE scan. All columns' aggregates compute in a single
+    agg (Catalyst plans the multi-distinct via Expand, still one pass
+    over the data); the wide 1-row result then unpivots with stack()
+    into the (column, stats) report shape. The mergeable sketch path
+    for petabyte profiles is approx_count_distinct — its accuracy vs
+    this exact census is pinned in
+    tests/test_catalog_oracle.py::test_approx_distinct_tracks_exact."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
+    row = ev.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in _PROFILE_COLS)
+    return row.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, n_non_null, n_distinct)",
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("n_non_null")).cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )
+
+
+@register(
+    "cohort_retention",
+    extra=True,
+    survey_ids=("A6", "EXT-olap"),
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         date_trunc('week', f.first_day) AS cohort_week,
+         CAST(floor(date_diff('day', date_trunc('week', f.first_day),
+                              date_trunc('week', CAST(e.ts AS DATE))) / 7) AS INT)
+           AS week_offset
+  FROM events e JOIN firsts f USING (user_id)
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM activity GROUP BY 1, 2
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the classic warehouse report:
+    users bucketed by the Monday-start week of their FIRST event, and
+    for each cohort, how many of them are active k weeks later.
+
+    One user_id shuffle total: the first-event day is a window-min over
+    the same user partitioning the distinct (user, cohort, offset)
+    reduction then reuses — no self-join of events against events, no
+    second Exchange of the fact table. Week arithmetic is integer day
+    subtraction / 7 (both engines truncate weeks to Monday), so the
+    matrix hash-matches exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = ev.withColumn("first_day", F.min("day").over(w))
+    activity = cohorted.select(
+        "user_id",
+        F.date_trunc("week", "first_day").cast("date").alias("cohort_week"),
+        F.floor(
+            F.datediff(
+                F.date_trunc("week", "day").cast("date"),
+                F.date_trunc("week", "first_day").cast("date"),
+            )
+            / 7
+        )
+        .cast("int")
+        .alias("week_offset"),
+    ).distinct()
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
+
+
 @register(
     "value_histogram",
     extra=True,
