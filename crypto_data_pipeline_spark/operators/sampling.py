@@ -120,6 +120,32 @@ def pack_sequences(
     return df.withColumn("pack_id", F.floor(before / F.lit(budget)).cast("long"))
 
 
+def stratified_fixed_n(
+    df: DataFrame, key: str, stratum: str, n: int, salt: int = 0
+) -> DataFrame:
+    """EXACTLY ``n`` rows per stratum (or all of a smaller stratum),
+    chosen by ranking each stratum on the keyed hash — the
+    quota-sampling complement to ``weighted_mix``'s rate-based
+    thinning (eval-set construction wants fixed counts, not fractions).
+
+    Deterministic like everything here: the hash order is a pure
+    function of ``key``, with the key itself as tiebreak. One shuffle
+    on the stratum; the rank<=n filter rides Spark's WindowGroupLimit,
+    so each map task forwards at most ``n`` rows per stratum and the
+    Exchange carries O(strata x n) rows — this stays cheap even when
+    one stratum is 90% of a 100 TB corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum).orderBy(
+        hash_bucket(F.col(key), salt), F.col(key)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def sql_hash_bucket(key_expr: str, salt: int = 0) -> str:
     """The ANSI-SQL twin of ``hash_bucket`` for oracle queries.
     The first reduction is a portable pmod (``%`` then +MOD then ``%``)

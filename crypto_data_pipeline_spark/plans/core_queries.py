@@ -1848,3 +1848,125 @@ def model_comparison_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("r2") <= 1.0)
     )
     return cmp.select("model", valid.alias("metrics_valid"))
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 interval build (lakehouse history preservation)
+
+_SCD2_ORACLE = f"""
+WITH {HISTORY_CTE},
+flagged AS (
+  SELECT entity_id, fetch_date,
+         CAST(floor(price / 50.0) AS INT) AS band,
+         CASE WHEN row_number() OVER {W_ENTITY} = 1
+                OR (lag(CAST(floor(price / 50.0) AS INT)) OVER {W_ENTITY})
+                    IS DISTINCT FROM CAST(floor(price / 50.0) AS INT)
+              THEN 1 ELSE 0 END AS opens
+  FROM history
+),
+versioned AS (
+  SELECT entity_id, fetch_date, band,
+         CAST(sum(opens) OVER (PARTITION BY entity_id ORDER BY fetch_date
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+  FROM flagged
+),
+grouped AS (
+  SELECT entity_id, version, min(band) AS band,
+         min(fetch_date) AS valid_from, max(fetch_date) AS last_seen,
+         CAST(count(*) AS BIGINT) AS n_rows
+  FROM versioned GROUP BY 1, 2
+)
+SELECT entity_id, version, band, valid_from,
+       lead(valid_from) OVER (PARTITION BY entity_id ORDER BY version) AS valid_to,
+       last_seen, n_rows,
+       CAST(lead(valid_from) OVER (PARTITION BY entity_id ORDER BY version) IS NULL
+            AS INT) AS is_current
+FROM grouped
+"""
+
+
+@register(
+    "scd2_price_bands",
+    extra=True,
+    survey_ids=("S7", "A8", "EXT-olap"),
+    oracle=_SCD2_ORACLE,
+)
+def scd2_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity intervals over each entity's price BAND
+    (floor(price/50) — constant-divisor floor is IEEE-identical across
+    engines, unlike log-based banding). The inverse of the reference's
+    overwrite-upsert (load_data.py:66-102): instead of keeping only
+    the latest row, collapse the daily series into versioned
+    valid_from/valid_to runs. One Exchange on entity_id; the
+    (entity, version) groupBy and the lead() both ride that same
+    partitioning (operators/scd.py)."""
+    from crypto_data_pipeline_spark.operators.scd import scd2_intervals
+
+    daily = _history(spark, sf_dir).withColumn(
+        "band", F.floor(F.col(PRICE) / F.lit(50.0)).cast("int")
+    )
+    return scd2_intervals(
+        daily.select(ENTITY, DATE, "band"),
+        keys=[ENTITY], order_col=DATE, tracked=["band"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# skew diagnosis + per-group top-n
+
+
+@register(
+    "skew_key_shares",
+    extra=True,
+    survey_ids=("A6", "O2", "O3", "EXT-olap"),
+    oracle="""
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1
+), tot AS (SELECT sum(n_rows) AS t FROM counts)
+SELECT user_id, n_rows, round(n_rows / CAST(t AS DOUBLE), 6) AS share
+FROM counts, tot
+ORDER BY n_rows DESC, user_id
+LIMIT 10
+""",
+)
+def skew_key_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-diagnosis histogram every 100 TB join plans from: the
+    10 heaviest join keys and their share of the table. Decides
+    between plain shuffle, AQE skew split, and sources/bucketed.py's
+    salted_join. One scan: the grand total is a broadcast 1-row
+    aggregate over the already-reduced per-key counts."""
+    from crypto_data_pipeline_spark.sources.bucketed import key_skew_stats
+
+    return key_skew_stats(load_table(spark, sf_dir, "events"), ["user_id"], top=10)
+
+
+@register(
+    "topn_events_per_type",
+    extra=True,
+    survey_ids=("O2", "O3", "A8", "EXT-olap"),
+    oracle="""
+SELECT event_type, rnk, event_id, value
+FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events WHERE value IS NOT NULL
+)
+WHERE rnk <= 3
+""",
+)
+def topn_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 rows per group by value — the per-group cousin of the
+    global TakeOrdered (top_users_by_value). Scale path: Spark's
+    WindowGroupLimit pushes the rank<=k limit BELOW the shuffle, so
+    each map task forwards at most k rows per group instead of sorting
+    whole partitions — plan-asserted in tests/test_plan_shapes.py."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        ev.select(
+            "event_type", "event_id", "value", F.row_number().over(w).alias("rnk")
+        )
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+    )

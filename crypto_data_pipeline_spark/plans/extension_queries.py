@@ -1889,3 +1889,31 @@ def zorder_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("zy", bucketize(F.col("value"), F.col("_ymin"), F.col("_ymax")))
         .select("event_id", "zx", "zy", zvalue(F.col("zx"), F.col("zy")).alias("z"))
     )
+
+
+_FIXED_N_HASH = sampling.sql_hash_bucket("doc_id", salt=19)
+
+
+@register(
+    "stratified_sample_fixed_n",
+    extra=True,
+    survey_ids=("EXT-sample",),
+    oracle=f"""
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {_FIXED_N_HASH}, doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 20
+""",
+)
+def stratified_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-docs-per-language quota sample — eval sets want
+    fixed counts, not rates (operators/sampling.py stratified_fixed_n:
+    deterministic hash order, WindowGroupLimit caps each map task at n
+    rows per stratum before the shuffle). The oracle replays every
+    selection decision bit-for-bit via the shared LCG hash."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return sampling.stratified_fixed_n(docs, "doc_id", "lang", 20, salt=19)

@@ -95,6 +95,29 @@ def salted_join(
     return salted_left.join(salted_right, on + [_SALT], how).drop(_SALT)
 
 
+def key_skew_stats(df: DataFrame, keys: Sequence[str], top: int = 10) -> DataFrame:
+    """Per-key row counts with each key's share of the table — the
+    measurement half of ``salted_join``: salt only when the histogram
+    says so (top-key share ≫ 1/shuffle-partitions). One hash-groupBy
+    (map-side partial combine), then the grand total rides a broadcast
+    1-row aggregate OVER THE ALREADY-REDUCED counts, so the raw table
+    is scanned exactly once. Returns the ``top`` heaviest keys,
+    count-descending with the key as deterministic tiebreak."""
+    keys = list(keys)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total").cast("double"), 6).alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), *keys)
+        .limit(top)
+    )
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of Exchange (shuffle) operators in the physical plan —
     the metric the bucketing tests pin to zero. Uses the pre-execution

@@ -148,3 +148,29 @@ def test_salted_join_rejects_right_joins(spark, sf_dir):
         bucketed.salted_join(events, events, ["user_id"], how="right")
     with pytest.raises(ValueError, match="salted_join supports"):
         bucketed.salted_join(events, events, ["user_id"], how="left_anti")
+
+
+def test_key_skew_stats_ranks_heavy_hitters(spark):
+    """The diagnosis half of the salted join: the hot key must surface
+    first with its true count and share, keys must tie-break
+    deterministically, and the raw table must be scanned exactly once
+    (the grand total rides a broadcast over the reduced counts)."""
+    df = spark.range(100).select(
+        F.when(F.col("id") < 80, F.lit(7)).otherwise(F.col("id") % 10 + 10).alias("k")
+    )
+    out = bucketed.key_skew_stats(df, ["k"], top=3)
+    rows = out.collect()
+    assert (rows[0]["k"], rows[0]["n_rows"], rows[0]["share"]) == (7, 80, 0.8)
+    assert [r["n_rows"] for r in rows] == sorted(
+        [r["n_rows"] for r in rows], reverse=True
+    )
+    # ties (the cold keys all have 2 rows) break ascending by key
+    assert rows[1]["k"] < rows[2]["k"]
+    # one-scan claim: after execution, the grand-total branch must ride
+    # a ReusedExchange of the per-key counts — the base appears exactly
+    # once in the AQE final plan
+    final_plan = (
+        out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert final_plan.count("Range (0, 100") == 1
+    assert "ReusedExchange" in final_plan

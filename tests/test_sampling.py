@@ -111,3 +111,25 @@ def test_sample_filter_pushes_to_scan(spark, sf_dir):
     assert "Exchange" not in plan
     # '*(n)' prefixes mark whole-stage-codegen stages in plan toString
     assert plan.lstrip().startswith("*(")
+
+
+def test_stratified_fixed_n_quota_and_determinism(spark, sf_dir):
+    """Exactly n per stratum (all rows of a smaller stratum), identical
+    selection across runs/repartitionings, and the rank<=n must ride
+    WindowGroupLimit so the stratum shuffle carries only candidates."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = sampling.stratified_fixed_n(docs, "doc_id", "lang", 5, salt=19)
+    per = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {lang: min(5, n) for lang, n in sizes.items()}
+
+    again = sampling.stratified_fixed_n(
+        docs.repartition(13), "doc_id", "lang", 5, salt=19
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
