@@ -1970,3 +1970,133 @@ def topn_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("event_type", "rnk", "event_id", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered multi-step funnel + anti join
+
+_ORDERED_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+            OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS seen_view_us
+  FROM ev
+),
+s2 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND seen_view_us IS NOT NULL
+                 THEN us END AS qclick_us
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(qclick_us)
+            OVER (PARTITION BY user_id ORDER BY us, event_id
+                  ROWS UNBOUNDED PRECEDING) AS seen_qclick_us
+  FROM s2
+),
+s4 AS (
+  SELECT *, CASE WHEN event_type = 'purchase' AND seen_qclick_us IS NOT NULL
+                 THEN us END AS qpurchase_us
+  FROM s3
+)
+SELECT user_id,
+       coalesce(min(CASE WHEN event_type = 'view' THEN us END), -1) AS view_us,
+       coalesce(min(qclick_us), -1) AS click_us,
+       coalesce(min(qpurchase_us), -1) AS purchase_us,
+       CASE WHEN min(qpurchase_us) IS NOT NULL THEN 3
+            WHEN min(qclick_us) IS NOT NULL THEN 2
+            WHEN min(CASE WHEN event_type = 'view' THEN us END) IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_depth
+FROM s4 GROUP BY user_id
+"""
+
+
+@register(
+    "funnel_ordered_steps",
+    extra=True,
+    survey_ids=("A2", "W3", "F4", "EXT-olap"),
+    oracle=_ORDERED_FUNNEL_ORACLE,
+)
+def funnel_ordered_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ORDERED view→click→purchase funnel per user: a click
+    only counts after the user's first view, a purchase only after the
+    first counted click (session_funnel's per-session flags can't
+    express the cross-step ordering). One Exchange on user_id: the two
+    running-min windows and the final groupBy all share it. Every
+    output is exact integer µs (null steps coalesced to -1 — the
+    sentinel keeps sorted-tuple comparison total)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s1 = ev.withColumn(
+        "seen_view_us",
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "qclick_us",
+        F.when(
+            (F.col("event_type") == "click") & F.col("seen_view_us").isNotNull(),
+            F.col("us"),
+        ),
+    ).withColumn("seen_qclick_us", F.min("qclick_us").over(w))
+    s3 = s2.withColumn(
+        "qpurchase_us",
+        F.when(
+            (F.col("event_type") == "purchase") & F.col("seen_qclick_us").isNotNull(),
+            F.col("us"),
+        ),
+    )
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("us")))
+    return s3.groupBy("user_id").agg(
+        F.coalesce(first_view, F.lit(-1)).alias("view_us"),
+        F.coalesce(F.min("qclick_us"), F.lit(-1)).alias("click_us"),
+        F.coalesce(F.min("qpurchase_us"), F.lit(-1)).alias("purchase_us"),
+        F.when(F.min("qpurchase_us").isNotNull(), 3)
+        .when(F.min("qclick_us").isNotNull(), 2)
+        .when(first_view.isNotNull(), 1)
+        .otherwise(0)
+        .alias("funnel_depth"),
+    )
+
+
+@register(
+    "customers_no_urgent_orders",
+    extra=True,
+    survey_ids=("J2", "P5", "EXT-olap"),
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+)
+def customers_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left ANTI join — the set-difference shape every
+    decontamination / suppression-list pass uses (the dedup and
+    contamination operators apply it internally; this pins the bare
+    semantics against the SQL subquery form). The anti side is
+    pre-filtered to urgent orders then reduced to distinct keys, so
+    the broadcast carries keys only."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(urgent, "c_custkey", "left_anti")
