@@ -2100,3 +2100,43 @@ def customers_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.join(urgent, "c_custkey", "left_anti")
+
+
+@register(
+    "props_variant_stats",
+    extra=True,
+    survey_ids=("F3", "U4", "EXT-olap"),
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) - count(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_missing,
+       sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+       min(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+       max(CAST(props->>'$.k' AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+""",
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4 VariantType: ``parse_json``
+    decodes the props payload ONCE into a binary variant, and every
+    ``variant_get`` path walks that binary form — unlike
+    ``get_json_object`` (the F3 queries' classic path), which re-parses
+    the string per extraction. At 100 TB with a dozen extracted paths,
+    that's the difference between one decode and twelve. Exact integer
+    aggregates keep the oracle comparison float-free; the sum is
+    CAST-to-BIGINT on the DuckDB side (its integer SUM widens to
+    HUGEINT)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count("k")).alias("n_missing"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
