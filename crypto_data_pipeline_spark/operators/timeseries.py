@@ -191,3 +191,33 @@ def latest_per_entity(df: DataFrame, entity: str = ENTITY, date: str = DATE) -> 
     window, keep rn=1."""
     w = Window.partitionBy(entity).orderBy(F.col(date).desc())
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def resample_daily_locf(
+    df: DataFrame, entity: str = ENTITY, date: str = DATE, price: str = PRICE
+) -> DataFrame:
+    """Densify each entity's series to a full daily calendar between
+    its own min/max dates and carry the last observation forward —
+    pandas ``asfreq('D').ffill()`` (the reference's implied
+    fixed-frequency convention: EDA.ipynb treats fetch days as a daily
+    grid). ``is_gap`` marks the synthesized rows. Filled values are
+    exact copies of observed ones, never interpolations.
+
+    Scale: the calendar explodes from the per-entity bounds aggregate
+    (2 dates per entity), the left join and the LOCF window cluster on
+    the entity key, and output growth is bounded by each entity's span
+    in days."""
+    bounds = df.groupBy(entity).agg(F.min(date).alias("d0"), F.max(date).alias("d1"))
+    cal = bounds.select(entity, F.explode(F.sequence("d0", "d1")).alias(date))
+    joined = cal.join(df.select(entity, date, price), [entity, date], "left")
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(date)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        entity,
+        date,
+        F.last(price, ignorenulls=True).over(w).alias(price),
+        F.col(price).isNull().cast("int").alias("is_gap"),
+    )

@@ -2140,3 +2140,48 @@ def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+_GAPFILL_ORACLE = f"""
+WITH {HISTORY_CTE},
+bounds AS (
+  SELECT entity_id, min(fetch_date) AS d0, max(fetch_date) AS d1
+  FROM history GROUP BY 1
+),
+cal AS (
+  SELECT entity_id,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                     CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS fetch_date
+  FROM bounds
+),
+j AS (
+  SELECT c.entity_id, c.fetch_date, h.price
+  FROM cal c LEFT JOIN history h USING (entity_id, fetch_date)
+)
+SELECT entity_id, fetch_date,
+       last_value(price IGNORE NULLS)
+         OVER (PARTITION BY entity_id ORDER BY fetch_date
+               ROWS UNBOUNDED PRECEDING) AS price,
+       CAST(price IS NULL AS INT) AS is_gap
+FROM j
+"""
+
+
+@register(
+    "resample_daily_ffill",
+    extra=True,
+    survey_ids=("W11", "F13", "EXT-olap"),
+    oracle=_GAPFILL_ORACLE,
+)
+def resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling resample: densify each entity's series to a full
+    daily calendar (sequence+explode between its own min/max dates)
+    and carry the last observation forward — pandas'
+    ``asfreq('D').ffill()``, the canonical pre-step before any
+    fixed-frequency window math on irregular series. Filled prices are
+    exact COPIES of observed values (no arithmetic → no float noise).
+    Scale shape: the calendar derives from the per-entity bounds
+    aggregate (tiny), the join and the LOCF window both cluster on
+    entity_id, and row growth is bounded by span-days per entity."""
+    return ts.resample_daily_locf(_history(spark, sf_dir))

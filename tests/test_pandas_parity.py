@@ -199,3 +199,26 @@ def test_holiday_flags_parity(spark, sdf, pdf):
         assert r.is_pre_us_holiday == int(d + dt.timedelta(days=1) in us)
         hit_some += r.is_us_holiday + r.is_china_holiday
     assert hit_some > 0, "fixture must cover actual holidays (Dec 25, Jan 1...)"
+
+
+def test_resample_ffill_parity(spark, sdf, pdf):
+    """Gap-fill must reproduce pandas asfreq('D').ffill() per entity —
+    same calendar, same carried values, gaps exactly where the walk
+    fixture dropped dates."""
+    got = {
+        (r.entity_id, str(r.fetch_date)): (r.price, r.is_gap)
+        for r in ts.resample_daily_locf(sdf).collect()
+    }
+    want = {}
+    for ent, grp in pdf.groupby("entity_id"):
+        g = (
+            grp.set_index(pd.to_datetime(grp["fetch_date"]))["price"]
+            .asfreq("D")
+        )
+        filled = g.ffill()
+        for d, v in filled.items():
+            want[(ent, str(d.date()))] = (float(v), int(pd.isna(g[d])))
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k][1] == want[k][1], k
+        assert abs(got[k][0] - want[k][0]) <= 1e-9 * max(1.0, abs(want[k][0])), k
