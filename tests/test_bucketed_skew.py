@@ -174,3 +174,60 @@ def test_key_skew_stats_ranks_heavy_hitters(spark):
     )
     assert final_plan.count("Range (0, 100") == 1
     assert "ReusedExchange" in final_plan
+
+
+def test_aqe_splits_skewed_smj_at_runtime(spark):
+    """The runtime half of the skew story: with thresholds scaled to
+    the fixture, AQE must re-plan a skewed sort-merge join as
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead — the hot
+    partition splits into advisory-size slices, no salting needed.
+
+    Caveat pinned here because it is WHY salted_join exists: the split
+    only happens when nothing downstream requires the join keys'
+    partitioning. The same join feeding a groupBy on the key is NOT
+    split (splitting would break the reusable distribution), so
+    join+aggregate pipelines over a hot key still need explicit
+    salting or the bucketed layout."""
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    saved = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        pad = "x" * 200
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 190_000, F.lit(0))
+            .otherwise(F.col("id") % 97 + 1)
+            .alias("k"),
+            F.lit(pad).alias("payload"),
+        )
+        right = spark.range(98).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("score")
+        )
+
+        def final_plan(df):
+            df.collect()
+            return (
+                df._jdf.queryExecution().executedPlan().toString()
+                .split("== Initial Plan ==")[0]
+            )
+
+        plain = left.join(right, "k").select("k", "score")
+        assert "skew=true" in final_plan(plain)
+
+        agg = left.join(right, "k").groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        assert "skew=true" not in final_plan(agg)  # the caveat
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
