@@ -2185,3 +2185,63 @@ def resample_daily_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (tiny), the join and the LOCF window both cluster on
     entity_id, and row growth is bounded by span-days per entity."""
     return ts.resample_daily_locf(_history(spark, sf_dir))
+
+
+@register(
+    "user_set_ops",
+    extra=True,
+    survey_ids=("§2.7", "A6", "EXT-olap"),
+    oracle="""
+SELECT 'both' AS set_op, user_id
+FROM (SELECT user_id FROM events WHERE event_type = 'view'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT 'view_only' AS set_op, user_id
+FROM (SELECT user_id FROM events WHERE event_type = 'view'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'purchase')
+""",
+)
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (§2.7's DISTINCT cousins):
+    viewers who also purchased vs viewers who never did. Spark plans
+    both as distinct-then-left-semi/anti hash joins — same shuffle
+    shape as the suppression-list anti join, so the 100 TB story is
+    identical (keys-only exchanges)."""
+    ev = load_table(spark, sf_dir, "events")
+    viewers = ev.where(F.col("event_type") == "view").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    both = viewers.intersect(buyers).select(F.lit("both").alias("set_op"), "user_id")
+    only = viewers.subtract(buyers).select(
+        F.lit("view_only").alias("set_op"), "user_id"
+    )
+    return both.unionByName(only)
+
+
+@register(
+    "price_rank_normalized",
+    extra=True,
+    survey_ids=("W11", "A12", "EXT-olap"),
+    oracle=f"""
+WITH {HISTORY_CTE}
+SELECT entity_id, fetch_date,
+       round(percent_rank() OVER {W_ENTITY}, 9) AS pr,
+       round(cume_dist() OVER {W_ENTITY}, 9) AS cd
+FROM history
+""",
+)
+def price_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based normalization per entity — percent_rank (the
+    quantile-normalization primitive: outlier-robust where the z-score
+    A12 path is not) and cume_dist, over the same one-Exchange entity
+    windows every series query rides. Both are exact rational values;
+    rounded 9dp on both sides only to absorb division-order noise."""
+    h = _history(spark, sf_dir)
+    w = Window.partitionBy(ENTITY).orderBy(DATE)
+    return h.select(
+        ENTITY,
+        DATE,
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
