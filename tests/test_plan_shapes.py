@@ -265,3 +265,44 @@ def test_silver_downgrade_is_loud(spark, sf_dir, monkeypatch, caplog):
     monkeypatch.setenv("SPARK_GRAFT_REQUIRE_SILVER", "1")
     with pytest.raises(RuntimeError, match="read-only"):
         cq._history(spark, other_sf)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, tmp_path):
+    """Runtime semi-join reduction: when a big fact shuffle-joins a
+    selectively-filtered dim, the optimizer must inject a
+    bloom_filter_agg subquery on the dim and a might_contain filter
+    onto the FACT scan — rows that cannot match die before the
+    Exchange instead of shuffling. The row-level complement of dynamic
+    partition pruning (thresholds scaled to the fixture; at 100 TB
+    the defaults' 10 GiB application-side floor is what's intended)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        spark.range(500_000).select(
+            F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+        ).write.parquet(str(tmp_path / "big"))
+        spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("tag")
+        ).write.parquet(str(tmp_path / "dim"))
+        big = spark.read.parquet(str(tmp_path / "big"))
+        dim = spark.read.parquet(str(tmp_path / "dim")).where(F.col("tag") == 3)
+        q = big.join(dim, "k").select("k", "v", "tag")
+        plan = _plan(q)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        # bloom pruning must not change the answer
+        assert q.count() == 10_000 // 7 + (1 if 3 < 10_000 % 7 else 0)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -74,3 +74,23 @@ def test_funnel_ordered_steps_single_exchange(spark, sf_dir):
 
     q = load_with_extras()["funnel_ordered_steps"]
     assert exchange_count(q.fn(spark, sf_dir)) == 1
+
+
+def test_approx_top_k_recovers_exact_heavy_hitters(spark, sf_dir):
+    """approx_top_k is the sketch path of key_skew_stats: with the
+    tracked-item capacity above the true cardinality the counts are
+    exact, so the sketch's top keys must equal the exact groupBy's."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = spark.sql(
+        "SELECT approx_top_k(user_id, 5, 100000) AS tk FROM {ev}", ev=ev
+    ).first()["tk"]
+    got = {(r["item"], r["count"]) for r in sk}
+    exact = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "user_id")
+    ).collect()
+    floor = min(c for _, c in got)
+    want = {(r["user_id"], r["n"]) for r in exact if r["n"] >= floor}
+    # every sketched (item, count) pair must be a true exact pair
+    assert got <= want
+    assert len(got) == 5
