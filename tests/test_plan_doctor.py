@@ -1,0 +1,72 @@
+"""Global plan hygiene: EVERY registered query's physical plan is
+screened for the anti-patterns that kill plans at 100 TB, not just the
+handful with dedicated shape tests. A new query (or a refactor of a
+shared helper) that introduces a cartesian product or a row-at-a-time
+Python UDF fails here on the day it lands.
+
+Allowances are explicit and named: broadcast nested-loop joins are
+legal only where the query DECLARES a broadcast-small-side design
+(1-row bounds frames, contractually-small query batches, the
+exactness baselines); Arrow-batched Python is legal only in the
+operators built on mapInPandas/applyInPandas.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crypto_data_pipeline_spark.plans.registry import load_with_extras
+
+SPECS = load_with_extras()
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# every entry ships a broadcast side that is contractually tiny.
+BNLJ_OK = {
+    "embedding_topk_bruteforce",   # 10 query vectors broadcast over the corpus
+    "embedding_topk_crossjoin",    # exactness baseline, same broadcast side
+    "embedding_topk_quantized",    # quantized twin of the same shape
+    "embedding_similar_pairs",     # label-blocked pairs, broadcast block stats
+    "embedding_ann_ivf",           # nprobe cell ids broadcast to the index scan
+    "embedding_ann_ivf_fixed",
+    "embedding_ann_lsh",           # query-bucket list broadcast
+    "embedding_bucket_dedup",
+    "embedding_quantize_int8",     # 1-row global bounds frame
+    "zorder_cluster_keys",         # 1-row quantizer bounds frame
+    "skew_key_shares",             # 1-row grand-total frame
+    "tfidf_top_terms",             # 1-row corpus doc-count frame
+    "boilerplate_ratio",           # 1-row fingerprint-total frame
+    "value_histogram",             # 1-row min/max bounds frame
+    "pack_token_budget",
+    "dedup_minhash_portable",      # broadcast candidate-id prune
+    "contamination_ngram",
+}
+
+# Arrow-batched Python (mapInPandas / applyInPandas / pandas UDF) is a
+# declared design choice in these paths only.
+ARROW_OK = {
+    "multimodal_pipeline", "multimodal_ingest", "multimodal_features",
+    "multimodal_frames",
+    "sessionize_stateful",         # applyInPandasWithState twin
+    "embedding_topk_bruteforce",   # partition-local Arrow top-k
+    "embedding_topk_quantized",
+    "model_comparison", "model_comparison_sanity",  # Spark ML internals
+    "linear_ridge_closed_form",
+}
+
+
+@pytest.mark.parametrize("name", list(SPECS), ids=list(SPECS))
+def test_plan_is_clean(spark, sf_dir, name):
+    spec = SPECS[name]
+    plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    assert "CartesianProduct" not in plan, f"{name}: true cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: undeclared nested-loop join — if the broadcast side "
+            "is contractually tiny, add the query to BNLJ_OK with a comment"
+        )
+    if name not in ARROW_OK:
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan and (
+            "FlatMapGroupsInPandas" not in plan
+        ), f"{name}: undeclared Python stage"
