@@ -428,3 +428,50 @@ def with_rolling_fingerprint(
         .withColumn("n_grams", F.size(F.array_distinct("_grams")).cast("long"))
         .drop("_codes", "_grams")
     )
+
+
+def with_unigram_logprob(df: DataFrame, text: str = "text") -> DataFrame:
+    """CCNet-style corpus-LM quality signal (Wenzek et al. 2020): score
+    each document by the mean negative log-probability of its tokens
+    under the corpus's own unigram distribution, then bucket into
+    head/middle/tail terciles — the standard perplexity-split used to
+    stage web-corpus quality tiers for LLM training. (The reference has
+    no text stack; this extends its quality surface. A neural-LM
+    perplexity tier would slot in behind the same bucket contract.)
+
+    Plan shape: one explode scan, one term-key shuffle for the
+    vocabulary counts, one shuffle join back (AQE picks broadcast when
+    the vocab fits), one doc-key aggregation. The tercile bounds ride a
+    broadcast 1-row frame, so no global sort anywhere. Scores round to
+    6 dp BEFORE the bounds are taken so both engines bucket
+    identically. At 100 TB the exact ``percentile`` bounds frame is the
+    only non-mergeable piece — swap it for ``approx_percentile`` (the
+    sketch path proven in value_percentiles/equi-depth tests).
+    """
+    terms = df.select("doc_id", F.explode(tokens(text)).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        terms.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("tf").cast("double") / F.col("n_total"))), 6
+            ).alias("neg_logprob"),
+        )
+    )
+    bounds = scored.agg(
+        F.expr("percentile(neg_logprob, 0.3333333333333333)").alias("b1"),
+        F.expr("percentile(neg_logprob, 0.6666666666666666)").alias("b2"),
+    )
+    return scored.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_tokens",
+        "neg_logprob",
+        F.when(F.col("neg_logprob") <= F.col("b1"), F.lit("head"))
+        .when(F.col("neg_logprob") <= F.col("b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

@@ -666,6 +666,39 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_unigram_logprob",
+    extra=True,
+    survey_ids=("EXT-text",),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+freq AS (SELECT term, count(*) AS tf FROM terms GROUP BY 1),
+tot AS (SELECT sum(tf) AS n_total FROM freq),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(avg(-ln(CAST(tf AS DOUBLE) / n_total)), 6) AS neg_logprob
+  FROM terms JOIN freq USING (term), tot
+  GROUP BY doc_id
+),
+b AS (SELECT quantile_cont(neg_logprob, 0.3333333333333333) AS b1,
+             quantile_cont(neg_logprob, 0.6666666666666666) AS b2
+      FROM scored)
+SELECT doc_id, n_tokens, neg_logprob,
+       CASE WHEN neg_logprob <= b1 THEN 'head'
+            WHEN neg_logprob <= b2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored, b
+""",
+)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity split under the corpus
+    unigram LM (operators/text.py:with_unigram_logprob). Scores and
+    tercile bounds are 6-dp-rounded before bucketing so Spark and the
+    oracle assign identical buckets."""
+    return text.with_unigram_logprob(_docs(spark, sf_dir))
+
+
+@register(
     "doc_fingerprint",
     extra=True,
     survey_ids=("EXT-text",),

@@ -36,6 +36,7 @@ BNLJ_OK = {
     "tfidf_top_terms",             # 1-row corpus doc-count frame
     "boilerplate_ratio",           # 1-row fingerprint-total frame
     "value_histogram",             # 1-row min/max bounds frame
+    "quality_unigram_logprob",     # 1-row vocab-total + tercile-bounds frames
     "pack_token_budget",
     "dedup_minhash_portable",      # broadcast candidate-id prune
     "contamination_ngram",
