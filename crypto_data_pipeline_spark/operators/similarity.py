@@ -760,3 +760,50 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    index: IvfIndex,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-blocked
+    semantic deduplication over an embedding corpus. Pairwise cosine is
+    computed ONLY within a quantizer cell (the paper's k-means
+    clusters), and a vector is dropped when any lower-id cell-mate
+    scores >= ``threshold`` — the paper's upper-triangular keep rule,
+    which makes the survivor set order-deterministic without a
+    connected-components pass. (The reference has no embedding stack;
+    this extends its dedup surface to the embedding modality.)
+
+    Returns one row per corpus vector: (id, cell, n_dominators,
+    is_kept).
+
+    Scale: the join is an equi shuffle on `_cell`, so cost is
+    sum(|cell|^2) — choose n_centroids ~ sqrt(n) to bound cells (the
+    paper uses k=50k for LAION), and a hot cell caps the same way the
+    minhash banding caps hot buckets. Nothing is O(n^2) globally; the
+    cell is also the at-rest partition key, so re-dedup after appends
+    touches only dirty cells. Cosine is 6-dp-rounded before the
+    threshold compare so engines agree at the boundary.
+    """
+    idc = index.id_col
+    asg = index.assigned
+    a = asg.select(F.col(idc).alias("_aid"), F.col("_cv").alias("_av"), "_cell")
+    b = asg.select(F.col(idc).alias("_bid"), F.col("_cv").alias("_bv"), "_cell")
+    dom = (
+        a.join(b, "_cell")
+        .where(F.col("_aid") < F.col("_bid"))
+        .where(F.round(dot(F.col("_av"), F.col("_bv")), 6) >= threshold)
+        .groupBy("_bid")
+        .agg(F.count(F.lit(1)).alias("n_dominators"))
+    )
+    return (
+        asg.select(idc, F.col("_cell").cast("int").alias("cell"))
+        .join(dom, F.col(idc) == F.col("_bid"), "left")
+        .select(
+            idc,
+            "cell",
+            F.coalesce("n_dominators", F.lit(0)).cast("long").alias("n_dominators"),
+            (F.coalesce("n_dominators", F.lit(0)) == 0).alias("is_kept"),
+        )
+    )

@@ -1226,6 +1226,64 @@ def embedding_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_oracle(n_centroids: int = 16, threshold: float = 0.7) -> str:
+    """DuckDB twin of SemDeDup over the fixed quantizer: same centroid
+    derivation and (distance, cell)-argmin assignment CTEs as
+    `_ivf_fixed_oracle`, then the paper's upper-triangular keep rule —
+    drop a vector iff any lower-id cell-mate has rounded cosine >=
+    threshold."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
+ctr AS (SELECT CAST(vec_id AS INT) AS cell, u AS cu FROM n WHERE vec_id < {n_centroids}),
+dists AS (
+  SELECT n.vec_id, ctr.cell,
+         2 - 2 * list_dot_product(n.u, ctr.cu) AS d
+  FROM n CROSS JOIN ctr
+),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id AS b_id
+  FROM asg a
+  JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE round(list_dot_product(na.u, nb.u), 6) >= {threshold}
+),
+dom AS (SELECT b_id, count(*) AS n_dominators FROM pairs GROUP BY 1)
+SELECT asg.vec_id, CAST(asg.cell AS INT) AS cell,
+       CAST(coalesce(dom.n_dominators, 0) AS BIGINT) AS n_dominators,
+       coalesce(dom.n_dominators, 0) = 0 AS is_kept
+FROM asg LEFT JOIN dom ON dom.b_id = asg.vec_id
+"""
+
+
+@register(
+    "semantic_dedup",
+    extra=True,
+    survey_ids=("EXT-sim", "EXT-dedup"),
+    oracle=_semdedup_oracle(),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-blocked embedding dedup
+    (operators/similarity.py:semantic_dedup) on the deterministic fixed
+    quantizer, so assignment + pairwise pruning hash-check end to end.
+    Production swaps in the KMeans quantizer exactly as
+    embedding_ann_ivf does over embedding_ann_ivf_fixed."""
+    embs = _embs(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    index = _IVF_FIXED_CACHE.get(key)
+    if index is None:
+        index = similarity.build_fixed_ivf_index(embs, list(range(16)))
+        _cache_put(_IVF_FIXED_CACHE, key, index, lambda ix: ix.assigned)
+    return similarity.semantic_dedup(index, threshold=0.7)
+
+
 @register("embedding_ann_lsh", survey_ids=("EXT-sim",), oracle=_lsh_oracle(), bench=True)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via random-hyperplane LSH bucketing (recall-lossy scale
