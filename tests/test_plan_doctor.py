@@ -39,6 +39,7 @@ BNLJ_OK = {
     "quality_unigram_logprob",     # 1-row vocab-total + tercile-bounds frames
     "pack_token_budget",
     "dedup_minhash_portable",      # broadcast candidate-id prune
+    "dedup_staged_pipeline",       # same portable-minhash candidate prune
     "contamination_ngram",
 }
 

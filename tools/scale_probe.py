@@ -1,0 +1,80 @@
+"""Build a ~10x replica of an sf test directory so the headline suite
+gets an order-of-magnitude scaling datapoint (the environment ships no
+sf1 testdata — see docs/SCALE_PROBE.md).
+
+Facts (events, documents, embeddings, orders+lineitem) are replicated
+K times with primary/foreign keys shifted per copy so referential
+structure survives; dimension tables (region, nation, customer,
+supplier, part) are copied unchanged — facts outgrow dims at real
+scale, and every fact FK into a dim stays valid. Text/vector payloads
+are replicated verbatim: a 10x-duplicated corpus is the REALISTIC hard
+case for the dedup pipelines (web crawls run ~50% duplicate), so the
+probe stresses exactly the paths whose 100 TB story matters most.
+
+Usage:  python tools/scale_probe.py [K] [out_dir]
+        (defaults: K=10, out_dir=/tmp/scale_probe/sf1.0)
+Then:   SPARK_GRAFT_SF_DIR=<out_dir> python bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from crypto_data_pipeline_spark import get_spark
+
+SRC = "/root/testdata/sf0.1"
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+# fact table -> columns shifted by copy_idx * stride (stride chosen per
+# table as a round power of ten comfortably above the source key range)
+FACT_SHIFTS: dict[str, dict[str, int]] = {
+    "events": {"event_id": 10**9, "user_id": 10**6},
+    "documents": {"doc_id": 10**7},
+    "embeddings": {"vec_id": 10**7},
+    "orders": {"o_orderkey": 10**9},
+    "lineitem": {"l_orderkey": 10**9},
+}
+
+
+def replicate(df: DataFrame, shifts: dict[str, int], k: int) -> DataFrame:
+    copies = []
+    for i in range(k):
+        c = df
+        for col, stride in shifts.items():
+            dt = dict(df.dtypes)[col]
+            c = c.withColumn(col, (F.col(col) + F.lit(i * stride)).cast(dt))
+        copies.append(c)
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe/sf1.0"
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("scale-probe")
+
+    for t in DIMS:
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+    for t, shifts in FACT_SHIFTS.items():
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        replicate(src, shifts, k).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+        n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
+        print(f"{t}: {n} rows")
+    print(f"probe dir ready: {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
