@@ -554,3 +554,65 @@ def test_streaming_sliding_aggregate_matches_batch(spark, sf_dir, tmp_path):
     max_ts = events.agg(F.max("ts")).collect()[0][0]
     released = {k for k in batch if k[0] < max_ts - _dt.timedelta(hours=3, minutes=15)}
     assert released <= set(got)
+
+
+def test_stream_recovery_replays_failed_batch_exactly_once(spark, tmp_path):
+    """Mid-run failure recovery: foreachBatch crashes AFTER the sink
+    upsert of batch 1 but before its checkpoint commit — the worst-case
+    window. On restart Spark REPLAYS batch 1; exactly-once at the sink
+    therefore rests on the upsert's key-idempotence, which is exactly
+    what this pins (the checkpoint-rerun test covers only the
+    no-replay path)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from crypto_data_pipeline_spark.sources.upsert import upsert_parquet
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    marker = str(tmp_path / "crashed-once")
+
+    # two files -> two availableNow batches with maxFilesPerTrigger=1;
+    # the second file overwrites btc@01-01 (newer created_at) and adds
+    # a key, so a double-applied replay would be visible as a wrong
+    # survivor count or stale price
+    _silver_rows(spark, [("btc", "2025-01-01", 100.0, 0), ("eth", "2025-01-01", 10.0, 0)]).write.parquet(bronze)
+    _silver_rows(spark, [("btc", "2025-01-01", 111.0, 5), ("ada", "2025-01-01", 1.0, 5)]).write.mode(
+        "append"
+    ).parquet(bronze)
+
+    def run(fail_once: bool):
+        stream = (
+            spark.readStream.schema(SILVER_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(bronze)
+        )
+
+        def merge(batch, batch_id):
+            upsert_parquet(
+                batch.sparkSession, batch, silver, ["coin_id", "fetch_date"], ["created_at"]
+            )
+            if fail_once and batch_id >= 1 and not os.path.exists(marker):
+                open(marker, "w").close()
+                raise RuntimeError("injected crash after sink write, before commit")
+
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run(fail_once=True)
+    assert os.path.exists(marker), "sabotage batch never ran"
+
+    run(fail_once=False)  # restart from the same checkpoint — replays batch 1
+
+    rows = {(r.coin_id, str(r.fetch_date)): r.price_usd for r in spark.read.parquet(silver).collect()}
+    assert rows == {
+        ("btc", "2025-01-01"): 111.0,
+        ("eth", "2025-01-01"): 10.0,
+        ("ada", "2025-01-01"): 1.0,
+    }, "batch replay must be invisible: one survivor per key, newest write wins"
