@@ -165,3 +165,38 @@ def sql_split_case(key_expr: str, weights: Mapping[str, float], salt: int = 0) -
         acc += weights[name] / total
         parts.append(f"WHEN {h} < {int(acc * MOD)} THEN '{name}'")
     return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+
+
+def training_order(
+    df: DataFrame,
+    key: str = "doc_id",
+    n_shards: int = 8,
+    salt: int = 13,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data export: assign
+    every row a (shard, pos) such that reading shards in order yields a
+    pseudorandom — but perfectly reproducible — document order. This is
+    the step between a curated corpus and a data loader: training wants
+    decorrelated order, retries/re-runs must not change it, and
+    different epochs want different permutations (bump ``salt``).
+
+    shard = h_salt(key) mod n_shards picks the output file; pos ranks
+    within the shard by an independently-salted hash. The rank window
+    partitions on shard, so at 100 TB this is ONE shuffle of (key,
+    2 hashes) — the payload follows in the write — and each shard
+    sorts independently (set n_shards ~ executor count; the shard is
+    the output-file partition key). No global sort ever happens, which
+    is the point: a naive ORDER BY rand() is a single-ordering total
+    sort AND unstable under retries.
+    """
+    from pyspark.sql import Window
+
+    hs = hash_bucket(F.col(key), salt=salt)
+    ho = hash_bucket(F.col(key), salt=salt + 1)
+    staged = df.select(
+        F.col(key),
+        F.pmod(hs, F.lit(n_shards)).cast("int").alias("shard"),
+        ho.alias("_ho"),
+    )
+    w = Window.partitionBy("shard").orderBy("_ho", key)
+    return staged.withColumn("pos", F.row_number().over(w).cast("int")).drop("_ho")

@@ -1839,6 +1839,32 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_order_shuffle",
+    survey_ids=("EXT-sample",),
+    extra=True,
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         {sampling.sql_hash_bucket('doc_id', salt=13)} AS hs,
+         {sampling.sql_hash_bucket('doc_id', salt=14)} AS ho
+  FROM documents
+)
+SELECT doc_id, CAST(hs % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hs % 8 ORDER BY ho, doc_id) AS INT) AS pos
+FROM h
+""",
+)
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible pseudorandom training order
+    (operators/sampling.py:training_order): shard + within-shard
+    position from two independently-salted portable hashes — the
+    decorrelate-then-export step before feeding a data loader, stable
+    under retries and epoch-reshufflable by salt. Every (shard, pos)
+    assignment hash-checks against the DuckDB twin."""
+    return sampling.training_order(_docs(spark, sf_dir))
+
+
+@register(
     "sampling_membership",
     survey_ids=("EXT-sample",),
     oracle=f"""
