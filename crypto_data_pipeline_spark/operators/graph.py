@@ -62,7 +62,9 @@ def connected_components(
             .withColumn("chg", (F.col("lbl") < F.col("old")).cast("long"))
             .localCheckpoint(eager=False)
         )
-        n_changed = labels.agg(F.sum("chg")).collect()[0][0]
+        # sum() over an empty label table is NULL — an empty edge set is
+        # already converged, not a 25-round timeout
+        n_changed = labels.agg(F.sum("chg")).collect()[0][0] or 0
         labels = labels.select("v", "lbl")
         if n_changed == 0:
             return labels.select("v", F.col("lbl").alias("component"))

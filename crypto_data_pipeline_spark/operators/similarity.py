@@ -130,6 +130,12 @@ def brute_force_topk_arrow(
     from pyspark.sql import Window
 
     q_rows = queries.select(query_id_col, vec_col).collect()
+    if not q_rows:
+        # empty query batch: numpy's (0,)-shaped matmul would crash;
+        # the answer is simply the empty result frame
+        return corpus.sparkSession.createDataFrame(
+            [], f"{query_id_col} long, {id_col} long, cosine double, rank int"
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
     qn = np.sqrt((qm * qm).sum(axis=1))

@@ -44,12 +44,21 @@ def read_bronze_json(spark: SparkSession, root: str) -> DataFrame:
     date) recovered from the path — the Spark twin of
     load_data.py:112-129. Returns coin_id, fetch_date, price_usd,
     market_cap_usd, total_volume_usd, response (full struct)."""
-    raw = (
-        spark.read.schema(COIN_HISTORY_PAYLOAD)
-        .option("multiLine", "true")  # reference writes pretty-printed JSON
-        .json(f"{root}/*/*.json")
-        .withColumn("_file", F.input_file_name())
-    )
+    try:
+        raw = (
+            spark.read.schema(COIN_HISTORY_PAYLOAD)
+            .option("multiLine", "true")  # reference writes pretty-printed JSON
+            .json(f"{root}/*/*.json")
+            .withColumn("_file", F.input_file_name())
+        )
+    except Exception as exc:  # AnalysisException; Spark-version-stable match
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        # an empty bronze tree is a valid state (first run, nothing
+        # fetched yet) — yield the empty frame, not a crash
+        raw = spark.createDataFrame([], COIN_HISTORY_PAYLOAD).withColumn(
+            "_file", F.lit("").cast("string")
+        )
     return raw.select(
         F.regexp_extract("_file", _FILE_RE, 1).alias("coin_id"),
         F.to_date(F.regexp_extract("_file", _FILE_RE, 2)).alias("fetch_date"),
