@@ -127,3 +127,56 @@ def decontaminate(
         F.col("contamination_ratio") > max_ratio
     )
     return corpus.join(F.broadcast(dirty.select(id_col)), id_col, "left_anti")
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level decontamination: flag a corpus vector when its
+    cosine against ANY benchmark vector reaches ``threshold`` — the
+    semantic complement of the n-gram screen above (paraphrased eval
+    leakage carries no shared n-grams but lands close in embedding
+    space).
+
+    Plan: the benchmark embeddings collapse to ONE collect_list row
+    that crossJoins (broadcast) onto the corpus scan, and the per-row
+    max cosine is an array fold over that in-row table — zero
+    shuffles, zero Python, the corpus streams through codegen exactly
+    once. Same benchmark-broadcasts/corpus-never-moves contract as
+    `contamination_hits`; eval suites are thousands of rows vs
+    billions, so the broadcast stays kilobytes-to-megabytes at 100 TB.
+    """
+    from crypto_data_pipeline_spark.operators.similarity import as_double, dot, norm
+
+    bench_arr = benchmark.select(
+        F.collect_list(
+            F.struct(
+                as_double(vec_col).alias("v"),
+                norm(as_double(vec_col)).alias("nrm"),
+            )
+        ).alias("_bench")
+    )
+    v = F.col("_v")
+    mx = F.round(
+        F.array_max(
+            F.transform(
+                F.col("_bench"),
+                lambda b: dot(v, b["v"]) / (F.col("_nv") * b["nrm"]),
+            )
+        ),
+        6,
+    )
+    return (
+        corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .withColumn("_nv", norm(v))
+        .crossJoin(F.broadcast(bench_arr))
+        .select(
+            id_col,
+            mx.alias("max_benchmark_cosine"),
+            (mx >= threshold).alias("is_contaminated"),
+        )
+    )

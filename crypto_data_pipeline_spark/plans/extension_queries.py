@@ -1839,6 +1839,36 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_semantic",
+    survey_ids=("EXT-sim",),
+    extra=True,
+    oracle="""
+WITH bench AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE label = 0),
+corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE label <> 0),
+scored AS (
+  SELECT c.vec_id,
+         round(max(list_dot_product(c.v, b.v)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v)))), 6) AS mx
+  FROM corpus c CROSS JOIN bench b
+  GROUP BY 1
+)
+SELECT vec_id, mx AS max_benchmark_cosine, mx >= 0.4 AS is_contaminated
+FROM scored
+""",
+)
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination
+    (operators/contamination.py:semantic_contamination): label-0
+    embeddings stand in as the eval benchmark, every other vector gets
+    its max benchmark cosine and a contamination flag. The benchmark
+    rides one broadcast collect_list row; the corpus never shuffles."""
+    embs = _embs(spark, sf_dir)
+    return contamination.semantic_contamination(
+        embs.where(F.col("label") != 0), embs.where(F.col("label") == 0)
+    )
+
+
+@register(
     "training_order_shuffle",
     survey_ids=("EXT-sample",),
     extra=True,

@@ -41,6 +41,7 @@ BNLJ_OK = {
     "dedup_minhash_portable",      # broadcast candidate-id prune
     "dedup_staged_pipeline",       # same portable-minhash candidate prune
     "contamination_ngram",
+    "contamination_semantic",      # 1-row collect_list benchmark frame
 }
 
 # Arrow-batched Python (mapInPandas / applyInPandas / pandas UDF) is a
