@@ -200,3 +200,57 @@ def training_order(
     )
     w = Window.partitionBy("shard").orderBy("_ho", key)
     return staged.withColumn("pos", F.row_number().over(w).cast("int")).drop("_ho")
+
+
+def temperature_mix_flags(
+    df: DataFrame,
+    group_col: str = "lang",
+    key: str = "doc_id",
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+    salt: int = 17,
+) -> DataFrame:
+    """Temperature-scaled multilingual sampling (the mT5/XLM-R alpha
+    mix): target share of group l is p_l ∝ (n_l/N)^alpha, which
+    up-samples tail languages relative to their natural frequency
+    (alpha=1 keeps natural proportions, alpha→0 approaches uniform).
+    Every row gets a DETERMINISTIC keep flag — hash(key) against the
+    group's integer threshold round(min(1, B·p_l/n_l)·MOD) where
+    B = budget_frac·N — so the mix is stable under retries and
+    re-runs, and the driver gate can hash-compare each decision bit.
+
+    Plan: one small groupBy for the language census, a 1-row totals
+    frame, and a broadcast join of the per-group thresholds back onto
+    the scan — the corpus itself never shuffles. At 100 TB the census
+    is the only aggregation and it is |languages|-sized.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    totals = counts.agg(
+        F.sum("_n").alias("_tot"),
+        F.sum(F.pow(F.col("_n").cast("double"), F.lit(alpha))).alias("_zraw"),
+    )
+    # p_l = (n_l/N)^a / sum_m (n_m/N)^a  ==  n_l^a / sum_m n_m^a
+    # (the N^a factors cancel — compute the cancelled form in BOTH
+    # engines so float noise cannot differ)
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.col("_tot")
+                * (F.pow(F.col("_n").cast("double"), F.lit(alpha)) / F.col("_zraw"))
+                / F.col("_n"),
+            )
+            * MOD
+        )
+        .cast("long")
+        .alias("_thresh"),
+    )
+    return df.join(F.broadcast(rates), group_col).select(
+        key,
+        group_col,
+        (hash_bucket(F.col(key), salt=salt) < F.col("_thresh"))
+        .cast("int")
+        .alias("keep_temp"),
+    )

@@ -1839,6 +1839,34 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_temperature_sampling",
+    survey_ids=("EXT-sample",),
+    extra=True,
+    oracle=f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+t AS (SELECT sum(n) AS tot, sum(pow(CAST(n AS DOUBLE), 0.3)) AS zraw FROM c),
+r AS (
+  SELECT lang,
+         CAST(round(least(1.0,
+               0.5 * tot * (pow(CAST(n AS DOUBLE), 0.3) / zraw) / n) * {sampling.MOD})
+              AS BIGINT) AS thresh
+  FROM c, t
+)
+SELECT d.doc_id, d.lang,
+       CAST({sampling.sql_hash_bucket('d.doc_id', salt=17)} < r.thresh AS INT) AS keep_temp
+FROM documents d JOIN r USING (lang)
+""",
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) multilingual mix at half budget
+    (operators/sampling.py:temperature_mix_flags): tail languages
+    up-sampled toward uniform, every keep decision a deterministic
+    hash bit the oracle re-derives. Census groupBy + broadcast
+    threshold join — the corpus never shuffles."""
+    return sampling.temperature_mix_flags(_docs(spark, sf_dir))
+
+
+@register(
     "contamination_semantic",
     survey_ids=("EXT-sim",),
     extra=True,

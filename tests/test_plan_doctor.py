@@ -37,6 +37,7 @@ BNLJ_OK = {
     "boilerplate_ratio",           # 1-row fingerprint-total frame
     "value_histogram",             # 1-row min/max bounds frame
     "quality_unigram_logprob",     # 1-row vocab-total + tercile-bounds frames
+    "mix_temperature_sampling",    # 1-row census-totals frame
     "pack_token_budget",
     "dedup_minhash_portable",      # broadcast candidate-id prune
     "dedup_staged_pipeline",       # same portable-minhash candidate prune
