@@ -2156,3 +2156,140 @@ def stratified_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection decision bit-for-bit via the shared LCG hash."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     return sampling.stratified_fixed_n(docs, "doc_id", "lang", 20, salt=19)
+
+
+# ---------------------------------------------------------------------------
+# the flagship composition: the WHOLE curation pipeline as one DAG
+
+
+def _curation_oracle() -> str:
+    """Composed DuckDB twin of the full curation pipeline. Every stage
+    reuses the already-proven fragment: the quality-rule battery
+    (generated from text.QUALITY_RULES), min-id exact survivorship,
+    the portable MinHash-LSH pipeline re-sourced over the exact
+    survivors, the temperature-mix thresholds over the NEAR-DUP
+    survivor census (stage order matters: the census shifts as
+    upstream stages drop rows), and the training-order hashes over the
+    final keep set. NULL-bearing outputs (shard/pos of dropped docs)
+    coalesce to -1 in both engines."""
+    inner = _portable_minhash_oracle(source="exk")
+    return f"""
+WITH stats AS ({_QUALITY_FILTER_ORACLE}),
+q AS (
+  SELECT d.doc_id, d.lang, d.text, s.keep AS q_keep
+  FROM documents d JOIN stats s USING (doc_id)
+),
+ex AS (
+  SELECT doc_id, CAST(rn = 1 AS INT) AS ex_keep FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY md5({NORM_SQL}) ORDER BY doc_id) AS rn
+    FROM q WHERE q_keep = 1
+  )
+),
+exk AS (
+  SELECT q.doc_id, q.lang, q.text
+  FROM q JOIN ex USING (doc_id) WHERE ex.ex_keep = 1
+),
+pairs AS ({inner}),
+nd AS (
+  SELECT exk.doc_id, exk.lang FROM exk
+  WHERE exk.doc_id NOT IN (SELECT id_b FROM pairs)
+),
+c AS (SELECT lang, count(*) AS n FROM nd GROUP BY 1),
+tt AS (SELECT sum(n) AS tot, sum(pow(CAST(n AS DOUBLE), 0.3)) AS zraw FROM c),
+r AS (
+  SELECT lang,
+         CAST(round(least(1.0,
+               0.5 * tot * (pow(CAST(n AS DOUBLE), 0.3) / zraw) / n) * {sampling.MOD})
+              AS BIGINT) AS thresh
+  FROM c, tt
+),
+mix AS (
+  SELECT nd.doc_id,
+         CAST({sampling.sql_hash_bucket('nd.doc_id', salt=17)} < r.thresh AS INT) AS mix_keep
+  FROM nd JOIN r USING (lang)
+),
+h AS (
+  SELECT doc_id,
+         {sampling.sql_hash_bucket('doc_id', salt=13)} AS hs,
+         {sampling.sql_hash_bucket('doc_id', salt=14)} AS ho
+  FROM mix WHERE mix_keep = 1
+),
+ord AS (
+  SELECT doc_id, CAST(hs % 8 AS INT) AS shard,
+         CAST(row_number() OVER (PARTITION BY hs % 8 ORDER BY ho, doc_id) AS INT) AS pos
+  FROM h
+)
+SELECT q.doc_id, q.lang, q.q_keep,
+       coalesce(ex.ex_keep, 0) AS ex_keep,
+       CASE WHEN nd.doc_id IS NULL THEN 0 ELSE 1 END AS nd_keep,
+       coalesce(mix.mix_keep, 0) AS mix_keep,
+       coalesce(ord.shard, -1) AS shard,
+       coalesce(ord.pos, -1) AS pos
+FROM q
+LEFT JOIN ex  ON ex.doc_id = q.doc_id
+LEFT JOIN nd  ON nd.doc_id = q.doc_id
+LEFT JOIN mix ON mix.doc_id = q.doc_id
+LEFT JOIN ord ON ord.doc_id = q.doc_id
+"""
+
+
+@register(
+    "corpus_curation_pipeline",
+    survey_ids=("EXT-text", "EXT-dedup", "EXT-sample"),
+    extra=True,
+    oracle=_curation_oracle(),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation DAG a training-data pipeline actually
+    runs, as ONE query: quality-rule battery -> exact dedup (min-id
+    survivor per md5 group) -> near-dup drop (portable MinHash-LSH,
+    upper-triangular rule) -> temperature-scaled language mix computed
+    over the SURVIVOR census -> reproducible training order for the
+    final keep set. Output is the per-document decision record — why
+    each doc was kept or dropped, and where the kept ones land
+    (shard, pos); -1 marks never-reached stages.
+
+    Each stage is the registered operator, so the composition adds no
+    new primitives — what it proves is the STAGE WIRING (drop-order
+    semantics, censuses over survivors rather than the raw corpus),
+    hash-checked end to end against the composed oracle. Scale: the
+    stages' own designs (one scan for quality, one md5 groupBy, banded
+    LSH, census broadcast, shard-partitioned ranks); the decision
+    record joins are all on doc_id and AQE broadcasts the
+    stage-shrunk sides."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    q = text.with_quality_filter(text.with_text_stats(docs)).select(
+        "doc_id", "lang", "text", F.col("keep").alias("q_keep")
+    )
+    qk = q.where(F.col("q_keep") == 1)
+    w = Window.partitionBy(F.md5(text.normalized("text"))).orderBy("doc_id")
+    ex = qk.withColumn(
+        "ex_keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    exk = ex.where(F.col("ex_keep") == 1).select("doc_id", "lang", "text")
+    pairs = dedup.minhash_dedup_pairs_portable(exk, threshold=0.5)
+    dominated = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    ndk = exk.join(F.broadcast(dominated), "doc_id", "left_anti")
+    mix = sampling.temperature_mix_flags(ndk)
+    final = ndk.join(mix.where(F.col("keep_temp") == 1).select("doc_id"), "doc_id")
+    order = sampling.training_order(final)
+    return (
+        q.select("doc_id", "lang", "q_keep")
+        .join(ex.select("doc_id", "ex_keep"), "doc_id", "left")
+        .join(ndk.select("doc_id").withColumn("nd_keep", F.lit(1)), "doc_id", "left")
+        .join(mix.select("doc_id", F.col("keep_temp").alias("mix_keep")), "doc_id", "left")
+        .join(order, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "q_keep",
+            F.coalesce("ex_keep", F.lit(0)).alias("ex_keep"),
+            F.coalesce("nd_keep", F.lit(0)).alias("nd_keep"),
+            F.coalesce("mix_keep", F.lit(0)).alias("mix_keep"),
+            F.coalesce("shard", F.lit(-1)).alias("shard"),
+            F.coalesce("pos", F.lit(-1)).alias("pos"),
+        )
+    )

@@ -41,6 +41,7 @@ BNLJ_OK = {
     "pack_token_budget",
     "dedup_minhash_portable",      # broadcast candidate-id prune
     "dedup_staged_pipeline",       # same portable-minhash candidate prune
+    "corpus_curation_pipeline",    # minhash prune + census-totals frames
     "contamination_ngram",
     "contamination_semantic",      # 1-row collect_list benchmark frame
 }
