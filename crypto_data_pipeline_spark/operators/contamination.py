@@ -107,8 +107,13 @@ def decontaminate_stream(
             mask = [not any(g in grams for g in sh) for sh in pdf["_sh"]]
             yield pdf[pd.Series(mask, index=pdf.index)][cols]
 
-    return corpus.withColumn("_sh", word_shingles(text, n)).mapInPandas(
-        keep_clean, schema
+    from crypto_data_pipeline_spark.operators.text import tokens
+
+    return (
+        corpus.withColumn("_tk", tokens(text))
+        .withColumn("_sh", word_shingles(k=n, toks=F.col("_tk")))
+        .drop("_tk")
+        .mapInPandas(keep_clean, schema)
     )
 
 

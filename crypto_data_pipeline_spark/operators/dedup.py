@@ -78,11 +78,17 @@ def exact_dedup_prioritized(
 # shingles + minhash
 
 
-def word_shingles(text: str = "text", k: int = 3) -> Column:
+def word_shingles(text: str = "text", k: int = 3, toks: Column | None = None) -> Column:
     """Distinct k-word shingles of the normalized text (k-shingling as
     in Broder's resemblance paper). Short docs (<k words) contribute
-    their whole text as one shingle."""
-    toks = tokens(text)
+    their whole text as one shingle.
+
+    Pass ``toks`` as a STAGED column (a bare attribute reference) when
+    calling from a DataFrame builder: an outer EXPRESSION referenced
+    inside the slice lambda is re-evaluated per element (no CSE inside
+    higher-order functions), so the inline default re-tokenizes the
+    document once per shingle — O(len^2)."""
+    toks = tokens(text) if toks is None else toks
     n = F.size(toks)
     shingled = F.transform(
         F.sequence(F.lit(0), n - k),
@@ -97,7 +103,10 @@ def shingle_sets(df: DataFrame, id_col: str = "doc_id", text: str = "text", k: i
     the `sh` column instead of re-deriving the shingle expression (an
     expression tree repeated n_hashes× defeats codegen CSE and was the
     dominant cost in the first cut of this operator)."""
-    return df.select(F.col(id_col).alias("id"), word_shingles(text, k).alias("sh"))
+    staged = df.select(F.col(id_col).alias("id"), tokens(text).alias("_tk"))
+    return staged.select(
+        "id", word_shingles(k=k, toks=F.col("_tk")).alias("sh")
+    )
 
 
 def _rotl(h: Column, r: int) -> Column:
@@ -295,8 +304,12 @@ def portable_hashed_shingle_sets(
     fingerprint proves portable). The CHECKABLE twin of
     hashed_shingle_sets' xxhash64 fast path."""
     shingle_hash = lambda s: _poly_fold(F.transform(F.split(s, ""), F.ascii))  # noqa: E731
-    hs = F.array_distinct(F.transform(word_shingles(text, k), shingle_hash))
-    return df.select(F.col(id_col).alias("id"), hs.alias("hs"))
+    # two staging hops (tokens, then shingles) so neither array
+    # expression re-evaluates inside a downstream lambda
+    staged = df.select(F.col(id_col).alias("id"), tokens(text).alias("_tk"))
+    staged = staged.select("id", word_shingles(k=k, toks=F.col("_tk")).alias("_sh"))
+    hs = F.array_distinct(F.transform(F.col("_sh"), shingle_hash))
+    return staged.select("id", hs.alias("hs"))
 
 
 def minhash_dedup_pairs_portable(
@@ -431,8 +444,10 @@ def ngram_jaccard_pairs(
     """
     from crypto_data_pipeline_spark.sources.tables import fan_out
 
-    raw_sets = fan_out(df).select(
-        F.col(id_col).alias("id"), word_shingles(text, k).alias("sh0")
+    raw_sets = (
+        fan_out(df)
+        .select(F.col(id_col).alias("id"), tokens(text).alias("_tk"))
+        .select("id", word_shingles(k=k, toks=F.col("_tk")).alias("sh0"))
     )
     # shingle sets feed the frequency pass AND the rank join — persist
     # so the (string-heavy) shingling expression evaluates once

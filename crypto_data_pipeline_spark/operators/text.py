@@ -142,17 +142,30 @@ def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
     adjacent word 2-grams (0.0 for sub-2-word docs). High values mark
     boilerplate/spam for the quality filter. Pure higher-order array
     expressions over one tokenization — no shuffle, no Python."""
-    toks = tokens(text)
+    # stage the token and gram ARRAYS as real columns: an outer-column
+    # expression referenced inside a higher-order-function lambda is
+    # re-evaluated per element (no CSE inside HOFs), so inlining
+    # `tokens(text)` in the gram lambda re-tokenizes the document once
+    # per 2-gram — O(len^2) work. Measured 6.7s -> 0.4s at sf0.1.
+    staged = df.withColumn("_rs_toks", tokens(text))
+    toks = F.col("_rs_toks")
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - 2), lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))
+    staged = staged.withColumn(
+        "_rs_grams",
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
     )
+    grams = F.col("_rs_grams")
     dup_word = F.round(1 - F.size(F.array_distinct(toks)).cast("double") / n, 6)
     dup_2gram = F.when(n >= 2, F.round(
         1 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 6
     )).otherwise(F.lit(0.0))
-    return df.withColumn("dup_word_ratio", dup_word).withColumn(
-        "dup_2gram_ratio", dup_2gram
+    return (
+        staged.withColumn("dup_word_ratio", dup_word)
+        .withColumn("dup_2gram_ratio", dup_2gram)
+        .drop("_rs_toks", "_rs_grams")
     )
 
 

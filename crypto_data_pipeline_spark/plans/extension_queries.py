@@ -2261,17 +2261,25 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
+    # q fans out to 2 consumers and exk to 3 (pairs, anti join, and
+    # the decision-record join) — persist both so the quality battery
+    # and the dedup window evaluate once, not per branch (measured
+    # 15s -> ~7s at sf0.1; CacheManager dedupes repeated calls by
+    # logical plan)
     q = text.with_quality_filter(text.with_text_stats(docs)).select(
         "doc_id", "lang", "text", F.col("keep").alias("q_keep")
-    )
+    ).persist()
     qk = q.where(F.col("q_keep") == 1)
     w = Window.partitionBy(F.md5(text.normalized("text"))).orderBy("doc_id")
     ex = qk.withColumn(
         "ex_keep", (F.row_number().over(w) == 1).cast("int")
     )
-    exk = ex.where(F.col("ex_keep") == 1).select("doc_id", "lang", "text")
+    exk = ex.where(F.col("ex_keep") == 1).select("doc_id", "lang", "text").persist()
     pairs = dedup.minhash_dedup_pairs_portable(exk, threshold=0.5)
-    dominated = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # the dominated-id set is tiny but its lineage is the whole LSH
+    # DAG — persist it or every downstream branch (mix census, final
+    # join, training order) re-runs the banding+verify pipeline
+    dominated = pairs.select(F.col("id_b").alias("doc_id")).distinct().persist()
     ndk = exk.join(F.broadcast(dominated), "doc_id", "left_anti")
     mix = sampling.temperature_mix_flags(ndk)
     final = ndk.join(mix.where(F.col("keep_temp") == 1).select("doc_id"), "doc_id")
