@@ -96,8 +96,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "notes": "embedding_ann_{ivf,lsh} are probe-only "
-                         "(index prebuilt in the untimed warm pass)",
+                "notes": "rows added after the BENCH_r01 baseline suite: "
+                         "embedding_ann_{ivf,lsh} (probe-only, index prebuilt "
+                         "in the untimed warm pass) and "
+                         "corpus_curation_pipeline (round 5) — exclude these "
+                         "for baseline-comparable totals",
             }
         )
     )

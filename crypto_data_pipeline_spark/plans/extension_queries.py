@@ -2238,6 +2238,7 @@ LEFT JOIN ord ON ord.doc_id = q.doc_id
     "corpus_curation_pipeline",
     survey_ids=("EXT-text", "EXT-dedup", "EXT-sample"),
     extra=True,
+    bench=True,
     oracle=_curation_oracle(),
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
