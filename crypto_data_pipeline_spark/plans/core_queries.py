@@ -892,6 +892,125 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "local_supplier_volume",
+    extra=True,
+    survey_ids=("J2", "J3", "A1", "EXT-olap"),
+    oracle="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY 1
+""",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table star: revenue shipped by suppliers in
+    the SAME nation as the ordering customer, for one region. The join
+    graph is the interesting part — two independent fact→dim paths
+    (customer-side and supplier-side) constrained to the same nation —
+    so Catalyst must pick an order through a cyclic-ish graph; the
+    region filter reaches the nation dim BEFORE the fact joins
+    (broadcast + pushdown), and at 100 TB the lineitem side never
+    shuffles for any of the dims. Same-expression-order revenue math,
+    rounded identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (li.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "cdc_apply_changes",
+    extra=True,
+    survey_ids=("S7", "A8", "EXT-stream"),
+    oracle="""
+WITH cut AS (SELECT max(ts) - INTERVAL 7 DAY AS c FROM events),
+base AS (
+  SELECT user_id, value, ts, event_id FROM (
+    SELECT user_id, value, ts, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events, cut WHERE ts < c) WHERE rn = 1
+),
+changes AS (
+  SELECT user_id, value, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events, cut WHERE ts >= c
+),
+all_rows AS (
+  SELECT user_id, value, ts, event_id, 'U' AS op, 0 AS is_change FROM base
+  UNION ALL
+  SELECT user_id, value, ts, event_id, op, 1 AS is_change FROM changes
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY ts DESC, event_id DESC, is_change DESC) AS rn
+  FROM all_rows
+)
+SELECT user_id, value, ts, event_id FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge with delete tombstones (`sources/cdc.py`): the state
+    of a keyed table after replaying a change feed where 'error'
+    events are deletes. Base = newest row per user in the first ~3
+    weeks; the final week is the feed. One key Exchange for the whole
+    merge — no per-row lookups, and deletes cost nothing extra (the
+    reference's loader has no delete path at all; a delisted coin
+    lives forever — load_data.py:66-102)."""
+    from datetime import timedelta
+
+    from crypto_data_pipeline_spark.sources.cdc import apply_changes
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", "ts", "event_id", "event_type"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(max_ts - timedelta(days=7) if max_ts is not None else None)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    base = (
+        ev.where(F.col("ts") < cutoff)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "value", "ts", "event_id")
+    )
+    changes = ev.where(F.col("ts") >= cutoff).select(
+        "user_id",
+        "value",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    return apply_changes(base, changes, keys=["user_id"], order_by=["ts", "event_id"])
+
+
 # ---------------------------------------------------------------------------
 # OLAP extensions beyond the reference: grouping sets + distinct counts
 # (SURVEY §2.4 notes the reference has none — these round out the

@@ -625,6 +625,40 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks_udtf",
+    survey_ids=("U2", "EXT-text"),
+    extra=True,
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS start,
+       CAST(len(list_slice(toks, i + 1, i + 32)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, i + 1, i + 32), ' ') AS chunk_text
+FROM t, UNNEST(range(0, len(toks), 16)) AS u(i)
+""",
+)
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunking contract as `doc_chunks`, but through the
+    reference's table-function surface (SURVEY §2.10 U2 — a per-group
+    function that RETURNS a frame): an Arrow-optimized Python UDTF
+    consumed via SQL LATERAL, hash-checked against the identical
+    DuckDB oracle as the codegen twin. Tokenization stays in the JVM
+    (the UDTF receives the token array), so Python never re-implements
+    normalization; `chunk_tokens` remains the preferred 100 TB path —
+    this pins the API surface and its exact parity."""
+    from crypto_data_pipeline_spark.functions import register_udtfs
+
+    register_udtfs(spark)
+    toks = _docs(spark, sf_dir).select("doc_id", text.tokens("text").alias("toks"))
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.start, c.n_tokens, c.chunk_text
+        FROM {d} d, LATERAL chunk_toks(d.toks, 32, 16) c
+        """,
+        d=toks,
+    )
+
+
+@register(
     "tfidf_top_terms",
     survey_ids=("EXT-text",),
     extra=True,

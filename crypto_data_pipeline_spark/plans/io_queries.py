@@ -228,6 +228,114 @@ def json_roundtrip_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ORC round-trip: the Hive-era columnar format, partition-discovered
+
+
+@register(
+    "orc_roundtrip_by_type",
+    survey_ids=("S5", "S6", "A5", "A6"),
+    extra=True,
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1
+""",
+)
+def orc_roundtrip_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events as an event_type-partitioned ORC tree, re-read it
+    with partition discovery (the partition key comes back from the
+    directory names, not the files), and aggregate — proving the
+    second columnar format round-trips bit-exactly. All aggregates are
+    order-independent (count / distinct / min / max), so the result
+    hash-matches the direct parquet SQL regardless of file split
+    order. At scale the partitioned layout means a WHERE event_type
+    filter prunes whole directories before any IO."""
+    from crypto_data_pipeline_spark.sources import orc_io
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    orc_io.write_orc(
+        ev.select("event_id", "user_id", "value", "event_type"),
+        path,
+        partition_by=["event_type"],
+    )
+    try:
+        back = orc_io.read_orc(spark, path)
+    except Exception as exc:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc) and "PATH_NOT_FOUND" not in str(exc):
+            raise
+        # zero input rows -> the partitioned write emits no files and
+        # schema inference has nothing to read; an empty tree is an
+        # empty frame, mirroring the oracle
+        back = spark.createDataFrame(
+            [], "event_id long, user_id long, value double, event_type string"
+        )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corrupt-payload quarantine: permissive parse + dead-letter accounting
+
+
+@register(
+    "json_quarantine_split",
+    survey_ids=("U4", "F3", "EXT-text"),
+    extra=True,
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 4) ELSE props END AS j
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN NOT json_valid(j) THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+       CAST(sum(CASE WHEN json_valid(j) THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+       round(sum(CASE WHEN json_valid(j) THEN CAST(json_extract(j, '$.k') AS DOUBLE) END), 6) AS k_sum
+FROM m GROUP BY 1
+""",
+)
+def json_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting over a feed with deterministic corruption
+    injected (every 7th event's JSON payload truncated — the malformed
+    API response `load_data.py:55-64` would crash on): one PERMISSIVE
+    `from_json` pass tags each row clean/corrupt via the declared
+    corrupt-record slot (`sources/quarantine.py`), and ONE conditional
+    aggregation produces per-type totals, quarantine counts, and the
+    sum over successfully parsed values. Single scan, zero Python,
+    one shuffle — the quarantined side never needs a second parse.
+    DuckDB re-derives the same split via `json_valid`."""
+    from crypto_data_pipeline_spark.sources import quarantine
+
+    ev = load_table(spark, sf_dir, "events")
+    mangled = F.when(
+        F.col("event_id") % 7 == 0, F.substring("props", 1, 4)
+    ).otherwise(F.col("props"))
+    parsed = quarantine.parse_json_permissive(mangled, "k double")
+    bad = parsed[quarantine.CORRUPT_COL].isNotNull()
+    return (
+        ev.select("event_type", parsed.alias("p"), bad.alias("bad"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("bad"), 1).otherwise(0)).cast("bigint").alias("n_quarantined"),
+            F.sum(F.when(~F.col("bad"), 1).otherwise(0)).cast("bigint").alias("n_parsed"),
+            F.round(F.sum(F.when(~F.col("bad"), F.col("p.k"))), 6).alias("k_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # S1/ST4 — HTTP API source, hermetic: deterministic transport + thread
 # fan-out, so even the network path is oracle-checkable
 

@@ -63,6 +63,44 @@ def stream_bronze_to_silver(
     )
 
 
+def stream_with_quarantine(
+    spark: SparkSession,
+    bronze_dir: str,
+    schema,
+    payload_col: str,
+    payload_schema: str,
+    clean_path: str,
+    dead_letter_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming twin of the batch corrupt-payload split
+    (`sources/quarantine.py`): each micro-batch parses its JSON
+    payloads PERMISSIVEly once, appends clean rows (payload struct
+    flattened in) to the silver path and malformed ones — raw payload
+    intact — to the dead-letter path. Same split expression as the
+    batch operator, so batch and stream agree row-for-row on what is
+    corrupt; the checkpoint makes replay exactly-once per input file,
+    so the dead-letter table never double-counts a failure."""
+    from crypto_data_pipeline_spark.sources.quarantine import (
+        split_quarantine,
+        write_quarantine,
+    )
+
+    stream = spark.readStream.schema(schema).parquet(bronze_dir)
+
+    def split_batch(batch: DataFrame, batch_id: int) -> None:
+        clean, bad = split_quarantine(batch, payload_col, payload_schema)
+        clean.write.mode("append").parquet(clean_path)
+        write_quarantine(bad, dead_letter_path)
+
+    return (
+        stream.writeStream.foreachBatch(split_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_hourly_aggregate(
     events_stream: DataFrame,
     watermark: str = "2 hours",

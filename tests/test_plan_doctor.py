@@ -56,6 +56,7 @@ ARROW_OK = {
     "embedding_topk_quantized",
     "model_comparison", "model_comparison_sanity",  # Spark ML internals
     "linear_ridge_closed_form",
+    "doc_chunks_udtf",             # ArrowEvalPythonUDTF — the §2.10 table-function surface
 }
 
 
