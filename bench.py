@@ -80,6 +80,9 @@ def main() -> None:
     # estimator and stays honest (unlike min, it can't ride a lucky
     # cache line-up).
     timings: dict[str, float] = {}
+    shuffle_bytes: dict[str, int] = {}
+    from crypto_data_pipeline_spark.observability import plan_runtime_metrics
+
     for spec in specs:
         runs = []
         for _ in range(3):
@@ -87,6 +90,18 @@ def main() -> None:
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[spec.name] = round(sorted(runs)[1], 3)
+        # Untimed 4th pass for runtime truth alongside wall-clock:
+        # shuffle volume is deterministic where seconds are not
+        # (docs/BENCH_VARIANCE.md), so a plan regression shows here
+        # even through host noise. collect() (not the noop sink)
+        # because metrics hang off the DataFrame's OWN QueryExecution;
+        # a writer action executes a separate one with zeroed metrics.
+        try:
+            df = spec.fn(spark, sf_dir)
+            df.collect()
+            shuffle_bytes[spec.name] = plan_runtime_metrics(df)["shuffle_bytes_written"]
+        except Exception:
+            shuffle_bytes[spec.name] = -1  # never fail the bench for a metric read
 
     print(
         json.dumps(
@@ -95,6 +110,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "shuffle_bytes_written": shuffle_bytes,
                 "sf": sf,
                 "notes": "rows added after the BENCH_r01 baseline suite: "
                          "embedding_ann_{ivf,lsh} (probe-only, index prebuilt "

@@ -1,0 +1,140 @@
+"""Command-line entry points — the reference's operational surface
+(`python -m crypto_app.cli get-history --coin X --date D [--store-db]`,
+SURVEY §3.1) mapped onto the Spark engine, plus the maintenance jobs a
+parquet lake needs that the reference never had.
+
+    python -m crypto_data_pipeline_spark get-history \
+        --coins bitcoin,ethereum --dates 01-01-2025,02-01-2025 \
+        --store /lake/silver_prices
+    python -m crypto_data_pipeline_spark query \
+        --name monthly_avg_price --sf-dir /root/testdata/sf0.001
+    python -m crypto_data_pipeline_spark compact --path /lake/t --target-mb 128
+    python -m crypto_data_pipeline_spark purge-quarantine \
+        --path /lake/dead_letter --keep-after 2026-08-01
+
+Design: argparse only (no third-party CLI dep), every command builds
+the same SparkSession factory the library uses, `get-history` lands
+through the SAME keyed upsert as the streaming path (one code path —
+re-running a day is idempotent, exactly like the reference's
+re-ingestion contract load_data.py:71-95).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(app: str):
+    from crypto_data_pipeline_spark import get_spark
+
+    return get_spark(app)
+
+
+def cmd_get_history(args: argparse.Namespace) -> int:
+    """Fetch (coins x dates) through the API source and upsert into a
+    keyed parquet table — the cron daily-fetch body, one command."""
+    from pyspark.sql import functions as F
+
+    from crypto_data_pipeline_spark.sources.http_datasource import CoinHistoryDataSource
+    from crypto_data_pipeline_spark.sources.upsert import upsert_parquet
+
+    spark = _spark("cli-get-history")
+    spark.dataSource.register(CoinHistoryDataSource)
+    fetched = (
+        spark.read.format("coin_history_api")
+        .option("coins", args.coins)
+        .option("dates", args.dates)
+        .option("transport", args.transport)
+        .load()
+        .withColumn("created_at", F.current_timestamp())
+    )
+    if args.store:
+        merged = upsert_parquet(
+            spark, fetched, args.store, keys=["coin_id", "fetch_date"],
+            order_by=["created_at"],
+        )
+        print(f"upserted {fetched.count()} fetched rows -> {merged.count()} total at {args.store}")
+    else:
+        for r in fetched.collect():
+            print(f"{r.coin_id} {r.fetch_date} price={r.price_usd}")
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run a registered catalog query by name (the `\\i
+    analysis_queries.sql` replacement) and print up to --limit rows."""
+    from crypto_data_pipeline_spark.plans.registry import load_with_extras
+
+    specs = load_with_extras()
+    if args.name not in specs:
+        known = ", ".join(sorted(specs))
+        print(f"unknown query {args.name!r}; known: {known}", file=sys.stderr)
+        return 2
+    spark = _spark(f"cli-query-{args.name}")
+    df = specs[args.name].fn(spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_compact(args: argparse.Namespace) -> int:
+    from crypto_data_pipeline_spark.sources.compaction import compact_parquet
+
+    spark = _spark("cli-compact")
+    compact_parquet(
+        spark, args.path, args.out,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+        sort_by=[args.sort_by] if args.sort_by else None,
+    )
+    print(f"compacted {args.path} -> {args.out}")
+    return 0
+
+
+def cmd_purge_quarantine(args: argparse.Namespace) -> int:
+    from crypto_data_pipeline_spark.sources.quarantine import purge_quarantine
+
+    spark = _spark("cli-purge-quarantine")
+    dropped = purge_quarantine(spark, args.path, args.keep_after)
+    print(f"purged {len(dropped)} partitions: {dropped}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="crypto_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("get-history", help="fetch price history and upsert to a keyed table")
+    g.add_argument("--coins", required=True, help="comma-separated coin ids")
+    g.add_argument("--dates", required=True, help="comma-separated dd-mm-yyyy dates")
+    g.add_argument("--store", default=None, help="parquet table path (omit to print)")
+    g.add_argument("--transport", default="fake", choices=["fake", "real", "down"])
+    g.set_defaults(fn=cmd_get_history)
+
+    q = sub.add_parser("query", help="run a registered analysis query by name")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20)
+    q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser("compact", help="rewrite a parquet dir into ~target-size files")
+    c.add_argument("--path", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--target-mb", type=int, default=128)
+    c.add_argument("--sort-by", default=None)
+    c.set_defaults(fn=cmd_compact)
+
+    pq = sub.add_parser("purge-quarantine", help="drop dead-letter partitions older than a date")
+    pq.add_argument("--path", required=True)
+    pq.add_argument("--keep-after", required=True, metavar="YYYY-MM-DD")
+    pq.set_defaults(fn=cmd_purge_quarantine)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -47,3 +47,43 @@ def with_risk_level(df: DataFrame, entity: str = ENTITY, date: str = DATE) -> Da
     (EDA.ipynb:1371). The label side is tiny (one row per entity-month)
     → broadcast."""
     return df.join(F.broadcast(risk_levels(df, entity, date)), [entity, "year_month"], "left")
+
+
+def risk_levels_pandas(df: DataFrame, entity: str = ENTITY, date: str = DATE) -> DataFrame:
+    """The documented exact-parity FALLBACK for U1 (SURVEY §2.10): the
+    reference's ``groupby().apply(calculate_risk_level)`` literally,
+    as an Arrow-batched ``applyInPandas`` over the same (entity,
+    year_month) grouping. Exists for callers whose group logic
+    genuinely cannot be expressed in SQL — for this one it CAN, so
+    `risk_levels` (window + grouped max, pure codegen) is the hot
+    path; tests/test_pandas_parity.py pins that both produce
+    identical labels. Scale: same one shuffle on the group key, but
+    each group crosses the JVM→Python Arrow boundary — fine for
+    month-sized groups, dominated by codegen at 100 TB."""
+    import pandas as pd
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(date)
+        d = g["pct_change"].to_numpy() / 100.0
+        level = "Low Risk"
+        for i in range(len(d) - 1):
+            compound = (1 + d[i]) * (1 + d[i + 1]) - 1
+            if compound <= -0.5:
+                level = "High Risk"
+                break
+            if compound <= -0.2:
+                level = "Medium Risk"
+        return pd.DataFrame(
+            {
+                entity: [g[entity].iloc[0]],
+                "year_month": [g["year_month"].iloc[0]],
+                "risk_level": [level],
+            }
+        )
+
+    ent_type = df.schema[entity].dataType.simpleString()
+    return df.select(entity, "year_month", date, "pct_change").groupBy(
+        entity, "year_month"
+    ).applyInPandas(
+        classify, f"{entity} {ent_type}, year_month string, risk_level string"
+    )

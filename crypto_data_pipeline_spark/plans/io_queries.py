@@ -413,3 +413,38 @@ def http_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .select("coin_id", "fetch_date", "price_usd")
     )
+
+
+@register(
+    "http_ingest_stream",
+    extra=True,
+    survey_ids=("S1", "ST1", "ST4", "U4"),
+    oracle=_http_oracle(_DIST_COINS, _DIST_DATES),
+)
+def http_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of the same API source: `readStream` over
+    the Python DataSource's SimpleDataSourceStreamReader — one
+    micro-batch per date, offset = date index, checkpointed
+    exactly-once (the cron-fetch of crypto_app/daily_fetch.py as a
+    real stream, not a scheduler). The drained parquet sink must
+    hash-match the identical VALUES oracle as the batch scans — the
+    stream fetches the same universe, once."""
+    from crypto_data_pipeline_spark.sources.http_datasource import CoinHistoryDataSource
+
+    spark.dataSource.register(CoinHistoryDataSource)
+    out = tempfile.mkdtemp(prefix="http_stream_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="http_stream_ckpt_") + "/cp"
+    q = (
+        spark.readStream.format("coin_history_api")
+        .option("coins", ",".join(_DIST_COINS))
+        .option("dates", ",".join(_DIST_DATES))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(120)
+    return spark.read.parquet(out).select("coin_id", "fetch_date", "price_usd")

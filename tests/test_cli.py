@@ -1,0 +1,53 @@
+"""CLI entry points: the reference's operational commands
+(get-history / analysis query) plus lake maintenance, exercised
+in-process against the same session the suite holds."""
+
+from __future__ import annotations
+
+import tempfile
+
+from crypto_data_pipeline_spark.cli import main
+from crypto_data_pipeline_spark.sources.http_datasource import fake_price
+
+
+def test_get_history_upserts_idempotently(spark, capsys):
+    """Two identical runs of get-history converge to one row per
+    (coin, date) — the reference's re-ingestion contract."""
+    store = tempfile.mkdtemp(prefix="cli_hist_") + "/silver"
+    argv = [
+        "get-history",
+        "--coins", "bitcoin,ethereum",
+        "--dates", "01-01-2025,02-01-2025",
+        "--store", store,
+    ]
+    assert main(argv) == 0
+    assert main(argv) == 0  # idempotent re-run
+    back = spark.read.parquet(store)
+    assert back.count() == 4
+    rows = {(r.coin_id, str(r.fetch_date)): r.price_usd for r in back.collect()}
+    assert rows[("bitcoin", "2025-01-01")] == fake_price("bitcoin", "01-01-2025")
+
+
+def test_query_by_name_prints_rows(capsys):
+    assert main(["query", "--name", "pricing_summary", "--limit", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "returnflag" in out or "l_returnflag" in out
+
+
+def test_query_unknown_name_fails_with_catalog(capsys):
+    assert main(["query", "--name", "nope_not_real"]) == 2
+    err = capsys.readouterr().err
+    assert "unknown query" in err and "pricing_summary" in err
+
+
+def test_purge_quarantine_command(spark, capsys):
+    from crypto_data_pipeline_spark.sources import quarantine
+
+    df = spark.createDataFrame([(1, "not json")], "id long, payload string")
+    _, bad = quarantine.split_quarantine(df, "payload", "k double")
+    path = tempfile.mkdtemp(prefix="cli_dead_") + "/dl"
+    quarantine.write_quarantine(bad, path, quarantine_date="2026-01-01")
+    quarantine.write_quarantine(bad, path, quarantine_date="2026-08-01")
+    assert main(["purge-quarantine", "--path", path, "--keep-after", "2026-06-01"]) == 0
+    assert "2026-01-01" in capsys.readouterr().out
+    assert spark.read.parquet(path).count() == 1

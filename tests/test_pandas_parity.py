@@ -166,6 +166,18 @@ def test_risk_level_parity(sdf, pdf):
     assert got == _pandas_risk(pdf)
 
 
+def test_risk_level_fallback_applyinpandas_parity(sdf, pdf):
+    """The documented U1 fallback (literal groupby().apply through
+    applyInPandas) must label every (entity, month) identically to
+    both the codegen rewrite AND the pandas reference model."""
+    prepared = cal.with_calendar_features(ts.with_pct_change(sdf))
+    got = {
+        (r.entity_id, r.year_month): r.risk_level
+        for r in risk.risk_levels_pandas(prepared).collect()
+    }
+    assert got == _pandas_risk(pdf)
+
+
 def test_calendar_features_parity(sdf, pdf):
     feats = cal.with_calendar_features(sdf)
     rows = {

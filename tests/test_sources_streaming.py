@@ -616,3 +616,49 @@ def test_stream_recovery_replays_failed_batch_exactly_once(spark, tmp_path):
         ("eth", "2025-01-01"): 10.0,
         ("ada", "2025-01-01"): 1.0,
     }, "batch replay must be invisible: one survivor per key, newest write wins"
+
+
+def test_http_datasource_streaming_exactly_once(spark, tmp_path):
+    """The streaming face of the same source: readStream advances one
+    date per micro-batch (offset = date index), availableNow drains
+    the window, rows match the batch scan exactly — and a checkpointed
+    restart over the same window re-fetches NOTHING."""
+    from crypto_data_pipeline_spark.sources import http_datasource as hds
+
+    spark.dataSource.register(hds.CoinHistoryDataSource)
+    coins, dates = "bitcoin,ethereum", "01-01-2025,02-01-2025,03-01-2025"
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("coin_history_api")
+            .option("coins", coins)
+            .option("dates", dates)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        # drain: micro-batches fire until read() reports caught-up
+        # (offset stops advancing) — one batch per date
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(120)
+
+    run()
+    got = {(r.coin_id, str(r.fetch_date), r.price_usd)
+           for r in spark.read.parquet(out).collect()}
+    batch = (
+        spark.read.format("coin_history_api")
+        .option("coins", coins)
+        .option("dates", dates)
+        .load()
+    )
+    want = {(r.coin_id, str(r.fetch_date), r.price_usd) for r in batch.collect()}
+    assert got == want and len(got) == 6
+
+    # restart on the same checkpoint: offsets are caught up -> no new rows
+    run()
+    assert spark.read.parquet(out).count() == 6
