@@ -90,6 +90,25 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_rollback(args: argparse.Namespace) -> int:
+    from crypto_data_pipeline_spark.sources.generations import current_generation, rollback
+
+    spark = _spark("cli-rollback")
+    before = current_generation(spark, args.root)
+    rollback(spark, args.root, args.to_gen)
+    print(f"rolled back {args.root}: gen {before} -> {args.to_gen}")
+    return 0
+
+
+def cmd_vacuum(args: argparse.Namespace) -> int:
+    from crypto_data_pipeline_spark.sources.generations import vacuum
+
+    spark = _spark("cli-vacuum")
+    dropped = vacuum(spark, args.root, keep_last=args.keep_last)
+    print(f"vacuumed {len(dropped)} generations: {dropped}")
+    return 0
+
+
 def cmd_purge_quarantine(args: argparse.Namespace) -> int:
     from crypto_data_pipeline_spark.sources.quarantine import purge_quarantine
 
@@ -122,6 +141,16 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--target-mb", type=int, default=128)
     c.add_argument("--sort-by", default=None)
     c.set_defaults(fn=cmd_compact)
+
+    rb = sub.add_parser("rollback", help="re-point a generation-addressed table to an older snapshot")
+    rb.add_argument("--root", required=True)
+    rb.add_argument("--to-gen", type=int, required=True)
+    rb.set_defaults(fn=cmd_rollback)
+
+    v = sub.add_parser("vacuum", help="drop old generations (never the current one)")
+    v.add_argument("--root", required=True)
+    v.add_argument("--keep-last", type=int, default=2)
+    v.set_defaults(fn=cmd_vacuum)
 
     pq = sub.add_parser("purge-quarantine", help="drop dead-letter partitions older than a date")
     pq.add_argument("--path", required=True)

@@ -947,6 +947,75 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_quality_report",
+    extra=True,
+    survey_ids=("A6", "S9", "EXT-olap"),
+    oracle="""
+SELECT 'not_null(o_orderkey)' AS expectation, 'not_null' AS kind,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations,
+       coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'in_set(o_orderpriority)', 'in_set', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority NOT IN
+         ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END), 0) AS BIGINT),
+       coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority NOT IN
+         ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END), 0) = 0
+FROM orders
+UNION ALL
+SELECT 'in_range(o_totalprice,0.0,400000.0)', 'in_range', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN o_totalprice IS NOT NULL
+                      AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)
+                     THEN 1 ELSE 0 END), 0) AS BIGINT),
+       coalesce(sum(CASE WHEN o_totalprice IS NOT NULL
+                 AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)
+                THEN 1 ELSE 0 END), 0) = 0
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)', 'unique', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+       count(*) - count(DISTINCT o_orderkey) = 0
+FROM orders
+UNION ALL
+SELECT 'foreign_key(o_custkey)', 'foreign_key',
+       CAST(count(*) FILTER (WHERE o_custkey IS NOT NULL) AS BIGINT),
+       CAST(count(*) FILTER (WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+         (SELECT c_custkey FROM customer)) AS BIGINT),
+       count(*) FILTER (WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+         (SELECT c_custkey FROM customer)) = 0
+FROM orders
+""",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract gate (`operators/expectations.py`): the orders
+    table's declared expectations evaluated as ONE conditional
+    aggregate over one scan (plus a broadcast anti-join count for the
+    foreign key). The 400k price ceiling is deliberately violated by
+    the data, proving the violation counting — a gate that only ever
+    reports zeros proves nothing. The reference loads with no
+    validation at all (load_data.py inserts whatever the API
+    returned); at 100 TB this report IS the publish gate."""
+    from crypto_data_pipeline_spark.operators import expectations as ex
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return ex.check(
+        orders,
+        [
+            ex.not_null("o_orderkey"),
+            ex.in_set(
+                "o_orderpriority",
+                ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+            ),
+            ex.in_range("o_totalprice", 0.0, 400000.0),
+            ex.unique("o_orderkey"),
+            ex.foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
+@register(
     "cdc_apply_changes",
     extra=True,
     survey_ids=("S7", "A8", "EXT-stream"),

@@ -1,0 +1,134 @@
+"""Generation-addressed tables: atomic publish, time travel, rollback.
+
+`sources/upsert.py` documents its one weakness honestly: plain-parquet
+overwrite-into-place is two non-atomic writes, and object stores have
+no atomic directory rename. This module is the standard fix (the same
+idea Delta/Iceberg build on, minus the transaction log): every publish
+writes a COMPLETE new snapshot under ``root/gen=N`` and then flips a
+tiny ``_CURRENT`` pointer file. Readers resolve the pointer first, so
+they always see exactly one complete generation — a crash mid-write
+leaves a dangling (unreferenced) directory, never a half-table.
+Rollback is re-pointing; time travel is reading an old generation;
+retention is deleting unreferenced directories.
+
+Pointer flip: written to ``_CURRENT.tmp`` then renamed over
+``_CURRENT`` (atomic on HDFS/POSIX; on S3-like stores the pointer is
+a single small object PUT, which is itself atomic). The reader falls
+back to the highest complete generation if the pointer is mid-flip —
+so even the worst-case window degrades to "latest", never to corrupt.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_GEN_RE = re.compile(r"^gen=(\d+)$")
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def list_generations(spark: SparkSession, root: str) -> list[int]:
+    jvm, fs, hroot = _fs(spark, root)
+    if not fs.exists(hroot):
+        return []
+    gens = []
+    for status in fs.listStatus(hroot):
+        m = _GEN_RE.match(status.getPath().getName())
+        if m and status.isDirectory():
+            gens.append(int(m.group(1)))
+    return sorted(gens)
+
+
+def _read_pointer(spark: SparkSession, root: str) -> int | None:
+    jvm, fs, _ = _fs(spark, root)
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{root}/_CURRENT")
+    if not fs.exists(ptr):
+        return None
+    stream = fs.open(ptr)
+    try:
+        data = bytearray()
+        b = stream.read()
+        while b >= 0:
+            data.append(b)
+            b = stream.read()
+        return int(bytes(data).decode().strip())
+    finally:
+        stream.close()
+
+
+def _write_pointer(spark: SparkSession, root: str, gen: int) -> None:
+    jvm, fs, _ = _fs(spark, root)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{root}/_CURRENT.tmp")
+    ptr = jvm.org.apache.hadoop.fs.Path(f"{root}/_CURRENT")
+    out = fs.create(tmp, True)
+    try:
+        out.write(str(gen).encode())
+    finally:
+        out.close()
+    fs.delete(ptr, False)
+    if not fs.rename(tmp, ptr):
+        raise IOError(f"pointer flip failed for {root} -> gen {gen}")
+
+
+def current_generation(spark: SparkSession, root: str) -> int | None:
+    """Pointer value, falling back to the highest written generation
+    (mid-flip window / legacy dir)."""
+    ptr = _read_pointer(spark, root)
+    if ptr is not None:
+        return ptr
+    gens = list_generations(spark, root)
+    return gens[-1] if gens else None
+
+
+def publish(df: DataFrame, root: str) -> int:
+    """Write a complete new snapshot and make it current. The data
+    write happens ENTIRELY before the pointer flip — the only
+    non-idempotent step is one tiny file rename."""
+    spark = df.sparkSession
+    gens = list_generations(spark, root)
+    gen = (gens[-1] + 1) if gens else 0
+    df.write.mode("errorifexists").parquet(f"{root}/gen={gen}")
+    _write_pointer(spark, root, gen)
+    return gen
+
+
+def read_current(spark: SparkSession, root: str) -> DataFrame:
+    gen = current_generation(spark, root)
+    if gen is None:
+        raise FileNotFoundError(f"no generations published at {root}")
+    return read_generation(spark, root, gen)
+
+
+def read_generation(spark: SparkSession, root: str, gen: int) -> DataFrame:
+    """Time travel: any retained generation is readable by number."""
+    return spark.read.parquet(f"{root}/gen={gen}")
+
+
+def rollback(spark: SparkSession, root: str, to_gen: int) -> None:
+    """Re-point to an older snapshot — O(1), no data movement."""
+    if to_gen not in list_generations(spark, root):
+        raise ValueError(f"generation {to_gen} does not exist at {root}")
+    _write_pointer(spark, root, to_gen)
+
+
+def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` generations —
+    but NEVER the current pointer target, wherever it points. Returns
+    the dropped generation numbers."""
+    jvm, fs, _ = _fs(spark, root)
+    gens = list_generations(spark, root)
+    cur = current_generation(spark, root)
+    keep = set(gens[-keep_last:]) | ({cur} if cur is not None else set())
+    dropped = []
+    for g in gens:
+        if g not in keep:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/gen={g}"), True)
+            dropped.append(g)
+    return dropped

@@ -51,3 +51,18 @@ def test_purge_quarantine_command(spark, capsys):
     assert main(["purge-quarantine", "--path", path, "--keep-after", "2026-06-01"]) == 0
     assert "2026-01-01" in capsys.readouterr().out
     assert spark.read.parquet(path).count() == 1
+
+
+def test_generation_rollback_and_vacuum_commands(spark, capsys):
+    from crypto_data_pipeline_spark.sources import generations as gen
+
+    root = tempfile.mkdtemp(prefix="cli_gens_") + "/t"
+    for i in range(3):
+        gen.publish(
+            spark.createDataFrame([(i,)], "v long"), root
+        )
+    assert main(["rollback", "--root", root, "--to-gen", "0"]) == 0
+    assert "gen 2 -> 0" in capsys.readouterr().out
+    assert main(["vacuum", "--root", root, "--keep-last", "1"]) == 0
+    assert gen.list_generations(spark, root) == [0, 2]
+    assert [r.v for r in gen.read_current(spark, root).collect()] == [0]

@@ -1,0 +1,70 @@
+"""Generation-addressed tables: publish is atomic-by-pointer, time
+travel and rollback re-point without data movement, vacuum never
+deletes the current target even when the pointer was rolled back."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from crypto_data_pipeline_spark.sources import generations as gen
+
+
+def _frame(spark, tag: str):
+    return spark.createDataFrame([(1, tag), (2, tag)], "id long, tag string")
+
+
+def test_publish_read_rollback_cycle(spark):
+    root = tempfile.mkdtemp(prefix="gens_") + "/t"
+    assert gen.publish(_frame(spark, "v0"), root) == 0
+    assert gen.publish(_frame(spark, "v1"), root) == 1
+    assert gen.current_generation(spark, root) == 1
+    assert {r.tag for r in gen.read_current(spark, root).collect()} == {"v1"}
+    # time travel to the old snapshot without changing the pointer
+    assert {r.tag for r in gen.read_generation(spark, root, 0).collect()} == {"v0"}
+    assert gen.current_generation(spark, root) == 1
+    # rollback re-points; the next publish continues the sequence
+    gen.rollback(spark, root, 0)
+    assert {r.tag for r in gen.read_current(spark, root).collect()} == {"v0"}
+    assert gen.publish(_frame(spark, "v2"), root) == 2
+    assert {r.tag for r in gen.read_current(spark, root).collect()} == {"v2"}
+
+
+def test_rollback_to_missing_generation_refuses(spark):
+    root = tempfile.mkdtemp(prefix="gens_") + "/t"
+    gen.publish(_frame(spark, "v0"), root)
+    with pytest.raises(ValueError, match="does not exist"):
+        gen.rollback(spark, root, 7)
+
+
+def test_vacuum_keeps_current_even_after_rollback(spark):
+    root = tempfile.mkdtemp(prefix="gens_") + "/t"
+    for i in range(4):
+        gen.publish(_frame(spark, f"v{i}"), root)
+    gen.rollback(spark, root, 0)  # current now the OLDEST
+    dropped = gen.vacuum(spark, root, keep_last=2)
+    # newest two (2,3) kept by retention; gen 0 kept because current
+    assert dropped == [1]
+    assert {r.tag for r in gen.read_current(spark, root).collect()} == {"v0"}
+    assert gen.list_generations(spark, root) == [0, 2, 3]
+
+
+def test_missing_pointer_falls_back_to_highest_complete(spark):
+    """Mid-flip crash window: pointer absent -> readers degrade to the
+    newest written generation, never to an error or a partial view."""
+    root = tempfile.mkdtemp(prefix="gens_") + "/t"
+    gen.publish(_frame(spark, "v0"), root)
+    gen.publish(_frame(spark, "v1"), root)
+    jvm, fs, _ = gen._fs(spark, root)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/_CURRENT"), False)
+    assert gen.current_generation(spark, root) == 1
+    assert {r.tag for r in gen.read_current(spark, root).collect()} == {"v1"}
+
+
+def test_empty_root_reports_no_generations(spark):
+    root = tempfile.mkdtemp(prefix="gens_") + "/missing"
+    assert gen.list_generations(spark, root) == []
+    assert gen.current_generation(spark, root) is None
+    with pytest.raises(FileNotFoundError):
+        gen.read_current(spark, root)
