@@ -147,3 +147,23 @@ def enforce(df: DataFrame, expectations: list[Expectation]) -> None:
     if failed:
         detail = ", ".join(f"{r.expectation}={r.n_violations}" for r in failed)
         raise ValueError(f"data contract violated: {detail}")
+
+
+def split_by_expectations(
+    df: DataFrame, expectations: list[Expectation]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level quarantine policy: (clean, violating) where a row is
+    violating if it breaks ANY of the row-level rules (unique /
+    foreign_key are table-level — use `check` for those). One
+    predicate over one scan for each side; pair the violating side
+    with `sources/quarantine.write_quarantine` for the dead-letter
+    flow. Mirrors the JSON-parse quarantine split: bad rows keep every
+    column for replay after the contract (or the producer) is fixed."""
+    row_level = [e for e in expectations if e.kind not in ("unique", "foreign_key")]
+    if not row_level:
+        raise ValueError("split_by_expectations needs at least one row-level rule")
+    bad = None
+    for e in row_level:
+        expr = _violation_expr(e) == 1
+        bad = expr if bad is None else (bad | expr)
+    return df.where(~bad), df.where(bad)

@@ -132,3 +132,31 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[int]:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/gen={g}"), True)
             dropped.append(g)
     return dropped
+
+
+def upsert_publish(
+    new_rows: DataFrame,
+    root: str,
+    keys: list[str],
+    order_by: list[str] = ("created_at",),
+) -> int:
+    """The transactional form of `sources/upsert.py`: merge
+    ``new_rows`` into the CURRENT generation (same one-shuffle
+    last-write-wins window) and publish the result as a NEW
+    generation. Readers of the old snapshot are never disturbed, a
+    crash mid-merge leaves only an unreferenced directory, and a bad
+    batch is one `rollback()` away — the three failure modes the
+    staging-swap upsert documents as its plain-parquet limits, closed.
+    Returns the new generation number."""
+    from crypto_data_pipeline_spark.sources.upsert import latest_per_key
+
+    spark = new_rows.sparkSession
+    cur = current_generation(spark, root)
+    if cur is None:
+        merged = latest_per_key(new_rows, keys, list(order_by))
+    else:
+        existing = read_generation(spark, root, cur)
+        merged = latest_per_key(
+            existing.unionByName(new_rows), keys, list(order_by)
+        )
+    return publish(merged, root)

@@ -83,3 +83,17 @@ def test_single_scan_for_row_level_battery(spark, frame):
     )
     plan = report._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 2
+
+
+def test_split_by_expectations_routes_violating_rows(spark, frame):
+    clean, bad = ex.split_by_expectations(
+        frame,
+        [ex.not_null("id"), ex.in_range("price", 0.0, 100.0), ex.in_set("status", ("ok",))],
+    )
+    # violating: id null (row 5), price -5 (row 2), status 'bad?' (row 3);
+    # row 4's null status is NOT a violation of in_set (null-skipping)
+    bad_ids = sorted((r.id if r.id is not None else -1) for r in bad.collect())
+    assert bad_ids == [-1, 2, 3]
+    assert clean.count() == 2
+    with pytest.raises(ValueError, match="row-level"):
+        ex.split_by_expectations(frame, [ex.unique("id")])

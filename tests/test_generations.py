@@ -68,3 +68,35 @@ def test_empty_root_reports_no_generations(spark):
     assert gen.current_generation(spark, root) is None
     with pytest.raises(FileNotFoundError):
         gen.read_current(spark, root)
+
+
+def test_upsert_publish_is_transactional(spark):
+    """Merge semantics identical to the staging-swap upsert, but each
+    merge is a new generation: old snapshots stay readable and a bad
+    batch rolls back in O(1)."""
+    root = tempfile.mkdtemp(prefix="gens_up_") + "/t"
+    day1 = spark.createDataFrame(
+        [("btc", "2025-01-01", 100.0, 1), ("eth", "2025-01-01", 10.0, 1)],
+        "coin string, day string, price double, seq long",
+    )
+    g0 = gen.upsert_publish(day1, root, keys=["coin", "day"], order_by=["seq"])
+    bad_batch = spark.createDataFrame(
+        [("btc", "2025-01-01", -999.0, 2)],  # corrupted feed overwrite
+        "coin string, day string, price double, seq long",
+    )
+    g1 = gen.upsert_publish(bad_batch, root, keys=["coin", "day"], order_by=["seq"])
+    assert (g0, g1) == (0, 1)
+    cur = {(r.coin, r.day): r.price for r in gen.read_current(spark, root).collect()}
+    assert cur[("btc", "2025-01-01")] == -999.0  # last write won, as specified
+    # the bad batch is one rollback away — no data surgery
+    gen.rollback(spark, root, g0)
+    cur = {(r.coin, r.day): r.price for r in gen.read_current(spark, root).collect()}
+    assert cur[("btc", "2025-01-01")] == 100.0
+    # and the next good merge builds on whatever is CURRENT
+    fix = spark.createDataFrame(
+        [("btc", "2025-01-01", 101.0, 3)],
+        "coin string, day string, price double, seq long",
+    )
+    gen.upsert_publish(fix, root, keys=["coin", "day"], order_by=["seq"])
+    cur = {(r.coin, r.day): r.price for r in gen.read_current(spark, root).collect()}
+    assert cur == {("btc", "2025-01-01"): 101.0, ("eth", "2025-01-01"): 10.0}
