@@ -152,3 +152,55 @@ def connected_components_star(
             )
         prev_sig = (sig["n"], sig["h"])
     raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a SYMMETRIC edge list (callers
+    pass both directions of an undirected graph — which also means
+    every node has out-degree >= 1, so there is no dangling-mass
+    correction and the whole loop stays one declarative DAG with a
+    single action at the end; no per-iteration driver round-trips,
+    unlike the convergence-checked CC above).
+
+    Per iteration: one join edges->ranks on src (co-partitioned with
+    the degree join) and one groupBy on dst — two key Exchanges per
+    iteration, rank/degree frames are node-sized (<< edges). At real
+    scale pass ``checkpoint_every`` to cut the growing lineage with a
+    localCheckpoint every k iterations; the node count is the one
+    driver scalar (documented, like the CC convergence scalar).
+
+    Differentially testable: with portable edges, fixed iterations and
+    double arithmetic, DuckDB reproduces ranks to well inside 6 dp
+    (PageRank is a contraction — per-iteration last-ulp sum-order
+    noise decays rather than compounds)."""
+    # edges (and its whole upstream lineage — often an expensive
+    # candidate-generation pipeline) is consumed 2x per iteration;
+    # without a persist every iteration of the unrolled DAG re-runs
+    # it from the scan. nodes/deg likewise are loop-invariant.
+    edges = edges.persist()
+    nodes = edges.select(F.col(src).alias("id")).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], "id long, rank double")
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).cast("double").alias("deg")).persist()
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    base = F.lit((1.0 - damping) / n)
+    for i in range(iters):
+        j = edges.join(ranks.withColumnRenamed("id", src), src).join(deg, src)
+        contribs = j.groupBy(F.col(dst).alias("id")).agg(
+            F.sum(F.col("rank") / F.col("deg")).alias("s")
+        )
+        ranks = nodes.join(contribs, "id", "left").select(
+            "id",
+            (base + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))).alias("rank"),
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

@@ -254,3 +254,44 @@ def temperature_mix_flags(
         .cast("int")
         .alias("keep_temp"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    n: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``n`` rows
+    (Efraimidis–Spirakis A-ES, the exponential-jumps formulation):
+    each row draws priority -ln(u)/w from its deterministic hash
+    uniform u and weight w; the n SMALLEST priorities win. Inclusion
+    probability is proportional to weight, the decision is stable
+    under retries/AQE like every sampler here, and the oracle can
+    replay the exact draw (the LCG uniform and ln are both
+    engine-portable; priorities are rounded 9 dp with the key as
+    tiebreak before ranking, absorbing last-ulp libm differences).
+
+    Scale: orderBy(priority).limit(n) plans as TakeOrdered — each
+    partition ships only its local top-n candidates, no global sort,
+    no shuffle of the corpus."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    # u in (0, 1]: +1 keeps ln away from 0; exact-int hash then one division
+    u = (hash_bucket(F.col(key), salt) + F.lit(1)).cast("double") / F.lit(float(MOD) + 1.0)
+    priority = F.round(-F.log(u) / w, 9)
+    return (
+        df.where(w > 0)
+        .withColumn("_ws_priority", priority)
+        .orderBy(F.col("_ws_priority"), F.col(key))
+        .limit(n)
+    )
+
+
+def sql_weighted_priority(key_expr: str, weight_expr: str, salt: int = 0) -> str:
+    """ANSI-SQL twin of the A-ES priority — identical hash, ln and
+    rounding, so ORDER BY (priority, key) LIMIT n reproduces the exact
+    sample membership."""
+    h2 = sql_hash_bucket(key_expr, salt)
+    u = f"(CAST(({h2}) + 1 AS DOUBLE) / {float(MOD) + 1.0})"
+    return f"round(-ln({u}) / ({weight_expr}), 9)"

@@ -221,3 +221,52 @@ def resample_daily_locf(
         F.last(price, ignorenulls=True).over(w).alias(price),
         F.col(price).isNull().cast("int").alias("is_gap"),
     )
+
+
+def with_ewma(
+    df: DataFrame,
+    value: str = PRICE,
+    alpha: float = 0.3,
+    window: int = 10,
+    entity: str = ENTITY,
+    date: str = DATE,
+    out: str = "ewma_price",
+) -> DataFrame:
+    """Exponentially weighted moving average over the trailing
+    ``window`` rows (pandas ``ewm(alpha, adjust=True)`` semantics,
+    truncated to the bounded frame): newest observation weighted 1,
+    each step older multiplied by (1-alpha); value = weighted sum /
+    weight sum. The finance-native smoother the reference's rolling
+    means approximate.
+
+    Exact-order evaluation: the frame's values are collected as
+    (date, value) structs and sort_array'd — NOT raw collect_list
+    order, which Spark does not contractually guarantee — so the fold
+    order is deterministic and the DuckDB twin (frame-ordered window
+    list) reproduces it. All math is higher-order array expressions in
+    the JVM; one Exchange on the entity key shared with every other
+    window in the chain. Rounded 6 dp (engine-portable)."""
+    w = (
+        Window.partitionBy(entity)
+        .orderBy(date)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    staged = df.withColumn(
+        "_ew_vals",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(date, value)).over(w)),
+            lambda s: s[value],
+        ),
+    )
+    vals = F.col("_ew_vals")
+    n = F.size(vals)
+    decay = F.lit(1.0 - alpha)
+    powers = F.transform(
+        F.sequence(n - 1, F.lit(0), F.lit(-1)),
+        lambda p: F.pow(decay, p.cast("double")),
+    )
+    num = F.aggregate(
+        F.zip_with(vals, powers, lambda v, g: v * g), F.lit(0.0), lambda a, x: a + x
+    )
+    den = F.aggregate(powers, F.lit(0.0), lambda a, x: a + x)
+    return staged.withColumn(out, F.round(num / den, 6)).drop("_ew_vals")

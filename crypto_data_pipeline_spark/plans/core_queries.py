@@ -1286,6 +1286,121 @@ def rolling_time_window_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ewma_price",
+    extra=True,
+    survey_ids=("W10", "EXT-olap"),
+    oracle=f"""
+WITH {HISTORY_CTE},
+win AS (
+  SELECT entity_id, fetch_date,
+         list(price) OVER (PARTITION BY entity_id ORDER BY fetch_date
+              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+  FROM history
+)
+SELECT entity_id, fetch_date,
+       round(
+         list_sum(list_transform(range(len(vals)),
+                  i -> CAST(vals[i + 1] AS DOUBLE) * pow(0.7, len(vals) - 1 - i)))
+         / list_sum(list_transform(range(len(vals)),
+                  i -> pow(0.7, len(vals) - 1 - i))),
+       6) AS ewma_price
+FROM win
+""",
+)
+def ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.3, trailing 10
+    rows, pandas adjust=True semantics truncated to the frame) — the
+    finance-native smoother the reference's flat rolling means stand
+    in for (`operators/timeseries.py:with_ewma`). Deterministic fold
+    order via sorted (date, price) structs; DuckDB reproduces it from
+    the frame-ordered window list. Rides the bucketed silver history:
+    zero Exchange below the window."""
+    h = _history(spark, sf_dir)
+    return ts.with_ewma(h, value=PRICE, alpha=0.3, window=10).select(
+        ENTITY, DATE, "ewma_price"
+    )
+
+
+@register(
+    "price_anomaly_stats",
+    extra=True,
+    survey_ids=("A7", "A13", "EXT-olap"),
+    oracle=f"""
+WITH {HISTORY_CTE},
+med AS (
+  SELECT entity_id,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY price) AS med
+  FROM history GROUP BY 1
+),
+dev AS (
+  SELECT h.entity_id, h.price, h.fetch_date, m.med,
+         abs(h.price - m.med) AS ad
+  FROM history h JOIN med m USING (entity_id)
+),
+mad AS (
+  SELECT entity_id,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY ad) AS mad
+  FROM dev GROUP BY 1
+),
+lagd AS (
+  SELECT entity_id, price,
+         lag(price) OVER (PARTITION BY entity_id ORDER BY fetch_date) AS pl
+  FROM history
+),
+acf AS (SELECT entity_id, corr(price, pl) AS acf1 FROM lagd GROUP BY 1)
+SELECT d.entity_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(min(d.med), 6) AS med,
+       round(min(m.mad), 6) AS mad,
+       CAST(coalesce(sum(CASE WHEN d.ad > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_anomalies,
+       round(coalesce(min(a.acf1), -99.0), 6) AS acf1
+FROM dev d
+JOIN mad m USING (entity_id)
+JOIN acf a USING (entity_id)
+GROUP BY 1
+""",
+)
+def price_anomaly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly census per entity: exact median and MAD (median
+    absolute deviation — outlier-immune, unlike the z-score the
+    notebooks use), count of |x - med| > 3·1.4826·MAD days, plus the
+    lag-1 autocorrelation of the daily price. Two grouped exact
+    percentiles (entity-partitioned, the scale path being
+    approx_percentile as pinned elsewhere), broadcast joins back, and
+    the ACF from the same entity window Exchange the feature chain
+    already pays. acf1 is sentinel -99 for degenerate series (single
+    day / zero variance) on BOTH engines — NULLs break the gate's
+    sorted-tuple compare."""
+    h = _history(spark, sf_dir)
+    med = h.groupBy(ENTITY).agg(F.expr(f"percentile({PRICE}, 0.5)").alias("med"))
+    dev = h.join(F.broadcast(med), ENTITY).withColumn(
+        "ad", F.abs(F.col(PRICE) - F.col("med"))
+    )
+    mad = dev.groupBy(ENTITY).agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    w = Window.partitionBy(ENTITY).orderBy(DATE)
+    acf = (
+        h.withColumn("pl", F.lag(PRICE).over(w))
+        .groupBy(ENTITY)
+        .agg(F.corr(PRICE, "pl").alias("acf1"))
+    )
+    return (
+        dev.join(F.broadcast(mad), ENTITY)
+        .join(F.broadcast(acf), ENTITY)
+        .groupBy(ENTITY)
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("ad") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_anomalies"),
+            F.round(F.coalesce(F.min("acf1"), F.lit(-99.0)), 6).alias("acf1"),
+        )
+    )
+
+
+@register(
     "value_percentiles",
     extra=True,
     survey_ids=("A7", "EXT-olap"),

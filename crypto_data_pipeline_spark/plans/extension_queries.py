@@ -385,6 +385,62 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(damping: float = 0.85, iters: int = 10) -> str:
+    its = ["it0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"]
+    for i in range(1, iters + 1):
+        its.append(
+            f"""it{i} AS (
+  SELECT nd.id,
+         (1.0 - {damping}) / (SELECT n FROM nn) + {damping} * coalesce(s.s, 0.0) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank / d.deg) AS s
+    FROM edges e JOIN it{i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+    GROUP BY 1) s ON nd.id = s.id
+)"""
+        )
+    chain = ",\n".join(its)
+    return f"""
+WITH pairs AS ({_NGRAM_JACCARD_ORACLE}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY 1),
+{chain}
+SELECT id AS doc_id, round(rank, 6) AS rank FROM it{iters}
+"""
+
+
+@register(
+    "doc_pagerank",
+    extra=True,
+    survey_ids=("EXT-graph", "EXT-dedup"),
+    oracle=_pagerank_oracle(iters=5),
+)
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate similarity graph (symmetrized
+    exact-Jaccard pairs): a centrality score for choosing the
+    CANONICAL document of each near-dup neighborhood — the
+    graph-aware upgrade of min-id survivorship. Fixed 5 iterations,
+    damping 0.85, all declarative (`operators/graph.py:pagerank`):
+    two key Exchanges per iteration, no per-iteration driver action,
+    and the whole run is ONE differential query — DuckDB replays the
+    identical unrolled iteration chain and the ranks hash-match at
+    6 dp (the iteration is a contraction, so engine last-ulp noise
+    decays instead of compounding)."""
+    from crypto_data_pipeline_spark.operators.graph import pagerank
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    ranks = pagerank(edges, damping=0.85, iters=5)
+    return ranks.select(
+        F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
 # ASCII projection for edit-distance parity: Spark levenshtein counts
 # characters, DuckDB counts bytes — identical only on ASCII, so both
 # sides strip to [a-z0-9 ] (then re-collapse whitespace) first.
@@ -1988,6 +2044,34 @@ def sampling_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampling.split_column(F.col("doc_id"), _SPLITS, salt=11).alias("split"),
         (b3 < mix_thresh).cast("int").alias("mix_keep"),
     )
+
+
+@register(
+    "weighted_sample_docs",
+    extra=True,
+    survey_ids=("EXT-sample",),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(length(text) AS DOUBLE) AS weight,
+         {sampling.sql_weighted_priority('doc_id', 'CAST(length(text) AS DOUBLE)', salt=13)} AS priority
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, weight, priority FROM t ORDER BY priority, doc_id LIMIT 50
+""",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES, exponential-jumps form): 50 documents drawn with inclusion
+    probability proportional to text length, the draw decided by the
+    engine-portable LCG uniform — so the oracle replays EXACT sample
+    membership, priorities included, not just counts
+    (`operators/sampling.py:weighted_sample`). Plans as TakeOrdered:
+    each partition ships only its local candidates, no global sort."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("double").alias("weight")
+    )
+    out = sampling.weighted_sample(docs, "doc_id", "weight", n=50, salt=13)
+    return out.select("doc_id", "weight", F.col("_ws_priority").alias("priority"))
 
 
 @register(

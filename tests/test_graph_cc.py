@@ -69,3 +69,19 @@ def test_star_matches_minlabel_on_random_graph(spark):
     pairs = [(rng.randrange(120), rng.randrange(120)) for _ in range(80)]
     pairs = [(a, b) for a, b in pairs if a != b]
     assert _star(spark, pairs) == _cc(spark, pairs)
+
+
+def test_pagerank_star_graph_properties(spark):
+    """On a symmetric star (hub 0 <-> leaves 1..5): ranks sum to 1,
+    the hub outranks every leaf, and leaves tie exactly."""
+    from crypto_data_pipeline_spark.operators.graph import pagerank
+
+    leaves = list(range(1, 6))
+    edges = spark.createDataFrame(
+        [(0, x) for x in leaves] + [(x, 0) for x in leaves], "src long, dst long"
+    )
+    ranks = {r.id: r.rank for r in pagerank(edges, iters=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    hub, leaf_ranks = ranks[0], [ranks[x] for x in leaves]
+    assert all(hub > lr for lr in leaf_ranks)
+    assert max(leaf_ranks) - min(leaf_ranks) < 1e-12

@@ -234,3 +234,30 @@ def test_resample_ffill_parity(spark, sdf, pdf):
     for k in want:
         assert got[k][1] == want[k][1], k
         assert abs(got[k][0] - want[k][0]) <= 1e-9 * max(1.0, abs(want[k][0])), k
+
+
+def test_ewma_bounded_adjust_parity(sdf, pdf):
+    """with_ewma == the literal bounded adjust=True formula: weighted
+    sum over the trailing W rows with weights (1-a)^age / same sum of
+    weights — checked per (entity, date) against a pandas rolling
+    apply."""
+    alpha, window = 0.3, 10
+
+    def bounded_ewma(s: pd.Series) -> float:
+        v = s.to_numpy()
+        wgt = (1 - alpha) ** np.arange(len(v) - 1, -1, -1)
+        return float((v * wgt).sum() / wgt.sum())
+
+    want = {}
+    for e, g in pdf.groupby("entity_id"):
+        g = g.sort_values("fetch_date")
+        r = g["price"].rolling(window, min_periods=1).apply(bounded_ewma, raw=False)
+        for d, val in zip(g["fetch_date"], r):
+            want[(e, str(d))] = round(val, 6)
+    got = {
+        (r.entity_id, str(r.fetch_date)): r.ewma_price
+        for r in ts.with_ewma(sdf, value="price", alpha=alpha, window=window).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
