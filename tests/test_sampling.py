@@ -133,3 +133,41 @@ def test_stratified_fixed_n_quota_and_determinism(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """A-ES statistical contract: across 200 salted draws of n=3 from
+    10 items where item 0 has 20x the weight of the rest, item 0 must
+    be included far more often than any unit-weight item. All 200
+    draws evaluate in ONE job: explode the salt range, recompute the
+    priority per (item, salt), rank within each salt."""
+    from pyspark.sql import Window, functions as F
+
+    from crypto_data_pipeline_spark.operators.sampling import MOD
+
+    items = spark.createDataFrame(
+        [(i, 20.0 if i == 0 else 1.0) for i in range(10)], "k long, w double"
+    )
+    drawn = items.select(
+        "k", "w", F.explode(F.sequence(F.lit(0), F.lit(199))).alias("salt")
+    )
+    # salted uniform, column-salt form of hash_bucket (the scalar-salt
+    # helper can't take a per-row salt column)
+    h1 = (F.pmod(F.col("k") + F.col("salt") * 7919, F.lit(MOD)) * 1103515245 + 12345) % MOD
+    hb = (h1 * 48271) % MOD
+    u = (hb + F.lit(1)).cast("double") / F.lit(float(MOD) + 1.0)
+    pr = -F.log(u) / F.col("w")
+    win = Window.partitionBy("salt").orderBy(pr, F.col("k"))
+    counts = {
+        r.k: r.n
+        for r in drawn.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 3)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    heavy = counts.get(0, 0)
+    max_light = max(v for k, v in counts.items() if k != 0)
+    # 20x weight -> near-certain inclusion; unit items split the rest
+    assert heavy > 150, counts
+    assert heavy > 2 * max_light, counts
