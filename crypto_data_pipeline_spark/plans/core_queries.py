@@ -1322,6 +1322,106 @@ def ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "max_drawdown",
+    extra=True,
+    survey_ids=("W3", "A5", "EXT-olap"),
+    oracle=f"""
+WITH {HISTORY_CTE},
+dd AS (
+  SELECT entity_id, fetch_date,
+         price / max(price) OVER (PARTITION BY entity_id ORDER BY fetch_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS drawdown
+  FROM history
+)
+SELECT entity_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(min(drawdown), 6) AS max_drawdown,
+       CAST(coalesce(sum(CASE WHEN drawdown < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS days_underwater
+FROM dd GROUP BY 1
+""",
+)
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per entity — the canonical formalization of
+    the reference's drop-hunting Query 2: price over its running peak,
+    minus one; the per-entity minimum is the worst peak-to-trough
+    loss, days_underwater counts time below the prior peak. One
+    running-max window on the entity Exchange the silver table already
+    provides (zero Exchange below it), one groupBy."""
+    h = _history(spark, sf_dir)
+    w = (
+        Window.partitionBy(ENTITY)
+        .orderBy(DATE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = F.col(PRICE) / F.max(PRICE).over(w) - 1
+    return (
+        h.withColumn("drawdown", dd)
+        .groupBy(ENTITY)
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.min("drawdown"), 6).alias("max_drawdown"),
+            F.sum(F.when(F.col("drawdown") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("days_underwater"),
+        )
+    )
+
+
+@register(
+    "rsi_cutler_14",
+    extra=True,
+    survey_ids=("W1", "W10", "EXT-olap"),
+    oracle=f"""
+WITH {HISTORY_CTE},
+delta AS (
+  SELECT entity_id, fetch_date,
+         price - lag(price) OVER (PARTITION BY entity_id ORDER BY fetch_date) AS d
+  FROM history
+),
+avgs AS (
+  SELECT entity_id, fetch_date,
+         avg(CASE WHEN d > 0 THEN d ELSE 0 END) OVER w AS avg_gain,
+         avg(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER w AS avg_loss,
+         CAST(count(d) OVER w AS BIGINT) AS n_deltas
+  FROM delta
+  WINDOW w AS (PARTITION BY entity_id ORDER BY fetch_date
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT entity_id, fetch_date,
+       CASE WHEN avg_loss = 0 THEN 100.0
+            ELSE round(100.0 - 100.0 / (1.0 + avg_gain / avg_loss), 6)
+       END AS rsi
+FROM avgs WHERE n_deltas = 14
+""",
+)
+def rsi_cutler_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI, Cutler's simple-moving-average variant — windowed
+    and therefore engine-portable, unlike Wilder's recursive smoothing
+    (an unbounded EWM; `with_ewma` is the bounded cousin). Gains and
+    losses are conditional means over the trailing 14 deltas; rows
+    emit only once a full 14-delta window exists (count(d) OVER w
+    skips the leading NULL delta identically on both engines). Same
+    single entity Exchange as every other window in the chain."""
+    h = _history(spark, sf_dir)
+    wl = Window.partitionBy(ENTITY).orderBy(DATE)
+    w14 = wl.rowsBetween(-13, Window.currentRow)
+    d = F.col(PRICE) - F.lag(PRICE).over(wl)
+    staged = (
+        h.withColumn("d", d)
+        .withColumn("avg_gain", F.avg(F.when(F.col("d") > 0, F.col("d")).otherwise(0.0)).over(w14))
+        .withColumn("avg_loss", F.avg(F.when(F.col("d") < 0, -F.col("d")).otherwise(0.0)).over(w14))
+        .withColumn("n_deltas", F.count("d").over(w14).cast("bigint"))
+    )
+    rsi = F.when(F.col("avg_loss") == 0, F.lit(100.0)).otherwise(
+        F.round(100.0 - 100.0 / (1.0 + F.col("avg_gain") / F.col("avg_loss")), 6)
+    )
+    return staged.where(F.col("n_deltas") == 14).select(
+        ENTITY, DATE, rsi.alias("rsi")
+    )
+
+
+@register(
     "price_anomaly_stats",
     extra=True,
     survey_ids=("A7", "A13", "EXT-olap"),
