@@ -93,12 +93,14 @@ def main() -> None:
         # Untimed 4th pass for runtime truth alongside wall-clock:
         # shuffle volume is deterministic where seconds are not
         # (docs/BENCH_VARIANCE.md), so a plan regression shows here
-        # even through host noise. collect() (not the noop sink)
-        # because metrics hang off the DataFrame's OWN QueryExecution;
-        # a writer action executes a separate one with zeroed metrics.
+        # even through host noise. The action must execute the
+        # DataFrame's OWN QueryExecution (a writer action plans a
+        # separate one with zeroed metrics) without shipping rows to
+        # the driver (row-amplified outputs would OOM a collect) —
+        # toRdd().count() does exactly that.
         try:
             df = spec.fn(spark, sf_dir)
-            df.collect()
+            df._jdf.queryExecution().toRdd().count()
             shuffle_bytes[spec.name] = plan_runtime_metrics(df)["shuffle_bytes_written"]
         except Exception:
             shuffle_bytes[spec.name] = -1  # never fail the bench for a metric read

@@ -48,6 +48,9 @@ def cmd_get_history(args: argparse.Namespace) -> int:
         .option("transport", args.transport)
         .load()
         .withColumn("created_at", F.current_timestamp())
+        # one fetch: the frame is consumed twice below (merge + count);
+        # unpersisted, each action would re-hit the rate-limited API
+        .persist()
     )
     if args.store:
         merged = upsert_parquet(

@@ -55,6 +55,10 @@ def matches(col: str, regex: str) -> Expectation:
 
 
 def unique(*cols: str) -> Expectation:
+    """Standard-SQL UNIQUE semantics: rows where ANY key column is
+    NULL neither violate nor count (SQL UNIQUE admits multiple
+    NULLs); violations = non-null-key rows minus their distinct key
+    count."""
     return Expectation(f"unique({','.join(cols)})", "unique", tuple(cols))
 
 
@@ -95,10 +99,18 @@ def check(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     for i, e in enumerate(row_level):
         aggs.append(F.sum(_violation_expr(e)).alias(f"__v{i}"))
     for i, e in enumerate(uniques):
-        key = F.struct(*[F.col(c) for c in e.cols])
-        aggs.append(
-            (F.count(key) - F.count_distinct(key)).alias(f"__u{i}")
-        )
+        # NULL-key rows are excluded from BOTH counts (standard-SQL
+        # UNIQUE): the struct is nulled unless every key col is set,
+        # and count/count_distinct both skip null inputs.
+        nn = F.lit(True)
+        for c in e.cols:
+            nn = nn & F.col(c).isNotNull()
+        key = F.when(nn, F.struct(*[F.col(c) for c in e.cols]))
+        aggs.append((F.count(key) - F.count_distinct(key)).alias(f"__u{i}"))
+    for i, e in enumerate(fks):
+        # the FK's checked-row count rides the same single scan; only
+        # the membership anti-join needs its own pass below
+        aggs.append(F.count(F.col(e.cols[0])).alias(f"__fk{i}"))
     wide = df.agg(*aggs)
 
     # unpivot the 1-row wide aggregate into the report rows via stack()
@@ -124,19 +136,25 @@ def check(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     else:
         report = spark.createDataFrame([], REPORT_SCHEMA)
 
-    for e in fks:
-        dim, dim_key = e.params
-        col = e.cols[0]
-        missing = (
-            df.select(F.col(col)).where(F.col(col).isNotNull())
-            .join(F.broadcast(dim.select(F.col(dim_key).alias(col)).distinct()), col, "left_anti")
-        )
-        n_checked = df.where(F.col(col).isNotNull()).count()
-        n_viol = missing.count()
-        fk_row = spark.createDataFrame(
-            [(e.name, e.kind, n_checked, n_viol, n_viol == 0)], REPORT_SCHEMA
-        )
-        report = report.unionByName(fk_row)
+    if fks:
+        wide_row = wide.collect()[0]
+        for i, e in enumerate(fks):
+            dim, dim_key = e.params
+            col = e.cols[0]
+            missing = (
+                df.select(F.col(col)).where(F.col(col).isNotNull())
+                .join(
+                    F.broadcast(dim.select(F.col(dim_key).alias(col)).distinct()),
+                    col,
+                    "left_anti",
+                )
+            )
+            n_checked = int(wide_row[f"__fk{i}"] or 0)
+            n_viol = missing.count()
+            fk_row = spark.createDataFrame(
+                [(e.name, e.kind, n_checked, n_viol, n_viol == 0)], REPORT_SCHEMA
+            )
+            report = report.unionByName(fk_row)
     return report
 
 

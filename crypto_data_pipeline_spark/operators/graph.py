@@ -203,4 +203,12 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
+    # materialize the final ranks, then RELEASE the loop-invariant
+    # caches — without this every pagerank call leaks three persisted
+    # frames (including the whole upstream edge pipeline) into executor
+    # storage for the session's lifetime
+    ranks = ranks.localCheckpoint(eager=True)
+    deg.unpersist()
+    nodes.unpersist()
+    edges.unpersist()
     return ranks

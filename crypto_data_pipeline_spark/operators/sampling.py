@@ -262,6 +262,7 @@ def weighted_sample(
     weight: Column | str,
     n: int,
     salt: int = 0,
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement of ``n`` rows
     (Efraimidis–Spirakis A-ES, the exponential-jumps formulation):
@@ -280,12 +281,17 @@ def weighted_sample(
     # u in (0, 1]: +1 keeps ln away from 0; exact-int hash then one division
     u = (hash_bucket(F.col(key), salt) + F.lit(1)).cast("double") / F.lit(float(MOD) + 1.0)
     priority = F.round(-F.log(u) / w, 9)
-    return (
+    out = (
         df.where(w > 0)
         .withColumn("_ws_priority", priority)
         .orderBy(F.col("_ws_priority"), F.col(key))
         .limit(n)
     )
+    # like the sibling samplers, the helper column stays internal
+    # unless the caller asks for it by name (oracle twins do)
+    if priority_col is None:
+        return out.drop("_ws_priority")
+    return out.withColumnRenamed("_ws_priority", priority_col)
 
 
 def sql_weighted_priority(key_expr: str, weight_expr: str, salt: int = 0) -> str:

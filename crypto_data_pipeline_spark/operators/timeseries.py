@@ -265,8 +265,21 @@ def with_ewma(
         F.sequence(n - 1, F.lit(0), F.lit(-1)),
         lambda p: F.pow(decay, p.cast("double")),
     )
+    # NULL observations drop from BOTH sums (a bare `a + x` fold would
+    # null-poison the whole window once one value is null); the weight
+    # of a null slot leaves the denominator too, so remaining values
+    # renormalize — matching the DuckDB twin's null-skipping list_sum
+    # over identically-nulled products/weights.
     num = F.aggregate(
-        F.zip_with(vals, powers, lambda v, g: v * g), F.lit(0.0), lambda a, x: a + x
+        F.zip_with(vals, powers, lambda v, g: F.when(v.isNotNull(), v * g).otherwise(0.0)),
+        F.lit(0.0),
+        lambda a, x: a + x,
     )
-    den = F.aggregate(powers, F.lit(0.0), lambda a, x: a + x)
-    return staged.withColumn(out, F.round(num / den, 6)).drop("_ew_vals")
+    den = F.aggregate(
+        F.zip_with(vals, powers, lambda v, g: F.when(v.isNotNull(), g).otherwise(0.0)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return staged.withColumn(
+        out, F.round(F.when(den > 0, num / den), 6)
+    ).drop("_ew_vals")

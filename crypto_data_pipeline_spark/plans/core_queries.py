@@ -974,8 +974,8 @@ SELECT 'in_range(o_totalprice,0.0,400000.0)', 'in_range', CAST(count(*) AS BIGIN
 FROM orders
 UNION ALL
 SELECT 'unique(o_orderkey)', 'unique', CAST(count(*) AS BIGINT),
-       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
-       count(*) - count(DISTINCT o_orderkey) = 0
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+       count(o_orderkey) - count(DISTINCT o_orderkey) = 0
 FROM orders
 UNION ALL
 SELECT 'foreign_key(o_custkey)', 'foreign_key',
@@ -1300,9 +1300,11 @@ win AS (
 SELECT entity_id, fetch_date,
        round(
          list_sum(list_transform(range(len(vals)),
-                  i -> CAST(vals[i + 1] AS DOUBLE) * pow(0.7, len(vals) - 1 - i)))
+                  i -> CASE WHEN vals[i + 1] IS NULL THEN 0.0
+                       ELSE CAST(vals[i + 1] AS DOUBLE) * pow(0.7, len(vals) - 1 - i) END))
          / list_sum(list_transform(range(len(vals)),
-                  i -> pow(0.7, len(vals) - 1 - i))),
+                  i -> CASE WHEN vals[i + 1] IS NULL THEN 0.0
+                       ELSE pow(0.7, len(vals) - 1 - i) END)),
        6) AS ewma_price
 FROM win
 """,

@@ -2070,8 +2070,10 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.length("text").cast("double").alias("weight")
     )
-    out = sampling.weighted_sample(docs, "doc_id", "weight", n=50, salt=13)
-    return out.select("doc_id", "weight", F.col("_ws_priority").alias("priority"))
+    out = sampling.weighted_sample(
+        docs, "doc_id", "weight", n=50, salt=13, priority_col="priority"
+    )
+    return out.select("doc_id", "weight", "priority")
 
 
 @register(

@@ -28,10 +28,9 @@ _GEN_RE = re.compile(r"^gen=(\d+)$")
 
 
 def _fs(spark: SparkSession, path: str):
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return jvm, fs, hpath
+    from crypto_data_pipeline_spark.sources.hadoop_fs import get_fs
+
+    return get_fs(spark, path)
 
 
 def list_generations(spark: SparkSession, root: str) -> list[int]:

@@ -84,10 +84,9 @@ def purge_quarantine(spark, path: str, keep_after: str) -> list[str]:
     directories via the Hadoop FileSystem API — O(partitions) metadata
     ops, zero data rewrite, works on any Spark-supported filesystem.
     Returns the deleted partition values (for the maintenance log)."""
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    from crypto_data_pipeline_spark.sources.hadoop_fs import get_fs
+
+    jvm, fs, hpath = get_fs(spark, path)
     if not fs.exists(hpath):
         return []
     dropped: list[str] = []

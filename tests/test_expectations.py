@@ -97,3 +97,16 @@ def test_split_by_expectations_routes_violating_rows(spark, frame):
     assert clean.count() == 2
     with pytest.raises(ValueError, match="row-level"):
         ex.split_by_expectations(frame, [ex.unique("id")])
+
+
+def test_unique_ignores_null_keys(spark):
+    """Standard-SQL UNIQUE: multiple NULL keys are not duplicates of
+    each other; only non-null repeats violate."""
+    df = spark.createDataFrame(
+        [(1,), (2,), (2,), (None,), (None,), (None,)], "id long"
+    )
+    [r] = ex.check(df, [ex.unique("id")]).collect()
+    assert (r.n_violations, r.passed) == (1, False)
+    clean = spark.createDataFrame([(1,), (None,), (None,)], "id long")
+    [r2] = ex.check(clean, [ex.unique("id")]).collect()
+    assert (r2.n_violations, r2.passed) == (0, True)

@@ -261,3 +261,25 @@ def test_ewma_bounded_adjust_parity(sdf, pdf):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6, (k, got[k], want[k])
+
+
+def test_ewma_null_values_renormalize(spark):
+    """A NULL observation must drop from numerator AND denominator —
+    not poison the whole trailing window."""
+    df = spark.createDataFrame(
+        [("x", dt.date(2024, 1, d), p) for d, p in
+         [(1, 10.0), (2, None), (3, 30.0)]],
+        "entity_id string, fetch_date date, price double",
+    )
+    got = {
+        str(r.fetch_date): r.ewma_price
+        for r in ts.with_ewma(df, value="price", alpha=0.3, window=10).collect()
+    }
+    a = 0.3
+    w1, w0 = 1.0, (1 - a)  # newest, one-older weights
+    assert got["2024-01-01"] == round(10.0, 6)
+    # day 2: only the (older) day-1 value contributes -> plain 10.0
+    assert got["2024-01-02"] == round(10.0, 6)
+    # day 3: values 10 (weight (1-a)^2) and 30 (weight 1); null slot absent
+    w2 = (1 - a) ** 2
+    assert got["2024-01-03"] == round((10.0 * w2 + 30.0 * w1) / (w2 + w1), 6)
