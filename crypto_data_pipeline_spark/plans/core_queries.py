@@ -1324,6 +1324,142 @@ def ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chi_square_independence",
+    extra=True,
+    survey_ids=("A6", "A13", "EXT-olap"),
+    oracle="""
+WITH cells AS (
+  SELECT event_type,
+         CAST(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS INT) AS is_weekend,
+         CAST(count(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT sum(o) AS n FROM cells),
+rowm AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+colm AS (SELECT is_weekend, sum(o) AS ct FROM cells GROUP BY 1)
+SELECT CAST(coalesce((SELECT n FROM tot), 0) AS BIGINT) AS n,
+       CAST((SELECT count(*) FROM rowm) - 1 AS BIGINT)
+         * CAST((SELECT count(*) FROM colm) - 1 AS BIGINT) AS dof,
+       round(coalesce(sum(pow(c.o - r.rt * cm.ct / t.n, 2) / (r.rt * cm.ct / t.n)), 0.0), 6)
+         AS chi2
+FROM cells c
+JOIN rowm r USING (event_type)
+JOIN colm cm USING (is_weekend)
+CROSS JOIN tot t
+""",
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence: is event type
+    associated with weekends? Observed counts from one groupBy;
+    expected = row-margin x col-margin / total; the statistic and
+    degrees of freedom computed fully in SQL on both engines (the
+    p-value lookup is a client-side chi2 CDF — the distributed part is
+    the contingency table, which at 100 TB is the only part that
+    touches data). DuckDB dayofweek is 0=Sunday; Spark dayofweek is
+    1=Sunday — both sides map to the same weekend flag."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            F.when(F.dayofweek("ts").isin(1, 7), 1).otherwise(0).alias("is_weekend"),
+        )
+        .groupBy("event_type", "is_weekend")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    tot = cells.agg(F.sum("o").alias("n"))
+    rowm = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colm = cells.groupBy("is_weekend").agg(F.sum("o").alias("ct"))
+    joined = (
+        cells.join(F.broadcast(rowm), "event_type")
+        .join(F.broadcast(colm), "is_weekend")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("rt") * F.col("ct") / F.col("n")
+    stat = joined.agg(
+        F.round(F.coalesce(F.sum(F.pow(F.col("o") - e, 2) / e), F.lit(0.0)), 6).alias("chi2")
+    )
+    dof = (
+        (rowm.count() - 1) * (colm.count() - 1)
+    )
+    n_total = tot.collect()[0][0]
+    return stat.select(
+        F.lit(int(n_total or 0)).cast("bigint").alias("n"),
+        F.lit(int(dof)).cast("bigint").alias("dof"),
+        "chi2",
+    )
+
+
+@register(
+    "psi_value_drift",
+    extra=True,
+    survey_ids=("A6", "EXT-olap"),
+    oracle="""
+WITH bounds AS (
+  SELECT min(epoch_us(ts)) AS a, max(epoch_us(ts)) AS b FROM events
+),
+halves AS (
+  SELECT CAST(least(floor(value / 50.0), 9) AS INT) AS bin,
+         CASE WHEN epoch_us(ts) * 2 <= a + b THEN 0 ELSE 1 END AS half
+  FROM events, bounds WHERE value IS NOT NULL
+),
+bins AS (SELECT CAST(i AS INT) AS bin FROM range(10) t(i)),
+cnt AS (
+  SELECT b.bin,
+         CAST(coalesce(sum(CASE WHEN h.half = 0 THEN 1 END), 0) AS DOUBLE) AS nb,
+         CAST(coalesce(sum(CASE WHEN h.half = 1 THEN 1 END), 0) AS DOUBLE) AS na
+  FROM bins b LEFT JOIN halves h ON b.bin = h.bin GROUP BY 1
+),
+tot AS (SELECT sum(nb) AS tb, sum(na) AS ta FROM cnt)
+SELECT bin,
+       CAST(nb AS BIGINT) AS n_before,
+       CAST(na AS BIGINT) AS n_after,
+       round(((nb + 0.5) / (tb + 5.0) - (na + 0.5) / (ta + 5.0))
+             * ln(((nb + 0.5) / (tb + 5.0)) / ((na + 0.5) / (ta + 5.0))), 6)
+         AS psi_contrib
+FROM cnt, tot
+""",
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index between the first and second half of
+    the event stream's time range — the drift monitor a training-data
+    pipeline alarms on when a source quietly changes distribution.
+    Fixed-width value bins (50-wide, capped at bin 9), halves split at
+    the integer-microsecond midpoint (epoch arithmetic identical on
+    both engines), Laplace-smoothed shares so empty bins contribute
+    finitely. One scan + one tiny broadcast of the 10-bin counts; the
+    total PSI is the sum of the per-bin contributions reported."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    us = F.unix_micros("ts")
+    bounds = ev.agg(F.min(us).alias("a"), F.max(us).alias("b")).collect()[0]
+    a, b = bounds["a"], bounds["b"]
+    half = F.when((us * 2) <= F.lit((a or 0) + (b or 0)), 0).otherwise(1)
+    halves = ev.select(
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int").alias("bin"),
+        half.alias("half"),
+    )
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    cnt = (
+        bins.join(halves, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("half") == 0, 1)), F.lit(0))
+            .cast("double").alias("nb"),
+            F.coalesce(F.sum(F.when(F.col("half") == 1, 1)), F.lit(0))
+            .cast("double").alias("na"),
+        )
+    )
+    tot = cnt.agg(F.sum("nb").alias("tb"), F.sum("na").alias("ta"))
+    p = (F.col("nb") + 0.5) / (F.col("tb") + 5.0)
+    q = (F.col("na") + 0.5) / (F.col("ta") + 5.0)
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("nb").cast("bigint").alias("n_before"),
+        F.col("na").cast("bigint").alias("n_after"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )
+
+
+@register(
     "max_drawdown",
     extra=True,
     survey_ids=("W3", "A5", "EXT-olap"),

@@ -44,6 +44,8 @@ BNLJ_OK = {
     "corpus_curation_pipeline",    # minhash prune + census-totals frames
     "contamination_ngram",
     "contamination_semantic",      # 1-row collect_list benchmark frame
+    "chi_square_independence",     # 1-row grand-total frame
+    "psi_value_drift",             # 1-row halves-total frame
 }
 
 # Arrow-batched Python (mapInPandas / applyInPandas / pandas UDF) is a
