@@ -179,6 +179,12 @@ def semantic_contamination(
         corpus.select(F.col(id_col), as_double(vec_col).alias("_v"))
         .withColumn("_nv", norm(v))
         .crossJoin(F.broadcast(bench_arr))
+        # an EMPTY benchmark set must yield zero rows (matching the SQL
+        # CROSS JOIN the oracle runs) — without this, array_max over []
+        # is NULL and is_contaminated becomes tri-state, so a
+        # where(~is_contaminated) downstream would silently drop the
+        # whole corpus
+        .where(F.size("_bench") > 0)
         .select(
             id_col,
             mx.alias("max_benchmark_cosine"),

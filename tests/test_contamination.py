@@ -71,3 +71,16 @@ def test_self_contamination_is_total(spark, sf_dir):
     # every doc collides with itself on every n-gram → ratio 1.0
     full = hits.where(F.col("contamination_ratio") == 1.0).count()
     assert full == sample.count()
+
+
+def test_semantic_contamination_empty_benchmark_is_total(spark):
+    """An empty benchmark set yields ZERO rows (the oracle's CROSS
+    JOIN semantics) — never corpus rows with tri-state NULL flags."""
+    from crypto_data_pipeline_spark.operators.contamination import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, vec array<double>"
+    )
+    bench = spark.createDataFrame([], "vec_id long, vec array<double>")
+    out = semantic_contamination(corpus, bench, id_col="vec_id", vec_col="vec")
+    assert out.count() == 0

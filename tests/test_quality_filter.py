@@ -69,3 +69,22 @@ def test_quality_filter_runs_stateless_on_a_stream(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(out).collect()}
     expected = {tuple(r) for r in battery(docs).collect()}
     assert got == expected and got
+
+
+def test_repetition_stats_total_on_short_docs(spark):
+    """Regression: the staged gram column is evaluated for EVERY row,
+    so sub-2-word docs (1 word, empty, whitespace) must not hit the
+    invalid slice(toks, 0, 2) — they report dup_2gram_ratio 0.0."""
+    from crypto_data_pipeline_spark.operators.text import with_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "   "), (4, "two words two words")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.dup_word_ratio, r.dup_2gram_ratio)
+           for r in with_repetition_stats(df).collect()}
+    assert got[1] == (0.0, 0.0)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, 0.0)
+    # "two words two words": 4 words 2 distinct -> 0.5; 3 grams 2 distinct
+    assert got[4] == (0.5, round(1 - 2 / 3, 6))

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from crypto_data_pipeline_spark import get_spark
 
-SRC = "/root/testdata/sf0.1"
+SRC = os.environ.get("SPARK_GRAFT_PROBE_SRC", "/root/testdata/sf0.1")
 
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
