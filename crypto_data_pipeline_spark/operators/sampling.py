@@ -129,7 +129,13 @@ def stratified_fixed_n(
     thinning (eval-set construction wants fixed counts, not fractions).
 
     Deterministic like everything here: the hash order is a pure
-    function of ``key``, with the key itself as tiebreak. One shuffle
+    function of ``key``, with the key itself as tiebreak.
+    PRECONDITIONS the tiebreak relies on: ``key`` must be an INTEGER
+    column (the hash does int64 arithmetic — a string key fails
+    analysis) and UNIQUE within each stratum — duplicate keys share an
+    identical (hash, key) sort tuple, so rows straddling the rank<=n
+    cutoff would be chosen arbitrarily, breaking the determinism
+    contract. One shuffle
     on the stratum; the rank<=n filter rides Spark's WindowGroupLimit,
     so each map task forwards at most ``n`` rows per stratum and the
     Exchange carries O(strata x n) rows — this stays cheap even when

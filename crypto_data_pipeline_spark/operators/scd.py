@@ -47,6 +47,12 @@ def scd2_intervals(
     the snapshot timestamp); ties would make the interval bounds
     nondeterministic.
     """
+    if not tracked:
+        raise ValueError(
+            "scd2_intervals needs at least one tracked column — with "
+            "nothing tracked there are no change boundaries to build "
+            "intervals from"
+        )
     w = Window.partitionBy(*keys).orderBy(order_col)
     changed: Column = reduce(
         lambda a, b: a | b,

@@ -2639,6 +2639,9 @@ def customers_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders")
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_custkey").alias("c_custkey"))
+        # distinct BEFORE the broadcast: the build side ships one key
+        # per urgent CUSTOMER, not one per urgent order
+        .distinct()
     )
     return c.join(urgent, "c_custkey", "left_anti")
 
@@ -2650,10 +2653,10 @@ def customers_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(count(*) - count(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_missing,
-       sum(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
-       min(CAST(props->>'$.k' AS BIGINT)) AS k_min,
-       max(CAST(props->>'$.k' AS BIGINT)) AS k_max
+       CAST(count(*) - count(CAST(trunc(CAST(props->>'$.k' AS DOUBLE)) AS BIGINT)) AS BIGINT) AS n_missing,
+       sum(CAST(trunc(CAST(props->>'$.k' AS DOUBLE)) AS BIGINT)) AS k_sum,
+       min(CAST(trunc(CAST(props->>'$.k' AS DOUBLE)) AS BIGINT)) AS k_min,
+       max(CAST(trunc(CAST(props->>'$.k' AS DOUBLE)) AS BIGINT)) AS k_max
 FROM events
 GROUP BY event_type
 """,

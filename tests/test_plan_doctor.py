@@ -75,6 +75,10 @@ def test_plan_is_clean(spark, sf_dir, name):
             "is contractually tiny, add the query to BNLJ_OK with a comment"
         )
     if name not in ARROW_OK:
-        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan and (
-            "FlatMapGroupsInPandas" not in plan
-        ), f"{name}: undeclared Python stage"
+        python_nodes = (
+            "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
+            "AggregateInPandas", "WindowInPandas", "PythonMapInArrow",
+            "FlatMapCoGroupsInPandas",
+        )
+        hit = [n for n in python_nodes if n in plan]
+        assert not hit, f"{name}: undeclared Python stage {hit}"

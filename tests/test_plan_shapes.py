@@ -311,3 +311,14 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_funnel_ordered_steps_single_exchange(spark, sf_dir):
+    """The ordered funnel's two running-min windows and its final
+    groupBy must all share the user_id partitioning: one shuffle for
+    the whole three-step chain."""
+    from crypto_data_pipeline_spark.plans.registry import load_with_extras
+    from crypto_data_pipeline_spark.sources.bucketed import exchange_count
+
+    q = load_with_extras()["funnel_ordered_steps"]
+    assert exchange_count(q.fn(spark, sf_dir)) == 1

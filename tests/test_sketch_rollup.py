@@ -65,17 +65,6 @@ def test_hll_rollup_never_rescans_raw(spark, sf_dir):
         daily.unpersist()
 
 
-def test_funnel_ordered_steps_single_exchange(spark, sf_dir):
-    """The ordered funnel's two running-min windows and its final
-    groupBy must all share the user_id partitioning: one shuffle for
-    the whole three-step chain."""
-    from crypto_data_pipeline_spark.plans.registry import load_with_extras
-    from crypto_data_pipeline_spark.sources.bucketed import exchange_count
-
-    q = load_with_extras()["funnel_ordered_steps"]
-    assert exchange_count(q.fn(spark, sf_dir)) == 1
-
-
 def test_approx_top_k_recovers_exact_heavy_hitters(spark, sf_dir):
     """approx_top_k is the sketch path of key_skew_stats: with the
     tracked-item capacity above the true cardinality the counts are
