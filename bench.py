@@ -117,8 +117,11 @@ def main() -> None:
                 "notes": "rows added after the BENCH_r01 baseline suite: "
                          "embedding_ann_{ivf,lsh} (probe-only, index prebuilt "
                          "in the untimed warm pass) and "
-                         "corpus_curation_pipeline (round 5) — exclude these "
-                         "for baseline-comparable totals",
+                         "corpus_curation_pipeline (round 5; its three "
+                         "persisted stages likewise build once in the warm "
+                         "pass and are reused, so timed runs measure the "
+                         "steady-state decision-record assembly) — exclude "
+                         "these for baseline-comparable totals",
             }
         )
     )
