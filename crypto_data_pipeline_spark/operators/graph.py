@@ -188,6 +188,10 @@ def pagerank(
     nodes = edges.select(F.col(src).alias("id")).distinct().persist()
     n = nodes.count()
     if n == 0:
+        # the empty path must release the two persists already taken
+        # (deg doesn't exist yet) or every empty-graph call leaks them
+        nodes.unpersist()
+        edges.unpersist()
         return edges.sparkSession.createDataFrame([], "id long, rank double")
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).cast("double").alias("deg")).persist()
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))

@@ -1,7 +1,7 @@
 """Multimodal column plumbing (north star ops).
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
-metadata struct. Two feature tiers:
+metadata struct. Three feature tiers:
 
   * CODEC-FREE byte-level features — size, magic-number format sniff,
     byte histogram stats (mean/modal byte), Shannon byte entropy,
@@ -9,10 +9,14 @@ metadata struct. Two feature tiers:
     blob (no decoder needed) and are what a 100 TB ingest runs first:
     corrupt-file triage, format routing, compressed-vs-text detection
     (entropy ≈ 8 bits ⇒ already compressed).
-  * The codec tier — ``decode_media(..., codec="real")`` is the marked
-    extension point and raises ``NotImplementedError`` (image/audio
-    libraries are not in this container); the default fake codec is the
-    identity so the full dataflow stays exercised.
+  * The BUILTIN codec — dependency-free pure-Python decoders for the
+    two uncompressed public formats (24-bit BI_RGB BMP, binary PPM)
+    → raw RGB24. A real decode that runs hermetically in this
+    container, exercising the full decode→feature/frame dataflow.
+  * The REAL codec — ``decode_media(..., codec="real")`` via Pillow
+    when importable, ``NotImplementedError`` otherwise (compressed
+    formats need libraries this container doesn't ship); the default
+    fake codec is the identity so plumbing tests stay cheap.
 
 At 100 TB: media bytes ride the same parquet scan as the metadata
 (no side-channel fetch), ``mapInPandas`` processes whole Arrow record
@@ -122,9 +126,12 @@ def _pil():
 
 def decode_media(media_bytes: bytes, codec: str = "fake") -> bytes:
     """The codec boundary. ``codec="real"`` decodes via Pillow when it
-    is importable (image bytes → raw RGB24), and raises
+    is importable (image bytes → raw RGB24) and raises
     ``NotImplementedError`` otherwise — the marked extension point
-    stays honest in codec-free environments."""
+    stays honest in codec-free environments. ``codec="builtin"``
+    decodes the two uncompressed public formats (24-bit BMP, binary
+    PPM) with the dependency-free parsers below — a REAL decode that
+    runs hermetically in this container."""
     if codec == "real":
         image_mod = _pil()
         if image_mod is None:
@@ -135,7 +142,77 @@ def decode_media(media_bytes: bytes, codec: str = "fake") -> bytes:
 
         with image_mod.open(io.BytesIO(media_bytes)) as im:
             return im.convert("RGB").tobytes()
+    if codec == "builtin":
+        return decode_image_builtin(media_bytes)[3]
     return media_bytes  # fake codec: identity — plumbing stays real
+
+
+def _parse_ppm(raw: bytes) -> tuple[int, int, str, bytes]:
+    """Binary PPM (P6, maxval ≤ 255) → (width, height, "RGB", rgb24).
+    Netpbm header grammar: ASCII tokens separated by whitespace,
+    ``#`` comments to end-of-line, exactly ONE whitespace byte between
+    the maxval token and the pixel payload."""
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < 4 and i < len(raw):
+        c = raw[i : i + 1]
+        if c in (b" ", b"\t", b"\r", b"\n"):
+            i += 1
+        elif c == b"#":
+            j = raw.find(b"\n", i)
+            i = len(raw) if j < 0 else j + 1
+        else:
+            j = i
+            while j < len(raw) and raw[j : j + 1] not in (b" ", b"\t", b"\r", b"\n", b"#"):
+                j += 1
+            toks.append(raw[i:j])
+            i = j
+    if len(toks) != 4 or toks[0] != b"P6":
+        raise ValueError("not a binary PPM (P6) header")
+    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if w <= 0 or h <= 0 or not 0 < maxval < 256:
+        raise ValueError("unsupported PPM geometry/maxval")
+    px = raw[i + 1 : i + 1 + 3 * w * h]  # i is the single post-maxval whitespace
+    if len(px) != 3 * w * h:
+        raise ValueError("truncated PPM pixel payload")
+    return w, h, "RGB", px
+
+
+def _parse_bmp(raw: bytes) -> tuple[int, int, str, bytes]:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) →
+    (width, height, "RGB", rgb24). Handles the format's two quirks:
+    rows are stored bottom-up (unless height is negative) with 4-byte
+    padding, and pixels are B,G,R order."""
+    import struct
+
+    if raw[:2] != b"BM" or len(raw) < 54:
+        raise ValueError("not a BMP file")
+    off = struct.unpack_from("<I", raw, 10)[0]
+    w, h_signed = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    comp = struct.unpack_from("<I", raw, 30)[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h_signed == 0:
+        raise ValueError("builtin BMP decoder supports only 24bpp BI_RGB")
+    bottom_up, h = h_signed > 0, abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    if len(raw) < off + stride * h:
+        raise ValueError("truncated BMP pixel payload")
+    rows = np.frombuffer(raw, np.uint8, count=stride * h, offset=off).reshape(h, stride)
+    rows = rows[::-1] if bottom_up else rows
+    # strip row padding, flip BGR→RGB — two numpy slices, no per-pixel Python
+    return w, h, "RGB", rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1].tobytes()
+
+
+def decode_image_builtin(raw: bytes) -> tuple[int, int, str, bytes]:
+    """Dependency-free image decode for the uncompressed public
+    formats: 24-bit BMP and binary PPM. Returns
+    (width, height, mode, rgb24_bytes); raises ValueError on anything
+    else (corrupt-file triage, same contract as the Pillow tier)."""
+    if raw[:2] == b"BM":
+        return _parse_bmp(raw)
+    if raw[:2] == b"P6":
+        return _parse_ppm(raw)
+    raise ValueError("builtin codec handles only 24-bit BMP and binary PPM")
 
 
 IMAGE_FEATURE_SCHEMA = T.StructType(
@@ -149,32 +226,42 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def extract_image_features(media: DataFrame) -> DataFrame:
-    """Real-codec tier: per-image width/height/mode via Pillow inside
-    ``mapInPandas`` (Arrow batches; one open per blob, header-only
-    parse — PIL is lazy, pixel data is not decoded for size/mode).
-    Undecodable blobs yield null features (corrupt-file triage rows),
-    mirroring how a 100 TB ingest quarantines rather than dies.
-    Raises ``NotImplementedError`` on the driver — before any job is
-    launched — when Pillow is absent."""
-    if _pil() is None:
+def extract_image_features(media: DataFrame, codec: str = "real") -> DataFrame:
+    """Image-decode tier: per-image width/height/mode inside
+    ``mapInPandas`` (Arrow batches). ``codec="real"`` opens blobs via
+    Pillow (one open per blob, header-only parse — PIL is lazy, pixel
+    data is not decoded for size/mode) and raises
+    ``NotImplementedError`` on the driver — before any job launches —
+    when Pillow is absent. ``codec="builtin"`` uses the hermetic
+    pure-Python BMP/PPM decoders, so the decode path runs for real in
+    this container. Either way, undecodable blobs yield null features
+    (corrupt-file triage rows), mirroring how a 100 TB ingest
+    quarantines rather than dies."""
+    if codec == "real" and _pil() is None:
         raise NotImplementedError(
             "extract_image_features requires Pillow; this container has no codec libs"
         )
+    if codec not in ("real", "builtin"):
+        raise ValueError(f"unknown image codec {codec!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        image_mod = _pil()
+        image_mod = _pil() if codec == "real" else None
+
+        def header(blob: bytes) -> tuple[int, int, str]:
+            if image_mod is not None:
+                with image_mod.open(io.BytesIO(blob)) as im:
+                    return im.width, im.height, im.mode
+            w, h, mode, _ = decode_image_builtin(blob)
+            return w, h, mode
+
         for pdf in it:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
                 try:
-                    with image_mod.open(io.BytesIO(bytes(blob))) as im:
-                        rows.append(
-                            (int(doc_id), im.width, im.height, im.mode,
-                             im.width * im.height)
-                        )
+                    w, h, mode = header(bytes(blob))
+                    rows.append((int(doc_id), w, h, mode, w * h))
                 except Exception:
                     rows.append((int(doc_id), None, None, None, None))
             yield pd.DataFrame(

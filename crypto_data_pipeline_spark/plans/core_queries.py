@@ -296,6 +296,7 @@ def pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lag_lead_features",
     survey_ids=("W5", "W6"),
+    extra=True,  # r6 rotation: W5/W6 driver-covered by prediction_features
     oracle=f"""
 WITH {HISTORY_CTE}
 SELECT entity_id, fetch_date, price,
@@ -344,6 +345,7 @@ def rolling_trend_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rolling_skew",
     survey_ids=("W9",),
+    extra=True,  # r6 rotation: W9 driver-covered by prediction_features
     oracle=f"""
 WITH {HISTORY_CTE}
 SELECT entity_id, fetch_date, price,
@@ -403,6 +405,7 @@ def rolling_return_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scaling",
     survey_ids=("A11", "A12"),
+    extra=True,  # r6 rotation: A11/A12 driver-covered by prediction_features
     oracle=f"""
 WITH {HISTORY_CTE}
 SELECT entity_id, fetch_date, price,
@@ -948,7 +951,6 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "data_quality_report",
-    extra=True,
     survey_ids=("A6", "S9", "EXT-olap"),
     oracle="""
 SELECT 'not_null(o_orderkey)' AS expectation, 'not_null' AS kind,
@@ -1017,7 +1019,6 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cdc_apply_changes",
-    extra=True,
     survey_ids=("S7", "A8", "EXT-stream"),
     oracle="""
 WITH cut AS (SELECT max(ts) - INTERVAL 7 DAY AS c FROM events),
@@ -1089,6 +1090,7 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cube_order_stats",
     survey_ids=("A6", "EXT-olap"),
+    extra=True,  # r6 rotation: A6 via pricing_summary/top_users, EXT-olap via data_quality_report
     oracle="""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -1299,12 +1301,17 @@ win AS (
 )
 SELECT entity_id, fetch_date,
        round(
+         CASE WHEN list_sum(list_transform(range(len(vals)),
+                  i -> CASE WHEN vals[i + 1] IS NULL THEN 0.0
+                       ELSE pow(0.7, len(vals) - 1 - i) END)) > 0
+         THEN
          list_sum(list_transform(range(len(vals)),
                   i -> CASE WHEN vals[i + 1] IS NULL THEN 0.0
                        ELSE CAST(vals[i + 1] AS DOUBLE) * pow(0.7, len(vals) - 1 - i) END))
          / list_sum(list_transform(range(len(vals)),
                   i -> CASE WHEN vals[i + 1] IS NULL THEN 0.0
-                       ELSE pow(0.7, len(vals) - 1 - i) END)),
+                       ELSE pow(0.7, len(vals) - 1 - i) END))
+         END,
        6) AS ewma_price
 FROM win
 """,
@@ -1396,6 +1403,7 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH bounds AS (
   SELECT min(epoch_us(ts)) AS a, max(epoch_us(ts)) AS b FROM events
+  WHERE value IS NOT NULL
 ),
 halves AS (
   SELECT CAST(least(floor(value / 50.0), 9) AS INT) AS bin,
@@ -2188,7 +2196,7 @@ WHERE pct_change IS NOT NULL
 
 
 @register("prediction_features",
-    extra=True, survey_ids=("W5", "W6", "W9", "W10", "F8", "F9", "F10", "J4", "A11", "A12"),
+    survey_ids=("W5", "W6", "W9", "W10", "F8", "F9", "F10", "J4", "A11", "A12"),
     oracle=_PREDICTION_ORACLE)
 def prediction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transform notebook's full prediction table end-to-end
@@ -2389,6 +2397,150 @@ def model_comparison_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("r2") <= 1.0)
     )
     return cmp.select("model", valid.alias("metrics_valid"))
+
+
+_GBT_ORACLE = f"""
+WITH {HISTORY_CTE},
+feats AS (
+  SELECT entity_id, fetch_date, price AS y,
+         CAST(isodow(fetch_date) - 1 AS DOUBLE) AS dow
+  FROM history
+),
+split AS (
+  SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY fetch_date) AS rn,
+         count(*) OVER (PARTITION BY entity_id) AS n_ent
+  FROM feats
+),
+train AS (SELECT y, dow FROM split
+          WHERE rn <= CAST(floor(n_ent * (1 - 1.0/6.0)) AS BIGINT)),
+test  AS (SELECT y, dow FROM split
+          WHERE rn >  CAST(floor(n_ent * (1 - 1.0/6.0)) AS BIGINT)),
+g1 AS (
+  SELECT dow, CAST(count(*) AS DOUBLE) AS n, sum(y) AS s, sum(y*y) AS ss
+  FROM train GROUP BY 1
+),
+c1 AS (
+  SELECT dow,
+         sum(n) OVER w AS nl, sum(s) OVER w AS sl, sum(ss) OVER w AS ssl,
+         sum(n) OVER () AS nt, sum(s) OVER () AS st, sum(ss) OVER () AS sst
+  FROM g1 WINDOW w AS (ORDER BY dow ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+b1 AS (
+  SELECT dow AS thr, sl / nl AS lmean, (st - sl) / (nt - nl) AS rmean
+  FROM c1 WHERE nl < nt
+  ORDER BY (ssl - sl*sl/nl) + ((sst - ssl) - (st - sl)*(st - sl)/(nt - nl)), dow
+  LIMIT 1
+),
+tr2 AS (
+  SELECT t.dow,
+         t.y - CASE WHEN t.dow <= b1.thr THEN b1.lmean ELSE b1.rmean END AS r
+  FROM train t, b1
+),
+g2 AS (
+  SELECT dow, CAST(count(*) AS DOUBLE) AS n, sum(r) AS s, sum(r*r) AS ss
+  FROM tr2 GROUP BY 1
+),
+c2 AS (
+  SELECT dow,
+         sum(n) OVER w AS nl, sum(s) OVER w AS sl, sum(ss) OVER w AS ssl,
+         sum(n) OVER () AS nt, sum(s) OVER () AS st, sum(ss) OVER () AS sst
+  FROM g2 WINDOW w AS (ORDER BY dow ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+b2 AS (
+  SELECT dow AS thr, sl / nl AS lmean, (st - sl) / (nt - nl) AS rmean
+  FROM c2 WHERE nl < nt
+  ORDER BY (ssl - sl*sl/nl) + ((sst - ssl) - (st - sl)*(st - sl)/(nt - nl)), dow
+  LIMIT 1
+),
+scored AS (
+  SELECT t.dow, t.y,
+         CASE WHEN t.dow <= b1.thr THEN b1.lmean ELSE b1.rmean END
+         + 0.5 * CASE WHEN t.dow <= b2.thr THEN b2.lmean ELSE b2.rmean END AS p
+  FROM test t, b1, b2
+),
+grp AS (
+  SELECT dow, p, CAST(count(*) AS BIGINT) AS n_test, sum(pow(y - p, 2)) AS sq
+  FROM scored GROUP BY 1, 2
+),
+tot AS (SELECT sqrt(sum(sq) / sum(n_test)) AS rmse FROM grp)
+SELECT CAST(dow AS INT) AS dow, round(p, 6) AS pred,
+       n_test, round(rmse, 6) AS rmse_test
+FROM grp, tot
+"""
+
+
+@register(
+    "gbt_closed_form",
+    survey_ids=("M3", "M4", "M5"),
+    oracle=_GBT_ORACLE,
+)
+def gbt_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 VALUE verification: the real Spark ML GBTRegressor's numbers
+    pinned to a DuckDB closed-form oracle to 6 dp (the
+    linear_ridge_closed_form pattern applied to the boosted-tree
+    analog of models.ipynb's XGBRegressor, reference
+    notebooks/models.ipynb:127).
+
+    Config chosen so the learner is exactly re-derivable in SQL:
+    maxIter=2, maxDepth=1, one feature (day_of_week, 7 distinct
+    values < maxBins=32 so every distinct value is its own split
+    candidate — no quantile-sketch binning), squared loss. Closed
+    form, verified empirically to full double precision on a probe
+    fixture:
+
+      * tree 1: the depth-1 stump minimizing SSE over the 6
+        boundary candidates (variance-gain argmax == SSE argmin);
+        leaves = mean(y) per side.
+      * tree 2: same stump fit on the residuals. MLlib's
+        SquaredError.gradient is -2*(y - pred), so the pseudo-label
+        is TWICE the residual and the stage contribution is
+        2 * stepSize * mean(residual) — with stepSize=0.25 the
+        effective shrinkage is 0.5.
+
+    Train/test is the same per-entity chronological 5/6 split as
+    linear_ridge_closed_form (M4); the holdout RMSE pins M5's metric
+    arithmetic on tree predictions. Output: one row per holdout
+    day-of-week (prediction is a step function of dow) + the global
+    RMSE, all rounded 6 dp. The argmin over split candidates compares
+    raw SSE (Spark does not round) — safe because real price data
+    separates candidate SSEs by many orders of magnitude more than
+    the ~1e-10 cross-engine aggregation-order noise."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    from crypto_data_pipeline_spark.ml.regression import chronological_split
+
+    feats = _history(spark, sf_dir).select(
+        ENTITY,
+        DATE,
+        F.col(PRICE).alias("y"),
+        ((F.dayofweek(DATE) + 5) % 7).cast("double").alias("dow"),
+    )
+    train, test = chronological_split(feats, DATE, entity=ENTITY)
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["dow"], outputCol="features"),
+            GBTRegressor(
+                featuresCol="features", labelCol="y",
+                maxIter=2, maxDepth=1, stepSize=0.25, seed=42,
+            ),
+        ]
+    )
+    model = pipe.fit(train)
+    pred = model.transform(test)
+    rmse = RegressionEvaluator(
+        labelCol="y", predictionCol="prediction", metricName="rmse"
+    ).evaluate(pred)
+    return (
+        pred.groupBy(F.col("dow").cast("int").alias("dow"))
+        .agg(
+            F.round(F.first("prediction"), 6).alias("pred"),
+            F.count(F.lit(1)).alias("n_test"),
+        )
+        .withColumn("rmse_test", F.round(F.lit(float(rmse)), 6))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -203,7 +203,6 @@ JOIN surv b ON b.doc_id = p.id_b
 @register(
     "dedup_staged_pipeline",
     survey_ids=("EXT-dedup",),
-    extra=True,
     oracle=_staged_dedup_oracle(),
 )
 def dedup_staged_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,6 +451,7 @@ _ASCII_SQL = (
 @register(
     "dedup_fuzzy_levenshtein",
     survey_ids=("EXT-dedup",),
+    extra=True,  # r6 rotation: EXT-dedup driver-covered by 4 other dedup queries + dedup_staged_pipeline
     oracle=f"""
 WITH s AS (
   SELECT doc_id,
@@ -1678,6 +1678,7 @@ _TABLE_LIST = "'region','nation','customer','supplier','part','orders','lineitem
 @register(
     "catalog_columns",
     survey_ids=("S9",),
+    extra=True,  # r6 rotation: S9 driver-covered by data_quality_report
     oracle=f"""
 SELECT table_name, CAST(count(*) AS BIGINT) AS n_columns
 FROM information_schema.columns
@@ -1770,6 +1771,7 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_dedup_idempotent",
     survey_ids=("ST2", "EXT-stream"),
+    extra=True,  # r6 rotation: ST2 via dedupe_last_write_wins/sessionize_stateful, EXT-stream via cdc_apply_changes
     oracle="SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1",
 )
 def stream_dedup_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2376,7 +2378,6 @@ LEFT JOIN ord ON ord.doc_id = q.doc_id
 @register(
     "corpus_curation_pipeline",
     survey_ids=("EXT-text", "EXT-dedup", "EXT-sample"),
-    extra=True,
     bench=True,
     oracle=_curation_oracle(),
 )

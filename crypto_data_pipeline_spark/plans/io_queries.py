@@ -290,7 +290,6 @@ def orc_roundtrip_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_quarantine_split",
     survey_ids=("U4", "F3", "EXT-text"),
-    extra=True,
     oracle="""
 WITH m AS (
   SELECT event_type,

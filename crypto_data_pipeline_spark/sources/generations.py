@@ -124,7 +124,11 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[int]:
     jvm, fs, _ = _fs(spark, root)
     gens = list_generations(spark, root)
     cur = current_generation(spark, root)
-    keep = set(gens[-keep_last:]) | ({cur} if cur is not None else set())
+    # gens[-0:] is the WHOLE list, not none of it — guard keep_last<=0
+    # so "drop all but current" means what it says
+    keep = (set(gens[-keep_last:]) if keep_last > 0 else set()) | (
+        {cur} if cur is not None else set()
+    )
     dropped = []
     for g in gens:
         if g not in keep:

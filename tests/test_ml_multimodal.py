@@ -134,27 +134,85 @@ def test_real_codec_raises_hermetically_without_pillow(monkeypatch):
         multimodal.extract_image_features(None)
 
 
-def test_real_codec_decodes_when_pillow_present(spark):
-    """The import-guarded real tier: with Pillow installed, images
-    decode to real width/height/mode features and RGB24 bytes;
-    undecodable blobs quarantine as null-feature rows. Skipped (not
-    faked) where Pillow is absent — this container ships no codec
-    libs, so there the hermetic test above is the active contract."""
-    pytest.importorskip("PIL")
-    import io
+def _bmp_bytes(w: int, h: int, rgb: bytes) -> bytes:
+    """Minimal 24bpp BI_RGB BMP writer (BITMAPINFOHEADER, bottom-up
+    rows, 4-byte padding, BGR pixel order) for fixture bytes."""
+    import struct
 
-    from PIL import Image
+    stride = (w * 3 + 3) & ~3
+    px = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for c in range(w):
+            i = (r * w + c) * 3
+            row += bytes((rgb[i + 2], rgb[i + 1], rgb[i]))  # BGR
+        row += b"\x00" * (stride - w * 3)
+        px += row
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    return hdr + dib + bytes(px)
 
-    buf = io.BytesIO()
-    Image.new("RGB", (7, 3), (255, 0, 0)).save(buf, format="PNG")
-    png = buf.getvalue()
 
-    assert multimodal.decode_media(png, codec="real") == b"\xff\x00\x00" * 21
+def test_builtin_codec_decodes_hermetically(spark):
+    """The dependency-free decode tier: 24-bit BMP and binary PPM
+    fixture bytes decode to real width/height/mode/RGB24 through the
+    full mapInPandas plumbing — no Pillow, no skip. Undecodable blobs
+    quarantine as null-feature rows."""
+    rgb = bytes(range(7 * 3 * 3))  # 7x3, 63 distinct byte values
+    bmp = _bmp_bytes(7, 3, rgb)
+    ppm = b"P6\n# comment\n7 3\n255\n" + rgb
+
+    assert multimodal.decode_image_builtin(bmp) == (7, 3, "RGB", rgb)
+    assert multimodal.decode_image_builtin(ppm) == (7, 3, "RGB", rgb)
+    assert multimodal.decode_media(bmp, codec="builtin") == rgb
+    assert multimodal.decode_media(ppm, codec="builtin") == rgb
+
+    # optional cross-check against Pillow when it happens to exist —
+    # inline, so its absence never produces a skip
+    try:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(bmp)) as im:
+            assert (im.width, im.height) == (7, 3)
+            assert im.convert("RGB").tobytes() == rgb
+    except ImportError:
+        pass
 
     media = spark.createDataFrame(
-        [(1, png, ("image/png", len(png))), (2, b"not an image", ("junk", 12))],
+        [
+            (1, bmp, ("image/bmp", len(bmp))),
+            (2, ppm, ("image/x-portable-pixmap", len(ppm))),
+            (3, b"not an image", ("junk", 12)),
+            (4, bmp[:30], ("image/bmp", 30)),  # truncated header
+        ],
         multimodal.MEDIA_SCHEMA,
     )
-    got = {r.doc_id: r for r in multimodal.extract_image_features(media).collect()}
+    got = {
+        r.doc_id: r
+        for r in multimodal.extract_image_features(media, codec="builtin").collect()
+    }
     assert (got[1].width, got[1].height, got[1].mode, got[1].n_pixels) == (7, 3, "RGB", 21)
-    assert got[2].width is None and got[2].n_pixels is None
+    assert (got[2].width, got[2].height, got[2].mode, got[2].n_pixels) == (7, 3, "RGB", 21)
+    assert got[3].width is None and got[3].n_pixels is None
+    assert got[4].width is None and got[4].n_pixels is None
+
+
+def test_builtin_codec_feeds_frame_sampler(spark):
+    """decode→frame-sample composition runs end-to-end hermetically:
+    frames are cut from DECODED RGB24 pixels, not container bytes."""
+    rgb = bytes((i * 7) % 256 for i in range(4 * 2 * 3))  # 4x2 image
+    bmp = _bmp_bytes(4, 2, rgb)
+    media = spark.createDataFrame(
+        [(1, bmp, ("image/bmp", len(bmp)))], multimodal.MEDIA_SCHEMA
+    )
+    frames = multimodal.sample_frames(
+        media, frame_bytes=8, stride=1, codec="builtin"
+    ).collect()
+    assert [f.frame_idx for f in frames] == [0, 1, 2]
+    assert sum(f.n_frame_bytes for f in frames) == len(rgb)
+    import hashlib
+
+    want = hashlib.md5(rgb[:8].hex().upper().encode()).hexdigest()
+    assert frames[0].frame_md5 == want
