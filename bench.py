@@ -66,6 +66,22 @@ def main() -> None:
     warm_sf = "/root/testdata/sf0.001"
     for spec in specs:
         spec.fn(spark, warm_sf).write.format("noop").mode("overwrite").save()
+
+    # Cold rows: the amortized paths' BUILD cost, measured instead of
+    # hand-waved. These queries cache expensive per-sf_dir state (ANN
+    # index build, the curation pipeline's persisted stages); their
+    # first target-SF execution — codegen already warmed above, caches
+    # for THIS sf_dir still empty — is the cold build+probe cost a
+    # fresh session pays once. Reported separately from the
+    # steady-state rows so both sides of the build/serve split are
+    # artifacts, not docstring comments.
+    AMORTIZED = {"embedding_ann_ivf", "embedding_ann_lsh", "corpus_curation_pipeline"}
+    cold: dict[str, float] = {}
+    for spec in specs:
+        if spec.name in AMORTIZED:
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold[spec.name] = round(time.perf_counter() - t0, 3)
     # Target-SF warm pass: parquet footers, the silver materialization,
     # and the ANN index builds (cached per sf_dir). Timed runs then
     # measure steady-state / probe-phase throughput — the FAISS
@@ -105,6 +121,17 @@ def main() -> None:
         except Exception:
             shuffle_bytes[spec.name] = -1  # never fail the bench for a metric read
 
+    # Round-over-round shuffle-byte regression gate: bytes are the
+    # deterministic plan signal (docs/BENCH_VARIANCE.md) — diff against
+    # the newest driver-recorded BENCH_r*.json and flag >10% growth.
+    from crypto_data_pipeline_spark.observability import (
+        prior_bench_shuffle_bytes,
+        shuffle_regressions,
+    )
+
+    prior = prior_bench_shuffle_bytes(os.path.dirname(os.path.abspath(__file__)), sf=sf)
+    regressions = shuffle_regressions(shuffle_bytes, prior[1]) if prior else {}
+
     print(
         json.dumps(
             {
@@ -112,7 +139,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "cold_build_seconds": cold,
                 "shuffle_bytes_written": shuffle_bytes,
+                "shuffle_regressions_vs": prior[0] if prior else None,
+                "shuffle_regressions": regressions,
                 "sf": sf,
                 "notes": "rows added after the BENCH_r01 baseline suite: "
                          "embedding_ann_{ivf,lsh} (probe-only, index prebuilt "
@@ -121,7 +151,14 @@ def main() -> None:
                          "persisted stages likewise build once in the warm "
                          "pass and are reused, so timed runs measure the "
                          "steady-state decision-record assembly) — exclude "
-                         "these for baseline-comparable totals",
+                         "these for baseline-comparable totals. "
+                         "cold_build_seconds: each amortized query's FIRST "
+                         "target-SF run (codegen pre-warmed at sf0.001, "
+                         "per-sf_dir caches empty) = the one-time index/stage "
+                         "build cost the steady-state rows amortize. "
+                         "shuffle_regressions: queries whose shuffle bytes "
+                         "grew >10% (+4KiB floor) vs the prior round's "
+                         "artifact — deterministic, immune to host noise.",
             }
         )
     )

@@ -73,3 +73,73 @@ def plan_runtime_metrics(df: DataFrame) -> dict[str, int]:
     plan = df._jdf.queryExecution().executedPlan()
     walk(plan)
     return totals
+
+
+def shuffle_regressions(
+    current: dict[str, int],
+    prior: dict[str, int],
+    tolerance: float = 0.10,
+    min_delta_bytes: int = 4096,
+) -> dict[str, dict[str, float]]:
+    """Round-over-round shuffle-byte regression gate: queries whose
+    shuffle volume grew more than ``tolerance`` (and by at least
+    ``min_delta_bytes`` — a kilobyte-scale noise floor so a 0→500-byte
+    blip doesn't page anyone) versus the prior round's bench artifact.
+
+    Bytes are the deterministic signal wall-clock is not
+    (docs/BENCH_VARIANCE.md): a plan change that adds an Exchange shows
+    up here exactly, immune to host noise. Negative sentinels (-1 =
+    metric read failed) on either side skip the query rather than
+    false-alarm."""
+    out: dict[str, dict[str, float]] = {}
+    for name, cur in current.items():
+        old = prior.get(name)
+        if old is None or old < 0 or cur < 0:
+            continue
+        if cur > old * (1.0 + tolerance) and cur - old >= min_delta_bytes:
+            out[name] = {
+                "prior": int(old),
+                "current": int(cur),
+                "growth_pct": round(100.0 * (cur - old) / max(old, 1), 1),
+            }
+    return out
+
+
+def prior_bench_shuffle_bytes(
+    repo_root: str, sf: float | None = None
+) -> tuple[str, dict[str, int]] | None:
+    """Locate the newest driver-recorded BENCH_r*.json and return
+    (filename, its per-query shuffle_bytes_written map), or None when
+    no prior artifact exists / none carries the metric (rounds 1-4
+    predate the telemetry). When ``sf`` is given, artifacts recorded
+    at a DIFFERENT scale factor are rejected — shuffle volume scales
+    with data size, so a cross-SF diff would flag (or mask) nothing
+    but the SF change itself."""
+    import json
+    import os
+    import re
+
+    best: tuple[int, str] | None = None
+    try:
+        names = os.listdir(repo_root)
+    except OSError:
+        return None
+    for fn in names:
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), fn)
+    if best is None:
+        return None
+    try:
+        with open(os.path.join(repo_root, best[1])) as f:
+            doc = json.load(f)
+        parsed = doc.get("parsed", doc)
+        bytes_map = parsed.get("shuffle_bytes_written")
+        prior_sf = parsed.get("sf")
+    except (OSError, json.JSONDecodeError, AttributeError):
+        return None
+    if not isinstance(bytes_map, dict) or not bytes_map:
+        return None
+    if sf is not None and prior_sf != sf:
+        return None
+    return best[1], {str(k): int(v) for k, v in bytes_map.items()}

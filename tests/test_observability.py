@@ -56,3 +56,74 @@ def test_reused_exchange_counted_once(spark):
         assert m["n_exchanges"] == 1
     else:
         assert m["n_exchanges"] >= 1
+
+
+def test_shuffle_regression_gate_trips_on_seeded_growth():
+    """The round-over-round byte gate: a seeded >10% shuffle-volume
+    regression is flagged; noise-floor deltas, shrinkage, and failed
+    metric reads (-1 sentinels) are not."""
+    from crypto_data_pipeline_spark.observability import shuffle_regressions
+
+    prior = {
+        "q_regressed": 100_000,
+        "q_stable": 100_000,
+        "q_improved": 100_000,
+        "q_tiny_blip": 0,
+        "q_was_unreadable": -1,
+        "q_now_unreadable": 50_000,
+        "q_new_shuffle": 0,
+    }
+    current = {
+        "q_regressed": 120_000,      # +20% and +20000B -> flagged
+        "q_stable": 104_000,         # +4% -> inside tolerance
+        "q_improved": 60_000,        # shrank -> fine
+        "q_tiny_blip": 500,          # below the 4KiB noise floor
+        "q_was_unreadable": 200_000, # prior sentinel -> skipped
+        "q_now_unreadable": -1,      # current sentinel -> skipped
+        "q_new_shuffle": 500_000,    # 0 -> real shuffle: the classic regression
+        "q_brand_new": 999_999,      # no prior row -> skipped
+    }
+    got = shuffle_regressions(current, prior)
+    assert set(got) == {"q_regressed", "q_new_shuffle"}
+    assert got["q_regressed"] == {
+        "prior": 100_000, "current": 120_000, "growth_pct": 20.0,
+    }
+    assert got["q_new_shuffle"]["prior"] == 0
+
+
+def test_prior_bench_artifact_loader(tmp_path):
+    """The loader picks the HIGHEST round number, reads the driver
+    wrapper's parsed payload, and returns None when no artifact (or no
+    byte map) exists."""
+    import json
+
+    from crypto_data_pipeline_spark.observability import prior_bench_shuffle_bytes
+
+    assert prior_bench_shuffle_bytes(str(tmp_path)) is None
+
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": {"shuffle_bytes_written": {"q": 1}}})
+    )
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"parsed": {"shuffle_bytes_written": {"q": 42}}})
+    )
+    name, bytes_map = prior_bench_shuffle_bytes(str(tmp_path))
+    assert name == "BENCH_r10.json" and bytes_map == {"q": 42}
+
+    # SF guard: shuffle bytes scale with data size, so a prior artifact
+    # recorded at a different SF must not be diffed against
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"parsed": {"shuffle_bytes_written": {"q": 42}, "sf": 0.1}})
+    )
+    assert prior_bench_shuffle_bytes(str(tmp_path), sf=0.1)[1] == {"q": 42}
+    assert prior_bench_shuffle_bytes(str(tmp_path), sf=0.01) is None
+
+    # bare bench JSON (no driver wrapper) also reads
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"shuffle_bytes_written": {"q": 7}})
+    )
+    assert prior_bench_shuffle_bytes(str(tmp_path))[1] == {"q": 7}
+
+    # artifact without the metric (rounds 1-4 predate it) -> None
+    (tmp_path / "BENCH_r12.json").write_text(json.dumps({"parsed": {}}))
+    assert prior_bench_shuffle_bytes(str(tmp_path)) is None
