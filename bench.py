@@ -132,12 +132,21 @@ def main() -> None:
     prior = prior_bench_shuffle_bytes(os.path.dirname(os.path.abspath(__file__)), sf=sf)
     regressions = shuffle_regressions(shuffle_bytes, prior[1]) if prior else {}
 
+    # the 3 rows added after BENCH_r01 was recorded — kept out of the
+    # baseline-comparable subtotal so round-over-round and vs-baseline
+    # comparisons need no manual exclusion arithmetic
+    post_baseline = AMORTIZED
+    comparable = round(
+        sum(t for q, t in timings.items() if q not in post_baseline), 3
+    )
+
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                "baseline_comparable_seconds": comparable,
                 "queries": timings,
                 "cold_build_seconds": cold,
                 "shuffle_bytes_written": shuffle_bytes,

@@ -793,3 +793,42 @@ def fuzzy_pairs_blocked(
         .where(F.col("dist") <= max_dist)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental ingest (new batch vs persistent corpus store)
+
+
+def incremental_ingest_dedup(
+    store: DataFrame, batch: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Admit only NOVEL documents from an arriving batch: drop batch
+    rows whose normalized-content hash already exists in the ingested
+    corpus ``store``, then collapse within-batch duplicates to the
+    min-id survivor — the per-delivery dedup step of a continuously
+    ingesting corpus (each admitted set unions into the store /
+    publishes as a new generation via sources/generations.py).
+
+    100 TB shape: the store is NEVER shuffled. Batches are small
+    relative to the corpus, so the membership test runs as
+    store ⋉ broadcast(batch hashes) (one store scan, hash-set
+    semi join) producing the tiny hit list, and the batch anti-joins
+    against broadcast(hits). Total: zero Exchange on the store, two
+    kilobyte-scale broadcasts, one window shuffle over the batch —
+    same store-untouched pattern as operators/contamination.py.
+    """
+    batch = batch.withColumn("content_hash", F.md5(normalized(text)))
+    batch_hashes = batch.select("content_hash").distinct()
+    hits = (
+        store.withColumn("content_hash", F.md5(normalized(text)))
+        .join(F.broadcast(batch_hashes), "content_hash", "left_semi")
+        .select("content_hash")
+        .distinct()
+    )
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        batch.join(F.broadcast(hits), "content_hash", "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -82,6 +82,67 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir)).select("doc_id", "content_hash")
 
 
+@register(
+    "incremental_ingest_dedup",
+    extra=True,
+    survey_ids=("EXT-dedup", "EXT-stream"),
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, lang, md5({NORM_SQL}) AS h
+  FROM documents WHERE doc_id % 4 = 0
+),
+s AS (
+  SELECT DISTINCT md5({NORM_SQL}) AS h
+  FROM documents WHERE doc_id % 4 <> 0
+),
+novel AS (SELECT * FROM b WHERE h NOT IN (SELECT h FROM s)),
+adm AS (
+  SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM novel
+  ) WHERE rn = 1
+),
+bat AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_batch FROM b GROUP BY 1),
+aag AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_admitted,
+         min(doc_id) AS first_admitted_id
+  FROM adm GROUP BY 1
+)
+SELECT bat.lang, bat.n_batch,
+       CAST(coalesce(aag.n_admitted, 0) AS BIGINT) AS n_admitted,
+       CAST(coalesce(aag.first_admitted_id, -1) AS BIGINT) AS first_admitted_id
+FROM bat LEFT JOIN aag USING (lang)
+""",
+)
+def incremental_ingest_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: an arriving batch (doc_id % 4 == 0
+    simulates the delivery) is admitted only where its normalized
+    content is NOVEL versus the already-ingested store (the other 3/4
+    of the corpus), then within-batch duplicates collapse to the
+    min-id survivor. Per-language admission report, LEFT join so
+    languages whose every batch doc was already known still report
+    (n_admitted=0, sentinel -1 id — both engines coalesce
+    identically). The store is never shuffled: membership runs as a
+    store-scan semi join against the broadcast batch-hash set, the
+    classic new-data-vs-100 TB-corpus shape
+    (`operators/dedup.py:incremental_ingest_dedup`)."""
+    docs = _docs(spark, sf_dir)
+    store = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    admitted = dedup.incremental_ingest_dedup(store, batch)
+    bat = batch.groupBy("lang").agg(F.count(F.lit(1)).alias("n_batch"))
+    aag = admitted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("_n_adm"), F.min("doc_id").alias("_first")
+    )
+    return bat.join(aag, "lang", "left").select(
+        "lang",
+        "n_batch",
+        F.coalesce(F.col("_n_adm"), F.lit(0)).alias("n_admitted"),
+        F.coalesce(F.col("_first"), F.lit(-1)).cast("long").alias("first_admitted_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # fuzzy dedup (hash-based → rows-only; Jaccard math is the checkable part)
 
@@ -1520,6 +1581,7 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "range_join_click_context",
     survey_ids=("EXT-asof",),
+    extra=True,  # r6 rotation: EXT-asof driver-covered by asof_last_click; slot re-seats numeric_projection (P7)
     oracle="""
 WITH purch AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'

@@ -67,10 +67,8 @@ def param_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "numeric_projection",
-    # demoted to an extra in round 5 (stays fully oracle-tested in
-    # tests/test_catalog_oracle.py): frees a driver slot for the
-    # M1/M2/M4/M5 value-pinning linear_ridge_closed_form query
-    extra=True,
+    # re-promoted in round 6 (slot freed by demoting one of the two
+    # EXT-asof driver queries): every §2 id now has a driver-gate row
     survey_ids=("P7",),
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n,

@@ -15,6 +15,8 @@ import itertools
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from crypto_data_pipeline_spark.operators import dedup, similarity
 from crypto_data_pipeline_spark.sources.tables import load_table
 
@@ -383,3 +385,45 @@ def test_quantized_topk_tracks_exact(spark, sf_dir):
         if (r.query_id, r.vec_id) in exact_scores
     ]
     assert devs and max(devs) <= 0.01
+
+
+def test_incremental_ingest_admits_only_novel(spark, sf_dir):
+    """Against-store dedup: no admitted hash exists in the store, the
+    admitted set is itself duplicate-free, and every novel batch hash
+    is represented exactly once (min-id survivor)."""
+    from crypto_data_pipeline_spark.operators.text import normalized
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    admitted = dedup.incremental_ingest_dedup(store, batch)
+
+    store_hashes = {
+        r.h for r in store.select(F.md5(normalized("text")).alias("h")).collect()
+    }
+    got = admitted.select("doc_id", "content_hash").collect()
+    assert got, "fixture batch should admit at least one novel doc"
+    assert not {r.content_hash for r in got} & store_hashes
+    assert len({r.content_hash for r in got}) == len(got)  # batch-internal dedup
+
+    # survivor = min doc_id per novel hash, verified driver-side
+    batch_rows = batch.select(
+        "doc_id", F.md5(normalized("text")).alias("h")
+    ).collect()
+    novel_min: dict[str, int] = {}
+    for r in batch_rows:
+        if r.h not in store_hashes:
+            novel_min[r.h] = min(novel_min.get(r.h, r.doc_id), r.doc_id)
+    assert {(r.content_hash, r.doc_id) for r in got} == set(novel_min.items())
+
+    # the 100 TB contract: the store side rides NO Exchange — the one
+    # shuffle is the batch survivor window; membership is broadcast
+    admitted.write.format("noop").mode("overwrite").save()
+    from crypto_data_pipeline_spark.observability import plan_runtime_metrics
+
+    df = dedup.incremental_ingest_dedup(store, batch)
+    df._jdf.queryExecution().toRdd().count()
+    m = plan_runtime_metrics(df)
+    assert m["n_exchanges"] <= 1, "store must not shuffle"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

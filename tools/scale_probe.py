@@ -11,8 +11,14 @@ are replicated verbatim: a 10x-duplicated corpus is the REALISTIC hard
 case for the dedup pipelines (web crawls run ~50% duplicate), so the
 probe stresses exactly the paths whose 100 TB story matters most.
 
-Usage:  python tools/scale_probe.py [K] [out_dir]
-        (defaults: K=10, out_dir=/tmp/scale_probe/sf1.0)
+Usage:  python tools/scale_probe.py [K] [out_dir] [fact ...]
+        (defaults: K=10, out_dir=/tmp/scale_probe/sf1.0, all facts)
+        Naming specific facts replicates ONLY those; every other
+        table is copied unreplicated so any query still runs. This is
+        the sf100-class mode: K=1000 on documents+embeddings alone
+        (the tables the ANN/curation probes scan) costs ~1.4 GB where
+        a full K=1000 replica would need ~17 GB of lineitem no probe
+        reads.
 Then:   SPARK_GRAFT_SF_DIR=<out_dir> python bench.py
 """
 
@@ -43,32 +49,38 @@ FACT_SHIFTS: dict[str, dict[str, int]] = {
 
 
 def replicate(df: DataFrame, shifts: dict[str, int], k: int) -> DataFrame:
-    copies = []
-    for i in range(k):
-        c = df
-        for col, stride in shifts.items():
-            dt = dict(df.dtypes)[col]
-            c = c.withColumn(col, (F.col(col) + F.lit(i * stride)).cast(dt))
-        copies.append(c)
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    return out
+    # ONE scan cross-joined with a broadcast k-row copy index — a
+    # k-way union plan works at k=10 but k=1000 scans would bloat the
+    # plan tree a thousandfold; this shape is O(1) in plan size
+    copies = F.broadcast(
+        df.sparkSession.range(k).select(F.col("id").alias("_copy"))
+    )
+    out = df.crossJoin(copies)
+    for col, stride in shifts.items():
+        dt = dict(df.dtypes)[col]
+        out = out.withColumn(
+            col, (F.col(col) + F.col("_copy") * F.lit(stride)).cast(dt)
+        )
+    return out.drop("_copy")
 
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe/sf1.0"
+    chosen = set(sys.argv[3:]) or set(FACT_SHIFTS)
+    unknown = chosen - set(FACT_SHIFTS)
+    if unknown:
+        raise SystemExit(f"unknown fact tables: {sorted(unknown)}")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("scale-probe")
 
-    for t in DIMS:
+    for t in DIMS + sorted(set(FACT_SHIFTS) - chosen):
         spark.read.parquet(f"{SRC}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
         )
-    for t, shifts in FACT_SHIFTS.items():
+    for t in sorted(chosen):
         src = spark.read.parquet(f"{SRC}/{t}.parquet")
-        replicate(src, shifts, k).write.mode("overwrite").parquet(
+        replicate(src, FACT_SHIFTS[t], k).write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
         )
         n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
