@@ -25,18 +25,22 @@ SPECS = load_with_extras()
 ORACLE_SPECS = [s for s in SPECS.values() if s.oracle is not None]
 
 from py4j.protocol import Py4JJavaError
+from pyspark.errors.exceptions.captured import IllegalArgumentException
 
 # name -> exception type the documented contract raises on an empty
 # corpus (these are not bugs: each builds state FROM specific rows).
 # The types are PINNED (bare Exception would excuse ANY failure —
 # a NameError or a broken column reference must still fail the gate):
 # Spark ML's .fit on zero rows surfaces as the JVM job failure
-# Py4JJavaError, empirically verified.
+# Py4JJavaError, empirically verified; the DecisionTree path instead
+# pre-validates and converts to IllegalArgumentException
+# ("DecisionTree requires size of input RDD > 0").
 EXCUSED: dict[str, type[BaseException]] = {
     "embedding_ann_ivf_fixed": ValueError,  # centroids = vec_id 0..15, absent
     "semantic_dedup": ValueError,           # fixed quantizer, same centroids
     "linear_ridge_closed_form": Py4JJavaError,  # Spark ML fit needs rows
     "model_comparison_sanity": Py4JJavaError,   # same fit underneath
+    "gbt_closed_form": IllegalArgumentException,  # tree fit needs rows
 }
 
 # Known engine divergence, pinned not hidden: ANSI grouping sets over
