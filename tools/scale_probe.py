@@ -80,9 +80,15 @@ def main() -> None:
         )
     for t in sorted(chosen):
         src = spark.read.parquet(f"{SRC}/{t}.parquet")
-        replicate(src, FACT_SHIFTS[t], k).write.mode("overwrite").parquet(
-            f"{out_dir}/{t}.parquet"
-        )
+        # spread the replicated fact across all cores' worth of files:
+        # the cross-join output otherwise inherits the SOURCE's file
+        # count (sf0.1 = a handful), and every downstream scan —
+        # KMeans index builds especially — drags k-times-fatter
+        # straggler partitions. A real dataset at this size arrives as
+        # many files; the probe should too.
+        replicate(src, FACT_SHIFTS[t], k).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
         n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
         print(f"{t}: {n} rows")
     print(f"probe dir ready: {out_dir}")
