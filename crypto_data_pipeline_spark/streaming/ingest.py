@@ -141,3 +141,79 @@ def streaming_monthly_min_max(
         .groupBy(F.col(entity), F.window("_ts", "30 days").alias("w"))
         .agg(F.min(value).alias(f"min_{value}"), F.max(value).alias(f"max_{value}"))
     )
+
+
+def ingest_corpus_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_root: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> None:
+    """One delivery of the continuously-ingesting deduplicated corpus:
+    admit the batch's rows that are NOVEL versus every PRIOR delivery,
+    then write the admitted set as this delivery's own immutable
+    ``batch_id=N`` directory.
+
+    Store architecture (the 100 TB contract):
+
+      * the store is NEVER rewritten — one new hive-partition dir per
+        delivery, so ingesting 1 GB into a 100 TB corpus moves 1 GB;
+      * novelty membership is the store-scan + broadcast-batch-hash
+        semi join of `operators/dedup.py:incremental_ingest_dedup`
+        (zero Exchange on the store);
+      * at-least-once replay is idempotent BY CONSTRUCTION: the
+        current batch's own directory is excluded from the store view
+        before the novelty check, so a redelivered batch recomputes
+        the identical admitted set and overwrite lands the identical
+        directory. A crash mid-write leaves a partial dir that the
+        replay's overwrite replaces — partial rows are never visible
+        to OTHER batches' novelty checks mid-flight because Spark's
+        committed batches are sequential per query.
+    """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from crypto_data_pipeline_spark.operators.dedup import incremental_ingest_dedup
+
+    s = batch.sparkSession
+    try:
+        store = (
+            s.read.parquet(store_root)
+            .where(F.col("batch_id") != batch_id)
+            .drop("batch_id")
+        )
+        store.schema  # force resolution inside the try
+    except AnalysisException:  # first delivery: no store yet
+        store = s.createDataFrame([], batch.schema)
+    admitted = incremental_ingest_dedup(store, batch, id_col, text)
+    admitted.select(*batch.columns).write.mode("overwrite").parquet(
+        f"{store_root}/batch_id={batch_id}"
+    )
+
+
+def stream_corpus_ingest(
+    spark: SparkSession,
+    bronze_dir: str,
+    store_root: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> StreamingQuery:
+    """Continuously-ingesting deduplicated corpus: stream arriving
+    document files, admit only content novel versus all prior
+    deliveries, append-only store of immutable per-batch directories
+    (``ingest_corpus_batch`` above). availableNow = catch-up-and-stop;
+    the checkpoint makes file pickup exactly-once, and the per-batch
+    overwrite makes foreachBatch's at-least-once replay harmless."""
+    stream = spark.readStream.schema(schema).parquet(bronze_dir)
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        ingest_corpus_batch(batch, batch_id, store_root, id_col, text)
+
+    return (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

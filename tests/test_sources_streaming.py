@@ -662,3 +662,64 @@ def test_http_datasource_streaming_exactly_once(spark, tmp_path):
     # restart on the same checkpoint: offsets are caught up -> no new rows
     run()
     assert spark.read.parquet(out).count() == 6
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def _doc_rows(spark, rows):
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_stream_corpus_ingest_admits_only_novel(spark, tmp_path):
+    """Continuously-ingesting deduplicated corpus: per-delivery novelty
+    vs all prior deliveries, append-only per-batch store dirs, replay
+    of a batch id is a no-op rewrite."""
+    bronze = str(tmp_path / "bronze")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    # delivery 1: two distinct texts + one within-batch duplicate
+    _doc_rows(
+        spark, [(1, "alpha text"), (2, "beta text"), (3, "Alpha   TEXT ")]
+    ).write.parquet(bronze)
+    q = ingest.stream_corpus_ingest(spark, bronze, store, ckpt, DOCS_SCHEMA)
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.read.parquet(store).collect()}
+    assert got == {1, 2}  # 3 collapses into 1 (normalized identity)
+
+    # delivery 2: one replay of a known text, one novel text
+    _doc_rows(
+        spark, [(10, "beta text"), (11, "gamma text")]
+    ).write.mode("append").parquet(bronze)
+    q2 = ingest.stream_corpus_ingest(spark, bronze, store, ckpt, DOCS_SCHEMA)
+    q2.awaitTermination()
+    rows = spark.read.parquet(store).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 11}
+    by_batch = {r.doc_id: r.batch_id for r in rows}
+    assert by_batch[11] != by_batch[1]  # second delivery is its own dir
+
+    # same checkpoint, nothing new → no reprocessing, store unchanged
+    q3 = ingest.stream_corpus_ingest(spark, bronze, store, ckpt, DOCS_SCHEMA)
+    q3.awaitTermination()
+    assert {r.doc_id for r in spark.read.parquet(store).collect()} == {1, 2, 11}
+
+    # at-least-once replay: re-invoking the batch function with the
+    # SAME batch id recomputes the identical admitted set (own dir is
+    # excluded from the novelty view) and lands the identical dir
+    replay = _doc_rows(spark, [(10, "beta text"), (11, "gamma text")])
+    replayed_id = by_batch[11]
+    ingest.ingest_corpus_batch(replay, replayed_id, store)
+    assert {r.doc_id for r in spark.read.parquet(store).collect()} == {1, 2, 11}
+
+    # cross-batch novelty still enforced after replay: a THIRD delivery
+    # duplicating both survivors admits nothing but its novel row
+    ingest.ingest_corpus_batch(
+        _doc_rows(spark, [(20, "gamma text"), (21, "delta text")]), 99, store
+    )
+    assert {r.doc_id for r in spark.read.parquet(store).collect()} == {1, 2, 11, 21}
