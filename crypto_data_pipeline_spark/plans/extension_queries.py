@@ -15,7 +15,7 @@ Oracle parity notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from crypto_data_pipeline_spark.operators import (
     contamination,
@@ -1508,6 +1508,93 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         index = similarity.build_fixed_ivf_index(embs, list(range(16)))
         _cache_put(_IVF_FIXED_CACHE, key, index, lambda ix: ix.assigned)
     return similarity.semantic_dedup(index, threshold=0.7)
+
+
+def _cluster_sample_oracle(n_centroids: int = 16, quota: int = 8) -> str:
+    """DuckDB twin of the cluster-balanced diversity sample: the fixed
+    quantizer's (distance, cell)-argmin assignment CTEs (same as
+    `_ivf_fixed_oracle`), a quality score from the SAME portable
+    token/alpha expressions as the quality battery, and a per-cell
+    top-``quota`` window. Score = n_words x alpha_ratio: both factors
+    are exact-integer-derived, so the float product is bit-identical
+    across engines and rounding cannot flip the rank order."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
+ctr AS (SELECT CAST(vec_id AS INT) AS cell, u AS cu FROM n WHERE vec_id < {n_centroids}),
+dists AS (
+  SELECT n.vec_id, ctr.cell,
+         2 - 2 * list_dot_product(n.u, ctr.cu) AS d
+  FROM n CROSS JOIN ctr
+),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+s AS (
+  SELECT doc_id, lang,
+         coalesce(round(CAST(len({TOKENS_SQL}) AS BIGINT)
+           * (CAST(length(regexp_replace({NORM_SQL}, '[^a-z ]', '', 'g')) AS DOUBLE)
+              / length({NORM_SQL})), 6), -1.0) AS score
+  FROM documents
+),
+j AS (SELECT a.cell, s.doc_id, s.lang, s.score FROM s JOIN asg a ON a.vec_id = s.doc_id),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY score DESC, doc_id) AS rank
+  FROM j
+)
+SELECT cell, doc_id, lang, score, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {quota}
+"""
+
+
+@register(
+    "cluster_balanced_sample",
+    extra=True,
+    survey_ids=("EXT-sim", "EXT-sample"),
+    oracle=_cluster_sample_oracle(),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: assign every document's
+    embedding to its nearest quantizer cell, then keep the top-8 docs
+    PER CELL by quality score — the curation move that caps
+    over-represented semantic neighborhoods (near-duplicate topic
+    floods) while guaranteeing every region of embedding space keeps
+    its best examples. Deterministic end to end on the fixed quantizer
+    (production swaps in KMeans exactly as embedding_ann_ivf does);
+    score = n_words x alpha_ratio from the quality battery's shared
+    expressions, rounded 6 dp, nulls to -1 on both engines.
+
+    100 TB shape: assignment is a scan + broadcast of 16 centroids
+    (zero corpus shuffle), the doc join is 1:1 on the id, and the
+    per-cell quota window is WindowGroupLimit-prunable — no global
+    sort, no full materialization of any cell."""
+    embs = _embs(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    index = _IVF_FIXED_CACHE.get(key)
+    if index is None:
+        index = similarity.build_fixed_ivf_index(embs, list(range(16)))
+        _cache_put(_IVF_FIXED_CACHE, key, index, lambda ix: ix.assigned)
+    asg = index.assigned.select(
+        F.col("vec_id").alias("doc_id"), F.col("_cell").alias("cell")
+    )
+    docs = text.with_quality_filter(text.with_text_stats(_docs(spark, sf_dir)))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.coalesce(
+            F.round(F.col("n_words") * F.col("alpha_ratio"), 6), F.lit(-1.0)
+        ).alias("score"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.join(asg, "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 8)
+        .select("cell", "doc_id", "lang", "score", "rank")
+    )
 
 
 @register("embedding_ann_lsh", survey_ids=("EXT-sim",), oracle=_lsh_oracle(), bench=True)

@@ -38,6 +38,7 @@ from pyspark.errors.exceptions.captured import IllegalArgumentException
 EXCUSED: dict[str, type[BaseException]] = {
     "embedding_ann_ivf_fixed": ValueError,  # centroids = vec_id 0..15, absent
     "semantic_dedup": ValueError,           # fixed quantizer, same centroids
+    "cluster_balanced_sample": ValueError,  # fixed quantizer, same centroids
     "linear_ridge_closed_form": Py4JJavaError,  # Spark ML fit needs rows
     "model_comparison_sanity": Py4JJavaError,   # same fit underneath
     "gbt_closed_form": IllegalArgumentException,  # tree fit needs rows
