@@ -267,6 +267,29 @@ def drop_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return islands.recovery_report(_history(spark, sf_dir), _latest_caps(spark, sf_dir))
 
 
+@register(
+    "reference_sql_verbatim",
+    extra=True,
+    survey_ids=("W1", "W2", "W3", "A2", "J1", "A3", "A8", "F3", "F5", "J2", "A4", "O2"),
+    oracle=f"""
+SELECT entity_id AS coin_id, avg_price_increase_pct,
+       market_cap_formatted AS current_market_cap_usd
+FROM ({_Q2_ORACLE})
+""",
+)
+def reference_sql_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-frontend parity gate as a catalog query: the reference's
+    `sql/analysis_queries.sql` executed VERBATIM through
+    `sql/pg_compat.py` (PostgreSQL-dialect transpile + `coin_history`
+    view), Query 2's result hash-checked against the same DuckDB
+    oracle that gates the DataFrame implementation — so "a reference
+    user can run the SQL they run today" is a driver-class-verified
+    claim, not a README sentence."""
+    from crypto_data_pipeline_spark.sql import run_reference_sql
+
+    return run_reference_sql(spark, sf_dir)[1]
+
+
 # ---------------------------------------------------------------------------
 # W4 — pct_change
 

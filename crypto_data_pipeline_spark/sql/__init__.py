@@ -1,0 +1,8 @@
+"""SQL frontend compatibility: run the reference's PostgreSQL files
+verbatim on Spark (`pg_compat`)."""
+
+from crypto_data_pipeline_spark.sql.pg_compat import (  # noqa: F401
+    register_reference_views,
+    run_reference_sql,
+    transpile_pg,
+)
