@@ -136,10 +136,14 @@ def prior_bench_shuffle_bytes(
         parsed = doc.get("parsed", doc)
         bytes_map = parsed.get("shuffle_bytes_written")
         prior_sf = parsed.get("sf")
-    except (OSError, json.JSONDecodeError, AttributeError):
-        return None
-    if not isinstance(bytes_map, dict) or not bytes_map:
+        if not isinstance(bytes_map, dict) or not bytes_map:
+            return None
+        # coercion stays inside the try: a malformed artifact (null /
+        # non-numeric entry) must degrade to "no prior", never crash
+        # the bench before its one JSON line prints
+        coerced = {str(k): int(v) for k, v in bytes_map.items()}
+    except (OSError, json.JSONDecodeError, AttributeError, TypeError, ValueError):
         return None
     if sf is not None and prior_sf != sf:
         return None
-    return best[1], {str(k): int(v) for k, v in bytes_map.items()}
+    return best[1], coerced

@@ -816,8 +816,16 @@ def incremental_ingest_dedup(
     against broadcast(hits). Total: zero Exchange on the store, two
     kilobyte-scale broadcasts, one window shuffle over the batch —
     same store-untouched pattern as operators/contamination.py.
+
+    NULL-text rows have no content identity and are NOT admissible:
+    without this filter a NULL hash never matches any join key, so the
+    same contentless row would be "novel" on every redelivery and
+    accumulate forever (and the DuckDB NOT IN twin would disagree —
+    NULL membership is three-valued there).
     """
-    batch = batch.withColumn("content_hash", F.md5(normalized(text)))
+    batch = batch.withColumn("content_hash", F.md5(normalized(text))).where(
+        F.col("content_hash").isNotNull()
+    )
     batch_hashes = batch.select("content_hash").distinct()
     hits = (
         store.withColumn("content_hash", F.md5(normalized(text)))

@@ -147,11 +147,10 @@ def decode_media(media_bytes: bytes, codec: str = "fake") -> bytes:
     return media_bytes  # fake codec: identity — plumbing stays real
 
 
-def _parse_ppm(raw: bytes) -> tuple[int, int, str, bytes]:
-    """Binary PPM (P6, maxval ≤ 255) → (width, height, "RGB", rgb24).
-    Netpbm header grammar: ASCII tokens separated by whitespace,
-    ``#`` comments to end-of-line, exactly ONE whitespace byte between
-    the maxval token and the pixel payload."""
+def _ppm_header_tokens(raw: bytes) -> tuple[list[bytes], int]:
+    """Scan the 4 Netpbm header tokens (magic, w, h, maxval): ASCII
+    tokens separated by whitespace, ``#`` comments to end-of-line.
+    Returns (tokens, index-just-past-the-last-token)."""
     toks: list[bytes] = []
     i = 0
     while len(toks) < 4 and i < len(raw):
@@ -167,12 +166,26 @@ def _parse_ppm(raw: bytes) -> tuple[int, int, str, bytes]:
                 j += 1
             toks.append(raw[i:j])
             i = j
+    return toks, i
+
+
+def _parse_ppm(raw: bytes) -> tuple[int, int, str, bytes]:
+    """Binary PPM (P6, maxval ≤ 255) → (width, height, "RGB", rgb24).
+    Exactly ONE whitespace byte sits between the maxval token and the
+    pixel payload (Netpbm spec)."""
+    toks, i = _ppm_header_tokens(raw)
     if len(toks) != 4 or toks[0] != b"P6":
         raise ValueError("not a binary PPM (P6) header")
     w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
     if w <= 0 or h <= 0 or not 0 < maxval < 256:
         raise ValueError("unsupported PPM geometry/maxval")
-    px = raw[i + 1 : i + 1 + 3 * w * h]  # i is the single post-maxval whitespace
+    # the byte after maxval MUST be a single whitespace (Netpbm spec);
+    # anything else (e.g. a '#' starting a comment there) would make
+    # the pixel-offset arithmetic read garbage as image data — corrupt
+    # headers must quarantine, not decode silently wrong
+    if raw[i : i + 1] not in (b" ", b"\t", b"\r", b"\n"):
+        raise ValueError("malformed PPM: maxval not followed by whitespace")
+    px = raw[i + 1 : i + 1 + 3 * w * h]
     if len(px) != 3 * w * h:
         raise ValueError("truncated PPM pixel payload")
     return w, h, "RGB", px
@@ -215,6 +228,46 @@ def decode_image_builtin(raw: bytes) -> tuple[int, int, str, bytes]:
     raise ValueError("builtin codec handles only 24-bit BMP and binary PPM")
 
 
+def image_header_builtin(raw: bytes) -> tuple[int, int, str]:
+    """Header-only (width, height, mode): full geometry/payload-length
+    validation, ZERO pixel copies — PIL-style laziness for the builtin
+    tier, the property that matters when a feature pass only needs
+    dimensions from multi-megabyte blobs. Validation is identical to
+    the full decode (a truncated payload still raises), only the
+    BGR→RGB materialization is skipped."""
+    if raw[:2] == b"BM":
+        import struct
+
+        if len(raw) < 54:
+            raise ValueError("not a BMP file")
+        off = struct.unpack_from("<I", raw, 10)[0]
+        w, h_signed = struct.unpack_from("<ii", raw, 18)
+        bpp = struct.unpack_from("<H", raw, 28)[0]
+        comp = struct.unpack_from("<I", raw, 30)[0]
+        if bpp != 24 or comp != 0 or w <= 0 or h_signed == 0:
+            raise ValueError("builtin BMP decoder supports only 24bpp BI_RGB")
+        h = abs(h_signed)
+        stride = (w * 3 + 3) & ~3
+        if len(raw) < off + stride * h:
+            raise ValueError("truncated BMP pixel payload")
+        return w, h, "RGB"
+    if raw[:2] == b"P6":
+        # _parse_ppm would slice (copy) the payload; header-only does
+        # the identical token parse + arithmetic length check instead
+        toks, i = _ppm_header_tokens(raw)
+        if len(toks) != 4 or toks[0] != b"P6":
+            raise ValueError("not a binary PPM (P6) header")
+        w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+        if w <= 0 or h <= 0 or not 0 < maxval < 256:
+            raise ValueError("unsupported PPM geometry/maxval")
+        if raw[i : i + 1] not in (b" ", b"\t", b"\r", b"\n"):
+            raise ValueError("malformed PPM: maxval not followed by whitespace")
+        if len(raw) - (i + 1) < 3 * w * h:
+            raise ValueError("truncated PPM pixel payload")
+        return w, h, "RGB"
+    raise ValueError("builtin codec handles only 24-bit BMP and binary PPM")
+
+
 IMAGE_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -253,8 +306,8 @@ def extract_image_features(media: DataFrame, codec: str = "real") -> DataFrame:
             if image_mod is not None:
                 with image_mod.open(io.BytesIO(blob)) as im:
                     return im.width, im.height, im.mode
-            w, h, mode, _ = decode_image_builtin(blob)
-            return w, h, mode
+            # header-only: no pixel materialization just to read dims
+            return image_header_builtin(blob)
 
         for pdf in it:
             rows = []

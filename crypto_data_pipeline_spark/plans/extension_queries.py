@@ -88,12 +88,18 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("EXT-dedup", "EXT-stream"),
     oracle=f"""
 WITH b AS (
-  SELECT doc_id, lang, md5({NORM_SQL}) AS h
-  FROM documents WHERE doc_id % 4 = 0
+  -- h IS NOT NULL mirrors the operator: NULL-text rows have no
+  -- content identity and are inadmissible (and a NULL inside NOT IN
+  -- would three-value-poison the membership test)
+  SELECT doc_id, lang, h FROM (
+    SELECT doc_id, lang, md5({NORM_SQL}) AS h
+    FROM documents WHERE doc_id % 4 = 0
+  ) WHERE h IS NOT NULL
 ),
 s AS (
-  SELECT DISTINCT md5({NORM_SQL}) AS h
-  FROM documents WHERE doc_id % 4 <> 0
+  SELECT DISTINCT h FROM (
+    SELECT md5({NORM_SQL}) AS h FROM documents WHERE doc_id % 4 <> 0
+  ) WHERE h IS NOT NULL
 ),
 novel AS (SELECT * FROM b WHERE h NOT IN (SELECT h FROM s)),
 adm AS (
@@ -127,11 +133,19 @@ def incremental_ingest_dedup_report(spark: SparkSession, sf_dir: str) -> DataFra
     store-scan semi join against the broadcast batch-hash set, the
     classic new-data-vs-100 TB-corpus shape
     (`operators/dedup.py:incremental_ingest_dedup`)."""
+    from crypto_data_pipeline_spark.operators.text import normalized
+
     docs = _docs(spark, sf_dir)
     store = docs.where(F.col("doc_id") % 4 != 0)
     batch = docs.where(F.col("doc_id") % 4 == 0)
     admitted = dedup.incremental_ingest_dedup(store, batch)
-    bat = batch.groupBy("lang").agg(F.count(F.lit(1)).alias("n_batch"))
+    # n_batch counts admissible rows (non-null content identity) — the
+    # same population the operator and the oracle's b CTE consider
+    bat = (
+        batch.where(F.md5(normalized("text")).isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+    )
     aag = admitted.groupBy("lang").agg(
         F.count(F.lit(1)).alias("_n_adm"), F.min("doc_id").alias("_first")
     )

@@ -56,9 +56,24 @@ _WS = " \t\r\n"
 
 
 def _strip_comments(sql: str) -> str:
-    return "\n".join(
-        line for line in sql.splitlines() if not line.lstrip().startswith("--")
-    )
+    """Remove ``--`` comments, inline ones included (quote-aware): the
+    downstream depth/quote scanners must never see comment text — an
+    apostrophe or ';' inside a comment would corrupt statement
+    splitting."""
+    out_lines = []
+    for line in sql.splitlines():
+        in_q = False
+        cut = len(line)
+        for i, c in enumerate(line):
+            if in_q:
+                in_q = c != "'"
+            elif c == "'":
+                in_q = True
+            elif c == "-" and line[i : i + 2] == "--":
+                cut = i
+                break
+        out_lines.append(line[:cut])
+    return "\n".join(out_lines)
 
 
 def _find_matching(s: str, i: int) -> int:
@@ -128,7 +143,7 @@ def _rewrite_distinct_on(sql: str) -> str:
         om = re.match(r"ORDER\s+BY\s+", after_order, re.IGNORECASE)
         tail = after_order[om.end() :]
         # the statement/CTE body ends at the first depth-0 ')' or ';'
-        end = len(tail)
+        end, closer = len(tail), None
         depth, in_q = 0, False
         for j, c in enumerate(tail):
             if in_q:
@@ -139,12 +154,21 @@ def _rewrite_distinct_on(sql: str) -> str:
                 depth += 1
             elif c == ")":
                 if depth == 0:
-                    end = j
+                    end, closer = j, ")"
                     break
                 depth -= 1
             elif c == ";" and depth == 0:
-                end = j
+                end, closer = j, ";"
                 break
+        if closer != ")":
+            # top-level DISTINCT ON: PostgreSQL also guarantees the
+            # result ORDER; the row_number rewrite can't preserve it
+            # once the select-list projects the order columns away —
+            # fail loud rather than silently reorder
+            raise ValueError(
+                "top-level DISTINCT ON result ordering is not preserved by "
+                "the rewrite; wrap the query in a CTE/subquery"
+            )
         order_items = [x.strip() for x in tail[:end].split(",")]
         nkeys = len([k for k in keys.split(",") if k.strip()])
         if [x.split()[0] for x in order_items[:nkeys]] != [
@@ -174,23 +198,54 @@ def _rewrite_json_ops(sql: str) -> str:
     return pat.sub(sub, sql)
 
 
+def _quote_mask(s: str) -> list[bool]:
+    """mask[i] is True iff s[i] sits inside a single-quoted literal
+    (the opening/closing quotes themselves count as inside)."""
+    mask, in_q = [False] * len(s), False
+    for i, c in enumerate(s):
+        if in_q:
+            mask[i] = True
+            if c == "'":
+                in_q = False
+        elif c == "'":
+            mask[i] = True
+            in_q = True
+    return mask
+
+
 def _rewrite_casts(sql: str) -> str:
     """``(expr)::numeric`` / ``ident::numeric`` (also int/float/double)
-    → ``CAST(expr AS DOUBLE)`` (INT for ::int)."""
+    → ``CAST(expr AS DOUBLE)`` (INT for ::int). The trailing
+    ``(?![A-Za-z0-9_])`` guard makes unknown types (``::interval``,
+    ``::float4``) fail loud instead of silently corrupting; the
+    back-scan for a parenthesized cast target skips string-literal
+    content."""
+    cast_re = re.compile(
+        r"::\s*(numeric|float8?|double precision|int(?:eger)?)(?![A-Za-z0-9_])",
+        re.IGNORECASE,
+    )
     out = sql
     while True:
-        m = re.search(r"::\s*(numeric|float8?|double precision|int(?:eger)?)", out, re.IGNORECASE)
+        m = cast_re.search(out)
         if m is None:
+            if re.search(r"::", out):
+                i = out.index("::")
+                raise ValueError(f"unsupported ::cast near: {out[i:i+40]!r}")
             return out
         target = "INT" if m.group(1).lower().startswith("int") else "DOUBLE"
+        mask = _quote_mask(out)
         i = m.start() - 1
         while i >= 0 and out[i] in _WS:
             i -= 1
         if out[i] == ")":
-            # scan back to the matching '('
-            depth, j, in_q = 0, i, False
+            # scan back to the matching '(' — literal-content parens
+            # don't count
+            depth, j = 0, i
             while j >= 0:
                 c = out[j]
+                if mask[j]:
+                    j -= 1
+                    continue
                 if c == ")":
                     depth += 1
                 elif c == "(":
@@ -198,6 +253,8 @@ def _rewrite_casts(sql: str) -> str:
                     if depth == 0:
                         break
                 j -= 1
+            if j < 0:
+                raise ValueError("unbalanced parentheses before ::cast")
             expr = out[j + 1 : i]
             start = j
         else:

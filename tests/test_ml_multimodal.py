@@ -216,3 +216,26 @@ def test_builtin_codec_feeds_frame_sampler(spark):
 
     want = hashlib.md5(rgb[:8].hex().upper().encode()).hexdigest()
     assert frames[0].frame_md5 == want
+
+
+def test_builtin_codec_rejects_malformed_ppm_and_header_only_parity():
+    """A '#' where the post-maxval whitespace belongs must raise (not
+    decode comment text as pixels); header-only parse returns the same
+    dims with identical validation, zero pixel copies."""
+    rgb = bytes(range(2 * 2 * 3))
+    good = b"P6\n2 2\n255\n" + rgb
+    bad = b"P6 2 2 255#c\n" + rgb
+    with pytest.raises(ValueError, match="maxval not followed by whitespace"):
+        multimodal.decode_image_builtin(bad)
+    with pytest.raises(ValueError, match="maxval not followed by whitespace"):
+        multimodal.image_header_builtin(bad)
+
+    bmp = _bmp_bytes(2, 2, rgb)
+    for blob in (good, bmp):
+        w, h, mode, px = multimodal.decode_image_builtin(blob)
+        assert multimodal.image_header_builtin(blob) == (w, h, mode)
+    # truncation still detected without materializing pixels
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.image_header_builtin(good[:-1])
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.image_header_builtin(bmp[:-1])

@@ -47,8 +47,35 @@ def test_distinct_on_rewrite_and_guard():
     assert "__pg_rn = 1" in got
     with pytest.raises(ValueError, match="ORDER BY prefix"):
         pg_compat._rewrite_distinct_on(
-            "SELECT DISTINCT ON (k) k, v FROM t ORDER BY d DESC"
+            "WITH c AS (SELECT DISTINCT ON (k) k, v FROM t ORDER BY d DESC) "
+            "SELECT * FROM c"
         )
+    # top-level DISTINCT ON: PostgreSQL guarantees result order the
+    # rewrite can't preserve — must refuse, not silently reorder
+    with pytest.raises(ValueError, match="top-level DISTINCT ON"):
+        pg_compat._rewrite_distinct_on(
+            "SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, d DESC"
+        )
+
+
+def test_cast_rewrite_refuses_unknown_types_and_respects_literals():
+    # '::interval' must not be silently corrupted into CAST(... AS INT)
+    with pytest.raises(ValueError, match="unsupported ::cast"):
+        pg_compat._rewrite_casts("SELECT ts::interval FROM t")
+    with pytest.raises(ValueError, match="unsupported ::cast"):
+        pg_compat._rewrite_casts("SELECT x::float4 FROM t")
+    # ')' inside a string literal must not derail the back-scan
+    got = pg_compat._rewrite_casts("SELECT (replace(x, ')', ''))::numeric FROM t")
+    assert got == "SELECT CAST(replace(x, ')', '') AS DOUBLE) FROM t"
+
+
+def test_inline_comments_stripped_before_splitting():
+    stmts = pg_compat.split_statements(
+        pg_compat._strip_comments(
+            "SELECT 1 AS x -- don't split; here\n;SELECT 2"
+        )
+    )
+    assert stmts == ["SELECT 1 AS x", "SELECT 2"]
 
 
 def _rows(df, cols):

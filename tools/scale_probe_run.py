@@ -7,6 +7,14 @@ measurement) and then 3 more times, reporting the median as the
 steady-state number. Codegen is pre-warmed at sf0.001 exactly like
 bench.py so cold ≠ Janino compile time.
 
+CAVEAT: "cold" is per-QUERY first execution in this session. Queries
+that SHARE a per-(session, sf_dir) cache (the fixed-IVF family:
+embedding_ann_ivf_fixed / semantic_dedup / cluster_balanced_sample)
+are genuinely cold only for the first family member listed — order
+the arguments so shared-cache families don't mislead, or run them in
+separate invocations. The distinct caches (KMeans IVF, LSH, curation
+stages, fixed-IVF) are independent of each other.
+
 Usage:  python tools/scale_probe_run.py <sf_dir> <query> [query ...]
 Prints one JSON line: {"sf_dir": ..., "cold": {...}, "steady": {...}}
 """
