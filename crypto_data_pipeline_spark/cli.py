@@ -121,6 +121,67 @@ def cmd_purge_quarantine(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_run_sql(args: argparse.Namespace) -> int:
+    """Execute a PostgreSQL-dialect SQL file (e.g. the reference's
+    analysis_queries.sql) through the pg_compat transpiler + views."""
+    from crypto_data_pipeline_spark.sql import run_reference_sql
+
+    spark = _spark("cli-run-sql")
+    for i, df in enumerate(run_reference_sql(spark, args.sf_dir, args.file), 1):
+        print(f"-- statement {i}")
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_ingest_corpus(args: argparse.Namespace) -> int:
+    """Drain the bronze document dir into the deduplicated append-only
+    corpus store (catch-up-and-stop; re-runs are idempotent)."""
+    from pyspark.sql import types as T
+
+    from crypto_data_pipeline_spark.streaming.ingest import stream_corpus_ingest
+
+    spark = _spark("cli-ingest-corpus")
+    schema = T.StructType(
+        [
+            T.StructField(args.id_col, T.LongType(), False),
+            T.StructField(args.text_col, T.StringType(), True),
+        ]
+    )
+    q = stream_corpus_ingest(
+        spark, args.bronze, args.store, args.checkpoint, schema,
+        id_col=args.id_col, text=args.text_col,
+    )
+    q.awaitTermination()
+    n = spark.read.parquet(args.store).count()
+    print(f"corpus store {args.store}: {n} documents")
+    return 0
+
+
+def cmd_list_coins(args: argparse.Namespace) -> int:
+    """Print (and optionally snapshot) the coin catalog — the
+    reference's ``get_coin_list`` (coingecko_client.py:94). Driver-side
+    fetch (one request), Spark only for the optional parquet snapshot."""
+    from crypto_data_pipeline_spark.sources.http_client import HistoryApiClient
+    from crypto_data_pipeline_spark.sources.http_datasource import fake_transport
+
+    client = (
+        HistoryApiClient(transport=fake_transport)
+        if args.transport == "fake"
+        else HistoryApiClient()
+    )
+    coins = client.get_coin_list()
+    for c in coins[: args.limit]:
+        print(f"{c['id']}\t{c['symbol']}\t{c['name']}")
+    if args.store:
+        spark = _spark("cli-list-coins")
+        spark.createDataFrame(
+            [(c["id"], c["symbol"], c["name"]) for c in coins],
+            "coin_id string, symbol string, name string",
+        ).coalesce(1).write.mode("overwrite").parquet(args.store)
+        print(f"snapshot: {len(coins)} coins -> {args.store}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="crypto_data_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -159,6 +220,26 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--path", required=True)
     pq.add_argument("--keep-after", required=True, metavar="YYYY-MM-DD")
     pq.set_defaults(fn=cmd_purge_quarantine)
+
+    rs = sub.add_parser("run-sql", help="execute a PostgreSQL-dialect SQL file via pg_compat")
+    rs.add_argument("--file", required=True)
+    rs.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rs.add_argument("--limit", type=int, default=20)
+    rs.set_defaults(fn=cmd_run_sql)
+
+    ic = sub.add_parser("ingest-corpus", help="drain bronze docs into the deduplicated corpus store")
+    ic.add_argument("--bronze", required=True)
+    ic.add_argument("--store", required=True)
+    ic.add_argument("--checkpoint", required=True)
+    ic.add_argument("--id-col", default="doc_id")
+    ic.add_argument("--text-col", default="text")
+    ic.set_defaults(fn=cmd_ingest_corpus)
+
+    lc = sub.add_parser("list-coins", help="print the coin catalog (optionally snapshot to parquet)")
+    lc.add_argument("--transport", default="fake", choices=["fake", "real"])
+    lc.add_argument("--limit", type=int, default=20)
+    lc.add_argument("--store", default=None)
+    lc.set_defaults(fn=cmd_list_coins)
 
     return p
 

@@ -77,6 +77,22 @@ class HistoryApiClient:
             raise RuntimeError(f"HTTP {status} fetching {url}: {body[:200]}")
         raise RuntimeError(f"retries exhausted for {coin_id} {date_ddmmyyyy}") from last_err
 
+    def get_coin_list(self) -> list[dict]:
+        """GET coins/list → the catalog of (id, symbol, name) dicts,
+        mirroring coingecko_client.py:94-130: up to ``max_retries``
+        attempts with a fixed 2s pause between failures (the reference
+        uses retry_delay=2 here, unlike the history endpoint)."""
+        url = f"{self.base_url}/coins/list"
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            status, hdrs, body = self.transport(url, self.headers())
+            if status == 200:
+                return json.loads(body)
+            last_err = RuntimeError(f"HTTP {status} fetching {url}: {body[:200]}")
+            if attempt < self.max_retries - 1:
+                self.sleep(float(hdrs.get("Retry-After", 2.0)) if status == 429 else 2.0)
+        raise RuntimeError("retries exhausted for coins/list") from last_err
+
     def fetch_many(
         self, requests: list[tuple[str, str]], max_workers: int = 4
     ) -> list[tuple[str, str, dict | None]]:

@@ -36,6 +36,10 @@ def fake_transport(url: str, headers: dict[str, str]) -> tuple[int, dict[str, st
     """Deterministic CoinGecko-shaped payloads keyed on (coin, date) —
     the hermetic stand-in used by tests AND oracles (the price formula
     is replicated in the VALUES oracle of the http_ingest queries)."""
+    if url.rstrip("/").endswith("/coins/list"):
+        coins = ["bitcoin", "ethereum", "cardano", "solana", "dogecoin"]
+        body = [{"id": c, "symbol": c[:3], "name": c.capitalize()} for c in sorted(coins)]
+        return 200, {}, json.dumps(body)
     coin = url.split("/coins/")[1].split("/")[0]
     date = url.split("date=")[1]
     price = fake_price(coin, date)

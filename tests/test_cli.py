@@ -66,3 +66,48 @@ def test_generation_rollback_and_vacuum_commands(spark, capsys):
     assert main(["vacuum", "--root", root, "--keep-last", "1"]) == 0
     assert gen.list_generations(spark, root) == [0, 2]
     assert [r.v for r in gen.read_current(spark, root).collect()] == [0]
+
+
+def test_list_coins_command(spark, capsys, tmp_path):
+    """Coin catalog prints and snapshots to parquet (reference
+    get_coin_list parity via the hermetic fake transport)."""
+    store = str(tmp_path / "coins")
+    assert main(["list-coins", "--limit", "2", "--store", store]) == 0
+    out = capsys.readouterr().out
+    assert "bitcoin\tbit\tBitcoin" in out and "snapshot: 5 coins" in out
+    snap = spark.read.parquet(store)
+    assert snap.count() == 5 and snap.columns == ["coin_id", "symbol", "name"]
+
+
+def test_run_sql_command(capsys):
+    """The reference's SQL file executes verbatim via the CLI and
+    prints both statements' results."""
+    assert main([
+        "run-sql",
+        "--file", "/root/reference/sql/analysis_queries.sql",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--limit", "3",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "-- statement 1" in out and "-- statement 2" in out
+    assert "avg_price_usd" in out and "current_market_cap_usd" in out
+
+
+def test_ingest_corpus_command(spark, capsys, tmp_path):
+    """CLI drain of a bronze doc dir into the dedup store; a second
+    drain with the same checkpoint ingests nothing new."""
+    bronze = str(tmp_path / "bronze")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, " ALPHA ")],
+        "doc_id long, text string",
+    ).write.parquet(bronze)
+    argv = [
+        "ingest-corpus",
+        "--bronze", bronze,
+        "--store", str(tmp_path / "store"),
+        "--checkpoint", str(tmp_path / "ckpt"),
+    ]
+    assert main(argv) == 0
+    assert "2 documents" in capsys.readouterr().out
+    assert main(argv) == 0  # idempotent re-run, nothing new picked up
+    assert "2 documents" in capsys.readouterr().out

@@ -437,6 +437,29 @@ def test_http_client_retry_and_fanout():
     assert by_coin["bitcoin"] is not None and by_coin["cardano"] is None
 
 
+def test_http_client_coin_list_retry_and_fake_catalog():
+    """coins/list endpoint (coingecko_client.py:94-130): a 500 retries
+    after the fixed 2s pause, then the parsed catalog comes back; the
+    hermetic fake transport serves a deterministic 5-coin catalog."""
+    from crypto_data_pipeline_spark.sources.http_datasource import fake_transport
+
+    calls, naps = [], []
+
+    def transport(url, headers):
+        calls.append(url)
+        if len(calls) == 1:
+            return 500, {}, "boom"
+        return 200, {}, json.dumps([{"id": "bitcoin", "symbol": "btc", "name": "Bitcoin"}])
+
+    client = HistoryApiClient(transport=transport, sleep=naps.append)
+    assert client.get_coin_list() == [{"id": "bitcoin", "symbol": "btc", "name": "Bitcoin"}]
+    assert naps == [2.0] and calls[0].endswith("/coins/list")
+
+    fake = HistoryApiClient(transport=fake_transport).get_coin_list()
+    assert [c["id"] for c in fake] == sorted(c["id"] for c in fake)
+    assert {"id", "symbol", "name"} <= set(fake[0])
+
+
 def test_http_datasource_distributed_fetch(spark):
     """The Python DataSource path: one input partition per coin, fetch
     on the executors, values identical to the driver-side client."""
