@@ -497,3 +497,37 @@ def with_unigram_logprob(df: DataFrame, text: str = "text") -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+def vocab_coverage(df: DataFrame, text: str = "text") -> DataFrame:
+    """Tokenizer-vocabulary induction diagnostic: rank the corpus
+    vocabulary by frequency (ties broken by term asc) and carry each
+    term's cumulative share of all corpus tokens — the curve that
+    answers "how big a vocab covers 95% of the tokens", the standard
+    first look before training a subword tokenizer.
+
+    Plan shape: one explode scan, one term-key shuffle for the counts,
+    then a single-partition ranking sort. That global sort is over the
+    VOCABULARY (model-sized — a few million rows even for web-scale
+    corpora), never the corpus, which is the same deliberate trade
+    documented at value_ntile_deciles; the corpus itself is touched by
+    exactly one scan + one aggregation. ``cum_share`` is 6-dp rounded
+    with the tie-up nudge so the oracle buckets identically."""
+    from pyspark.sql import Window
+
+    terms = df.select(F.explode(tokens(text)).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("n_total"))
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("tf").over(cum).cast("double") / F.col("n_total") + F.lit(1e-9), 6
+            ),
+        )
+        .select("term", "tf", "rank", "cum_share")
+    )

@@ -2617,3 +2617,85 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("pos", F.lit(-1)).alias("pos"),
         )
     )
+
+
+_NB_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents),
+tr AS (SELECT * FROM t WHERE doc_id % 5 <> 0),
+te AS (SELECT * FROM t WHERE doc_id % 5 = 0),
+trt AS (SELECT doc_id, lang AS label, unnest(toks) AS term FROM tr),
+v AS (SELECT count(DISTINCT term) AS vsize FROM trt),
+ntr AS (SELECT count(*) AS n_train FROM tr),
+cls AS (
+  SELECT d.label, k.n_class_tokens, v.vsize,
+         ln(CAST(d.n_docs AS DOUBLE) / ntr.n_train) AS log_prior,
+         ln(1.0 / (k.n_class_tokens + v.vsize)) AS log_unseen
+  FROM (SELECT lang AS label, count(*) AS n_docs FROM tr GROUP BY 1) d
+  JOIN (SELECT label, count(*) AS n_class_tokens FROM trt GROUP BY 1) k USING (label),
+       v, ntr
+),
+grid AS (
+  SELECT g.term, g.label, ln((g.tf + 1.0) / (c.n_class_tokens + c.vsize)) AS loglik
+  FROM (SELECT term, label, count(*) AS tf FROM trt GROUP BY 1, 2) g
+  JOIN cls c USING (label)
+),
+tet AS (SELECT doc_id, unnest(toks) AS term FROM te),
+scored AS (
+  SELECT tet.doc_id, c.label,
+         round(sum(coalesce(g.loglik, c.log_unseen)) + any_value(c.log_prior) + 1e-9,
+               6) AS score
+  FROM tet CROSS JOIN cls c
+  LEFT JOIN grid g ON g.term = tet.term AND g.label = c.label
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT doc_id, label AS predicted, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rk
+  FROM scored
+)
+SELECT te.doc_id, te.lang AS actual, p.predicted, p.score,
+       CAST(te.lang = p.predicted AS INT) AS hit
+FROM te JOIN pred p ON p.doc_id = te.doc_id AND p.rk = 1
+"""
+
+
+@register(
+    "nb_lang_classifier",
+    extra=True,
+    bench=True,
+    survey_ids=("EXT-text",),
+    oracle=_NB_ORACLE,
+)
+def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and applied
+    entirely in DataFrame aggregations (ml/classify.py) — the
+    fastText-style supervised filter of CCNet-class pipelines, with the
+    fitted model itself a broadcastable (term, class) DataFrame. Train
+    on doc_id % 5 != 0, score the holdout, argmax with a label-asc tie
+    break; scores 6-dp rounded (tie-up nudge) on both engines."""
+    from crypto_data_pipeline_spark.ml.classify import nb_lang_holdout
+
+    return nb_lang_holdout(_docs(spark, sf_dir))
+
+
+@register(
+    "vocab_coverage",
+    extra=True,
+    survey_ids=("EXT-text",),
+    oracle=f"""
+WITH terms AS (SELECT unnest({TOKENS_SQL}) AS term FROM documents),
+freq AS (SELECT term, count(*) AS tf FROM terms GROUP BY 1),
+tot AS (SELECT sum(tf) AS n_total FROM freq)
+SELECT term, tf,
+       row_number() OVER (ORDER BY tf DESC, term) AS rank,
+       round(sum(tf) OVER (ORDER BY tf DESC, term ROWS UNBOUNDED PRECEDING)
+             * 1.0 / n_total + 1e-9, 6) AS cum_share
+FROM freq, tot
+""",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with cumulative token-coverage share
+    (operators/text.py:vocab_coverage) — the vocab-size-vs-coverage
+    curve a tokenizer build starts from. Ranking sort is vocab-sized,
+    never corpus-sized."""
+    return text.vocab_coverage(_docs(spark, sf_dir))

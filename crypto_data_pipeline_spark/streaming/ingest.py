@@ -217,3 +217,46 @@ def stream_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_classify(
+    spark: SparkSession,
+    bronze_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    schema,
+    classes: DataFrame,
+    grid: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> StreamingQuery:
+    """Streaming model inference: score every arriving document
+    delivery against a pre-trained Naive Bayes model
+    (``ml/classify.py``) and land ``(doc_id, predicted, score)`` as an
+    immutable per-delivery ``batch_id=N`` directory — the
+    online-scoring half of the train-offline / serve-online split.
+
+    The model rides in as the two fitted DataFrames (class priors +
+    (term, class) log-likelihood grid). They are model-sized, joined
+    broadcast inside every micro-batch, and the stream itself is never
+    shuffled except by its own doc key. ``nb_predict`` needs a window
+    argmax, which Structured Streaming forbids on unbounded input —
+    foreachBatch gives each delivery batch scope, where it is legal
+    and identical to the batch twin. Per-batch overwrite directories
+    make the at-least-once replay idempotent, same contract as
+    ``ingest_corpus_batch``. availableNow = catch-up-and-stop."""
+    from crypto_data_pipeline_spark.ml.classify import nb_predict
+
+    stream = spark.readStream.schema(schema).parquet(bronze_dir)
+
+    def score(batch: DataFrame, batch_id: int) -> None:
+        nb_predict(batch, classes, grid, text=text, doc_id=id_col).write.mode(
+            "overwrite"
+        ).parquet(f"{out_root}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -60,6 +60,44 @@ def test_model_comparison_table(feature_df):
     assert by_model["ridge"].r2 > 0.9
 
 
+def test_naive_bayes_classifier_mechanics(spark):
+    """Hand-checkable NB on a 6-doc fixture: a clean class signal is
+    recovered, an all-unseen-token doc falls back to smoothed mass +
+    prior (majority class wins), and the score matches the closed form."""
+    import math
+
+    from crypto_data_pipeline_spark.ml.classify import nb_predict, nb_train
+
+    train = spark.createDataFrame(
+        [
+            (1, "a", "cat cat dog"),
+            (2, "a", "cat fish"),
+            (3, "a", "cat dog"),
+            (4, "b", "bird bird worm"),
+            (5, "b", "bird worm"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    classes, grid = nb_train(train, label="lang")
+    # V=5 (cat dog fish bird worm); class a: 7 tokens, class b: 5
+    by_label = {r.label: r for r in classes.collect()}
+    assert by_label["a"].vsize == 5 and by_label["a"].n_class_tokens == 7
+    assert math.isclose(by_label["a"].log_prior, math.log(3 / 5))
+    assert math.isclose(by_label["b"].log_unseen, math.log(1 / 10))
+
+    test = spark.createDataFrame(
+        [(10, "cat cat"), (11, "bird worm"), (12, "zebra zebra")],
+        "doc_id long, text string",
+    )
+    preds = {r.doc_id: r for r in nb_predict(test, classes, grid).collect()}
+    assert preds[10].predicted == "a" and preds[11].predicted == "b"
+    # all-unseen doc: both classes score 2*log_unseen + prior; the
+    # larger-V denominator loses, so majority-prior class a wins
+    assert preds[12].predicted == "a"
+    want = round(2 * math.log(1 / 12) + math.log(3 / 5) + 1e-9, 6)
+    assert preds[12].score == want
+
+
 def test_fake_media_schema_and_features(spark):
     docs = spark.createDataFrame(
         [(1, "aab"), (2, "zz")], "doc_id long, text string"

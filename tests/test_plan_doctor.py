@@ -46,6 +46,8 @@ BNLJ_OK = {
     "contamination_semantic",      # 1-row collect_list benchmark frame
     "chi_square_independence",     # 1-row grand-total frame
     "psi_value_drift",             # 1-row halves-total frame
+    "nb_lang_classifier",          # classes-row prior frame (5 rows) + 1-row vocab/total frames
+    "vocab_coverage",              # 1-row corpus-token-total frame
 }
 
 # Arrow-batched Python (mapInPandas / applyInPandas / pandas UDF) is a

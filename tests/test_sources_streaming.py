@@ -746,3 +746,44 @@ def test_stream_corpus_ingest_admits_only_novel(spark, tmp_path):
         _doc_rows(spark, [(20, "gamma text"), (21, "delta text")]), 99, store
     )
     assert {r.doc_id for r in spark.read.parquet(store).collect()} == {1, 2, 11, 21}
+
+
+def test_stream_classify_matches_batch_twin(spark, tmp_path):
+    """Streaming NB inference scores each delivery identically to the
+    batch nb_predict, lands per-batch dirs, and a checkpointed re-run
+    picks up nothing new."""
+    from crypto_data_pipeline_spark.ml.classify import nb_predict, nb_train
+
+    train = spark.createDataFrame(
+        [(1, "a", "cat cat dog"), (2, "a", "cat fish"), (3, "b", "bird worm"),
+         (4, "b", "bird bird")],
+        "doc_id long, lang string, text string",
+    )
+    classes, grid = nb_train(train, label="lang")
+
+    bronze = str(tmp_path / "bronze")
+    out = str(tmp_path / "scored")
+    ckpt = str(tmp_path / "ckpt")
+    test_docs = _doc_rows(spark, [(10, "cat cat fish"), (11, "worm bird")])
+    test_docs.write.parquet(bronze)
+
+    q = ingest.stream_classify(spark, bronze, out, ckpt, DOCS_SCHEMA, classes, grid)
+    q.awaitTermination()
+    got = {r.doc_id: (r.predicted, r.score) for r in spark.read.parquet(out).collect()}
+    want = {
+        r.doc_id: (r.predicted, r.score) for r in nb_predict(test_docs, classes, grid).collect()
+    }
+    assert got == want and got[10][0] == "a" and got[11][0] == "b"
+
+    # second delivery appends its own batch dir; first batch untouched
+    _doc_rows(spark, [(12, "dog dog cat")]).write.mode("append").parquet(bronze)
+    q2 = ingest.stream_classify(spark, bronze, out, ckpt, DOCS_SCHEMA, classes, grid)
+    q2.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert {r.doc_id for r in rows} == {10, 11, 12}
+    assert len({r.batch_id for r in rows}) == 2
+
+    # same checkpoint, no new files → no-op
+    q3 = ingest.stream_classify(spark, bronze, out, ckpt, DOCS_SCHEMA, classes, grid)
+    q3.awaitTermination()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {10, 11, 12}
