@@ -840,3 +840,58 @@ def incremental_ingest_dedup(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", k: int = 3
+) -> DataFrame:
+    """Maximal duplicated token spans — the exact-substring dedup of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): for every document, every maximal run
+    of tokens all of whose k-token windows occur AT LEAST TWICE in the
+    corpus (in another document or at another position of the same
+    one). The paper removes these spans; this operator returns them as
+    ``(doc_id, span_start, span_len)`` in token units so the caller can
+    clip, drop, or audit. Differs from winnowing (fingerprint SAMPLING
+    for pair discovery): this is exhaustive span-level coverage, the
+    paper's suffix-array semantics re-expressed as positional k-gram
+    shingling.
+
+    Plan shape / 100 TB: one tokenize scan → positional windows
+    (posexplode); the window census is a ``groupBy(shingle)`` whose
+    map-side partial aggregation absorbs hot shingles before the
+    shuffle; positions rejoin the >1-occurrence keys on the shingle
+    hash (AQE skew-join handles residual hot keys); merging adjacent
+    duplicated windows into maximal spans is the islands trick — one
+    per-doc window, positions-only rows. Nothing is ever all-pairs.
+    Production uses k≈50 tokens (the paper's threshold), where window
+    keys are near-unique and skew vanishes; the default k=3 suits the
+    short synthetic fixtures. All-integer output → exact cross-engine
+    hash checks.
+    """
+    staged = df.select(F.col(id_col).alias("id"), tokens(text).alias("_tk")).where(
+        F.size("_tk") >= k
+    )
+    win = staged.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_tk") - k),
+                lambda i: F.concat_ws(" ", F.slice("_tk", i + 1, k)),
+            )
+        ).alias("pos", "sh"),
+    )
+    dup_keys = (
+        win.groupBy("sh").agg(F.count(F.lit(1)).alias("_c")).where(F.col("_c") > 1)
+    )
+    dup_pos = win.join(dup_keys.select("sh"), "sh")
+    w = Window.partitionBy("id").orderBy("pos")
+    return (
+        dup_pos.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).alias("span_len"),
+        )
+        .select(F.col("id").alias(id_col), "span_start", "span_len")
+    )

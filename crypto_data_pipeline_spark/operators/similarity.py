@@ -470,7 +470,16 @@ def build_fixed_ivf_index(
     cell = F.element_at(F.array_sort(_cell_scores(F.col("_cv"), _centers_expr(centers))), 1)[
         "_cell"
     ]
-    assigned = c_n.withColumn("_cell", cell).select(id_col, "_cv", "_cell")
+    # persisted like the KMeans build — besides probe amortization, the
+    # InMemoryRelation is load-bearing: left lazy, `_cell` stays an
+    # EXPRESSION over `_cv`, and a probe join on it lets
+    # InferFiltersFromConstraints push an f(_cv)-shaped predicate into
+    # the query branch where _cv does not exist (an invalid `!Filter`
+    # in the optimized plan → INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at
+    # runtime, bisected via ivfpq_topk). The cache barrier makes
+    # `_cell` a stored column, which is also the honest physical model
+    # — an index is materialized state, not a recomputed view.
+    assigned = c_n.withColumn("_cell", cell).select(id_col, "_cv", "_cell").persist()
     return IvfIndex(assigned=assigned, centers=centers, id_col=id_col, seed=-1)
 
 
@@ -765,6 +774,233 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI) — the at-rest compression +
+# asymmetric-distance search path: each vector is stored as m one-byte
+# codes (argmin sub-codebook entry per subspace), and a query scans the
+# CODES with a broadcast per-query distance table instead of the floats.
+# At 100 TB this is the difference between scanning 8 bytes and 256
+# bytes per vector, and the distance table (m × k doubles per query) is
+# kilobytes — the corpus is never shuffled and never decompressed.
+
+
+def build_fixed_pq_codebook(
+    corpus: DataFrame,
+    code_ids: list[int],
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """PQ codebook with FIXED, data-derived entries: sub-codebook j's
+    entry for code c is subspace j of the L2-normalized corpus vector
+    ``code_ids[c]`` — the same determinism trick as
+    ``build_fixed_ivf_index``, so the WHOLE PQ pipeline (encode → ADC
+    scan → rank) is a function of the corpus and has a DuckDB twin that
+    hash-checks end to end. Production would train per-subspace KMeans
+    codebooks (k=256) exactly like ``build_ivf_index`` trains the
+    coarse quantizer; the encode/ADC expressions below are codebook-
+    agnostic. Returns ``codebook[j][c] = subvector`` (code order, so
+    positional ``element_at`` lookups need no sort)."""
+    rows = (
+        corpus.where(F.col(id_col).isin(list(code_ids)))
+        .select(id_col, as_double(vec_col).alias("_r"))
+        .collect()
+    )
+    by_id = {r[0]: r[1] for r in rows}
+    missing = [cid for cid in code_ids if cid not in by_id]
+    if missing:
+        raise ValueError(f"codebook ids not present in corpus: {missing}")
+    dim = len(by_id[code_ids[0]])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for cid in code_ids:
+        v = [float(x) for x in by_id[cid]]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        u = [x / n for x in v]
+        for j in range(m):
+            books[j].append(u[j * d : (j + 1) * d])
+    return books
+
+
+def _books_expr(books: list[list[list[float]]]) -> Column:
+    """array<array<struct<_code,_ctr>>> codebook literal as ONE F.expr
+    parse (the _centers_expr round-trip argument); inner arrays are in
+    code order so ADC tables built with transform() stay positional."""
+    return F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "named_struct('_code', {c}, '_ctr', array({vals}))".format(
+                    c=c, vals=", ".join(f"{x!r}D" for x in ctr)
+                )
+                for c, ctr in enumerate(book)
+            )
+            + ")"
+            for book in books
+        )
+        + ")"
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def _pq_codes(u: Column | str, books: list[list[list[float]]]) -> Column:
+    """codes array<int> for a unit-normalized vector column: per
+    subspace, the (distance, code)-argmin sub-codebook entry."""
+    d = len(books[0][0])
+    u = F.col(u) if isinstance(u, str) else u
+    return F.transform(
+        _books_expr(books),
+        lambda book, j: F.element_at(
+            F.array_sort(
+                F.transform(
+                    book,
+                    lambda c: F.struct(
+                        _sq_dist(F.slice(u, j * d + 1, d), c["_ctr"]).alias("_d"),
+                        c["_code"].alias("_code"),
+                    ),
+                )
+            ),
+            1,
+        )["_code"],
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its per-subspace argmin codes:
+    ``(id, codes array<int>)``, ties broken code-asc. One scan, zero
+    shuffle, all codegen — the encode is the PQ index build, run once
+    per ingest batch; at rest the codes column is m bytes/vector."""
+    u = _unit_normed(corpus, id_col, vec_col)
+    return u.select(id_col, _pq_codes("_v", books).alias("codes"))
+
+
+def _pq_dist_table(u: Column | str, books: list[list[list[float]]]) -> Column:
+    """ADC distance table array<array<double>> for a unit-normalized
+    query column: dt[j][c] = ||u_j - books[j][c]||², positional in code
+    order (books are built code-ordered; transform preserves it)."""
+    d = len(books[0][0])
+    u = F.col(u) if isinstance(u, str) else u
+    return F.transform(
+        _books_expr(books),
+        lambda book, j: F.transform(
+            book, lambda c: _sq_dist(F.slice(u, j * d + 1, d), c["_ctr"])
+        ),
+    )
+
+
+def _adc_score(codes: Column | str, dt: Column | str) -> Column:
+    """Σ_j dt[j][codes[j]] + the 6-dp tie-up round — the ADC score both
+    PQ search paths share."""
+    codes = F.col(codes) if isinstance(codes, str) else codes
+    dt = F.col(dt) if isinstance(dt, str) else dt
+    return F.round(
+        F.aggregate(
+            F.zip_with(codes, dt, lambda c, t: F.element_at(t, c + F.lit(1))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        + F.lit(1e-9),
+        6,
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query, build the m×k
+    distance table dt[j][c] = ||q_j - books[j][c]||², broadcast it, and
+    score each corpus vector as Σ_j dt[j][codes[j]] — a pure array
+    lookup over the CODES, never the floats. Returns
+    ``(query_id, vec_id, approx_d, rank)``, distance-asc, 6-dp rounded
+    (tie-up nudge) with an id tiebreak for engine-portable ranking.
+
+    Scale shape: the corpus side is one codes-column scan (m bytes per
+    vector); the broadcast side is |Q| rows × m×k doubles; ranking is
+    WindowGroupLimit-prunable. Recall floor vs the exact baseline is
+    pinned in tests (ADC is approximate by construction — codes
+    quantize the corpus, queries stay exact)."""
+    from pyspark.sql import Window
+
+    enc = codes if codes is not None else pq_encode(corpus, books, id_col, vec_col)
+    q = _unit_normed(queries, query_id_col, vec_col)
+    qt = q.select(query_id_col, _pq_dist_table("_v", books).alias("_dt"))
+    scored = (
+        enc.crossJoin(F.broadcast(qt))
+        .where(F.col(query_id_col) != F.col(id_col))
+        .withColumn("approx_d", _adc_score("codes", "_dt"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("approx_d").asc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "approx_d", "rank")
+    )
+
+
+def ivfpq_topk(
+    index: IvfIndex,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVFPQ (Jégou et al. 2011 §V, the FAISS `IVFPQ` index): the
+    coarse quantizer prunes the corpus to ``nprobe`` cells, then PQ
+    asymmetric distance scores only the survivors' CODES — composing
+    the two pruning axes: IVF cuts the ROWS scanned (nprobe/n_centroids
+    of the corpus), PQ cuts the BYTES per row (m codes vs the float
+    vector). At 100 TB the cell is the storage partition key and the
+    codes column is the only thing the probe reads: nprobe directory
+    scans of m-byte rows, one broadcast of (query dt × nprobe cells),
+    one WindowGroupLimit rank. Returns (query_id, id, approx_d, rank),
+    distance-asc, 6-dp rounded with id tiebreak."""
+    from pyspark.sql import Window
+
+    idc = index.id_col
+    enc = index.assigned.select(idc, "_cell", _pq_codes("_cv", books).alias("codes"))
+    q_n = _unit_normed(queries, query_id_col, vec_col).withColumnRenamed("_v", "_qv")
+    probes = F.slice(
+        F.array_sort(_cell_scores(F.col("_qv"), _centers_expr(index.centers))), 1, nprobe
+    )
+    q_probed = q_n.select(
+        query_id_col,
+        _pq_dist_table(F.col("_qv"), books).alias("_dt"),
+        F.explode(F.transform(probes, lambda p: p["_cell"])).alias("_qcell"),
+    )
+    scored = enc.join(F.broadcast(q_probed), F.col("_cell") == F.col("_qcell"))
+    if exclude_self:
+        scored = scored.where(F.col(query_id_col) != F.col(idc))
+    scored = scored.withColumn("approx_d", _adc_score("codes", "_dt"))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("approx_d").asc(), F.col(idc))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, idc, "approx_d", "rank")
     )
 
 

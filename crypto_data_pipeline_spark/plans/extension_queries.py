@@ -1456,7 +1456,8 @@ def embedding_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if index is None:
         index = similarity.build_fixed_ivf_index(embs, list(range(16)))
         # same per-(session, corpus) amortization as embedding_ann_ivf;
-        # unpersist on the (never-persisted) assignment is a no-op
+        # the fixed build persists its assignment too (see
+        # build_fixed_ivf_index), so eviction unpersists it here
         _cache_put(_IVF_FIXED_CACHE, key, index, lambda ix: ix.assigned)
     queries = embs.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2699,3 +2700,193 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve a tokenizer build starts from. Ranking sort is vocab-sized,
     never corpus-sized."""
     return text.vocab_coverage(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_duplicated_spans",
+    extra=True,
+    survey_ids=("EXT-dedup",),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+g0 AS (
+  SELECT doc_id, toks, unnest(range(len(toks) - 2)) AS pos
+  FROM t WHERE len(toks) >= 3
+),
+g AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         array_to_string(toks[CAST(pos+1 AS INT):CAST(pos+3 AS INT)], ' ') AS sh
+  FROM g0
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS c FROM g
+  ) WHERE c > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(pos) - min(pos) + 3 AS INT) AS span_len
+FROM isl GROUP BY doc_id, grp
+""",
+)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (`dedup.duplicated_spans`, Lee et al.
+    2021 arXiv:2107.06499): every maximal token run whose every 3-token
+    window repeats somewhere in the corpus — the suffix-array dedup's
+    semantics as positional shingling. All-integer output, exact
+    cross-engine hash; production k≈50 per the paper."""
+    return dedup.duplicated_spans(_docs(spark, sf_dir), k=3).select(
+        "doc_id",
+        F.col("span_start").cast("int").alias("span_start"),
+        F.col("span_len").cast("int").alias("span_len"),
+    )
+
+
+# DuckDB twin of the fixed-codebook PQ pipeline: codebook derivation
+# (subspace j of the normalized vectors of vec_id < 16), per-(vector,
+# subspace) squared distances to every code, and the (dist, code)-argmin
+# encode — shared by both PQ queries. m=8 subspaces of 8 dims over the
+# 64-dim corpus; at scale m stays and k grows to 256 (one byte/code).
+_PQ_ENC_CTES = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
+sub AS (
+  SELECT vec_id, CAST(j AS INT) AS j,
+         u[CAST(j*8+1 AS INT):CAST(j*8+8 AS INT)] AS su
+  FROM n CROSS JOIN range(8) t(j)
+),
+cb AS (SELECT j, CAST(vec_id AS INT) AS code, su AS cu FROM sub WHERE vec_id < 16),
+d AS (
+  SELECT s.vec_id, s.j, cb.code,
+         list_sum(list_transform(list_zip(s.su, cb.cu), p -> (p[1] - p[2])^2)) AS dist
+  FROM sub s JOIN cb USING (j)
+),
+enc AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "embedding_pq_codes",
+    extra=True,
+    survey_ids=("EXT-sim",),
+    oracle=_PQ_ENC_CTES
+    + """
+SELECT vec_id, list(code ORDER BY j) AS codes FROM enc GROUP BY 1
+""",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (`similarity.pq_encode`, Jégou et
+    al. 2011): every vector as 8 one-byte-class codes — the at-rest
+    compressed embedding format (8 bytes vs 256 per vector). Integer
+    argmin output makes this an exact cross-engine hash check of the
+    encoder; the fixed data-derived codebook is the same determinism
+    trick as `embedding_ann_ivf_fixed`. One scan, zero shuffle, all
+    codegen."""
+    embs = _embs(spark, sf_dir)
+    books = similarity.build_fixed_pq_codebook(embs, list(range(16)), m=8)
+    return similarity.pq_encode(embs, books)
+
+
+@register(
+    "embedding_pq_topk",
+    extra=True,
+    bench=True,
+    survey_ids=("EXT-sim",),
+    oracle=_PQ_ENC_CTES
+    + """,
+scored AS (
+  SELECT qd.vec_id AS query_id, enc.vec_id,
+         round(sum(qd.dist) + 1e-9, 6) AS approx_d
+  FROM enc
+  JOIN d qd ON qd.j = enc.j AND qd.code = enc.code AND qd.vec_id < 10
+  WHERE enc.vec_id <> qd.vec_id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_d, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, approx_d, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+""",
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ search (`similarity.pq_topk`): top-5 by
+    Σ_j dt[j][code_j] over the codes column with the per-query distance
+    table broadcast — the compressed-scan ANN path that reads 8 bytes
+    per corpus vector. Whole pipeline (encode + ADC + rank)
+    hash-checked against the derived-codebook DuckDB twin; recall vs
+    the exact baseline pinned in tests/test_dedup_similarity.py."""
+    embs = _embs(spark, sf_dir)
+    books = similarity.build_fixed_pq_codebook(embs, list(range(16)), m=8)
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk(embs, queries, books, k=5)
+
+
+@register(
+    "embedding_ann_ivfpq",
+    extra=True,
+    survey_ids=("EXT-sim",),
+    oracle=_PQ_ENC_CTES
+    + """,
+ctr AS (SELECT CAST(vec_id AS INT) AS cell, u AS cu FROM n WHERE vec_id < 16),
+cdist AS (
+  SELECT n.vec_id, ctr.cell, 2 - 2 * list_dot_product(n.u, ctr.cu) AS cd
+  FROM n CROSS JOIN ctr
+),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn
+    FROM cdist WHERE vec_id < 10
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, round(sum(qd.dist) + 1e-9, 6) AS approx_d
+  FROM probes p
+  JOIN asg a USING (cell)
+  JOIN enc ON enc.vec_id = a.vec_id
+  JOIN d qd ON qd.vec_id = p.query_id AND qd.j = enc.j AND qd.code = enc.code
+  WHERE a.vec_id <> p.query_id
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_d, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, approx_d, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+""",
+)
+def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ (`similarity.ivfpq_topk`, FAISS's workhorse index): coarse
+    cells prune the ROWS a probe scans (nprobe/16 of the corpus), PQ
+    codes prune the BYTES per row (8 codes vs 64 floats). Both
+    quantizers are the fixed data-derived kind, so the composed
+    pipeline — assign → nprobe → cell join → ADC over codes → rank —
+    hash-checks end to end against one DuckDB twin."""
+    embs = _embs(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    index = _IVF_FIXED_CACHE.get(key)
+    if index is None:
+        index = similarity.build_fixed_ivf_index(embs, list(range(16)))
+        _cache_put(_IVF_FIXED_CACHE, key, index, lambda ix: ix.assigned)
+    books = similarity.build_fixed_pq_codebook(embs, list(range(16)), m=8)
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivfpq_topk(index, queries, books, k=5, nprobe=4)

@@ -186,6 +186,85 @@ def test_lsh_topk_recall_floor(spark, sf_dir, emb):
     assert hits / total >= 0.2, f"LSH recall {hits}/{total}"
 
 
+def test_duplicated_spans_merges_maximal_runs(spark):
+    """Lee-et-al span semantics on a hand fixture: a 4-token phrase
+    shared by two docs yields one merged span per doc (two overlapping
+    3-gram windows → span_len 4), a within-doc repeat counts as
+    duplicated, and unique text yields nothing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sat alone"),
+            (2, "then the quick brown fox ran"),
+            (3, "x y z x y z"),          # within-doc repeat of 'x y z'
+            (4, "entirely unique words here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in dedup.duplicated_spans(docs, k=3).collect()
+    }
+    # shared phrase 'the quick brown fox' (4 tokens): doc 1 windows
+    # 0,1 → span (0, 4); doc 2 windows 1,2 → span (1, 4)
+    assert (1, 0, 4) in spans and (2, 1, 4) in spans
+    # doc 3: 'x y z x' unique; 'x y z' at 0 and 3 duplicated, 'y z x'
+    # 'z x y' unique → two disjoint spans of exactly the phrase
+    assert (3, 0, 3) in spans and (3, 3, 3) in spans
+    assert not any(d == 4 for d, _, _ in spans)
+
+
+def test_pq_encode_and_adc_mechanics(spark, sf_dir, emb):
+    """PQ sanity on the real corpus: a codebook vector encodes to its
+    own code in every subspace (self-distance 0 is a unique argmin),
+    codes are well-formed, and the ADC score of a codebook vector
+    against its own query distance table is ~0."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    books = similarity.build_fixed_pq_codebook(embs, list(range(16)), m=8)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = {r.vec_id: r.codes for r in similarity.pq_encode(embs, books).collect()}
+    assert set(codes) == {r.vec_id for r in embs.select("vec_id").collect()}
+    for cid in range(16):
+        assert codes[cid] == [cid] * 8, f"codebook vector {cid} not self-coded"
+    assert all(0 <= c < 16 for cs in codes.values() for c in cs)
+
+
+def test_pq_topk_recall_floor(spark, sf_dir, emb):
+    ids, mat = emb
+    truth = _np_topk(ids, mat)
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 10").selectExpr("vec_id AS query_id", "embedding")
+    books = similarity.build_fixed_pq_codebook(embs, list(range(16)), m=8)
+    got: dict[int, set[int]] = {}
+    for r in similarity.pq_topk(embs, queries, books, k=5).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    assert all(len(v) == 5 for v in got.values())
+    hits = sum(len(got.get(q, set()) & set(t)) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    # 16-entry sub-codebooks quantize hard; ADC must still beat the
+    # trivial floor (random 5-of-500 would land ~0.01)
+    assert hits / total >= 0.2, f"PQ recall {hits}/{total}"
+
+
+def test_ivfpq_topk_recall_floor(spark, sf_dir, emb):
+    """IVFPQ compounds both pruning losses (nprobe cells × code
+    quantization) and must still beat the trivial floor; measured 0.28
+    on this fixture."""
+    ids, mat = emb
+    truth = _np_topk(ids, mat)
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 10").selectExpr("vec_id AS query_id", "embedding")
+    books = similarity.build_fixed_pq_codebook(embs, list(range(16)), m=8)
+    index = similarity.build_fixed_ivf_index(embs, list(range(16)))
+    got: dict[int, set[int]] = {}
+    for r in similarity.ivfpq_topk(index, queries, books, k=5, nprobe=4).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    index.assigned.unpersist()
+    assert all(len(v) == 5 for v in got.values())
+    hits = sum(len(got.get(q, set()) & set(t)) for q, t in truth.items())
+    total = sum(len(t) for t in truth.values())
+    assert hits / total >= 0.2, f"IVFPQ recall {hits}/{total}"
+
+
 def test_ivf_index_roundtrips_through_cell_partitioned_layout(spark, sf_dir, tmp_path):
     """write_ivf_index → read_ivf_index: probing the at-rest index
     returns exactly the in-memory probe's rows, the layout is hive-

@@ -48,6 +48,7 @@ BNLJ_OK = {
     "psi_value_drift",             # 1-row halves-total frame
     "nb_lang_classifier",          # classes-row prior frame (5 rows) + 1-row vocab/total frames
     "vocab_coverage",              # 1-row corpus-token-total frame
+    "embedding_pq_topk",           # 10 query distance-tables (m×k doubles each) broadcast
 }
 
 # Arrow-batched Python (mapInPandas / applyInPandas / pandas UDF) is a
