@@ -145,3 +145,76 @@ def nb_lang_holdout(
             (F.col("actual") == F.col("predicted")).cast("int").alias("hit"),
         )
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification over the
+    embedding space — the non-parametric sibling of the NB filter (and
+    the standard "label by retrieval" baseline for semi-supervised
+    corpus labeling: SemDeDup-style pipelines assign quality/domain
+    labels to unlabeled shards exactly this way).
+
+    Composes the existing exact top-k (corpus never shuffles; query
+    side broadcasts) with a labels join and a per-query vote window:
+    predicted label = most votes among the k neighbors, ties broken by
+    higher best-neighbor cosine then label-asc — every input to the
+    vote is the 6-dp-rounded cosine, so the whole path is
+    engine-portable. Returns ``(query_id, pred_label, votes,
+    true_label, correct)``; true_label is the corpus label of the query
+    id (queries share the corpus id namespace, as in the registered
+    queries) and null for ids outside it.
+
+    Scale shape: the per-query state after the top-k is k rows; the
+    vote is a (query, label) aggregation of a k·|Q|-row frame —
+    corpus-independent. At 100 TB the top-k stage dominates and
+    inherits brute-force/ANN interchangeability (any of the engine's
+    neighbor operators can feed the same vote).
+    """
+    from crypto_data_pipeline_spark.operators import similarity
+
+    nn = similarity.brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+    # the k·|Q| neighbor set is the broadcast side — the corpus labels
+    # frame streams through unshuffled (broadcasting IT would ship the
+    # whole corpus to every executor at 100 TB)
+    labeled = corpus.select(F.col(id_col), F.col(label_col).alias("_nl")).join(
+        F.broadcast(nn), id_col
+    )
+    votes = labeled.groupBy(query_id_col, "_nl").agg(
+        F.count(F.lit(1)).alias("votes"), F.max("cosine").alias("_best")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("votes").desc(), F.col("_best").desc(), F.col("_nl")
+    )
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            query_id_col,
+            F.col("_nl").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )
+    # truth lookup: semi-filter the corpus labels down to the |Q|
+    # predicted ids first (broadcast of the tiny pred-id frame), THEN
+    # broadcast the now-|Q|-row truth side into the left join
+    truth = corpus.select(
+        F.col(id_col).alias(query_id_col), F.col(label_col).alias("true_label")
+    ).join(F.broadcast(pred.select(query_id_col)), query_id_col, "left_semi")
+    return pred.join(F.broadcast(truth), query_id_col, "left").select(
+        query_id_col,
+        "pred_label",
+        "votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )

@@ -895,3 +895,76 @@ def duplicated_spans(
         )
         .select(F.col("id").alias(id_col), "span_start", "span_len")
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    seg_tokens: int = 10,
+    split_pattern: str | None = None,
+) -> DataFrame:
+    """Segment-level exact dedup — the C4 / CCNet "discard any line
+    that occurs more than once in the corpus" rule (Raffel et al. 2020
+    §2.2 dedup three-sentence spans; CCNet dedups paragraph hashes):
+    segment every document, keep only the globally FIRST occurrence of
+    each distinct normalized segment (by ``(id, position)``), and
+    reassemble the surviving text per document.
+
+    Segmentation is pluggable: ``split_pattern`` (a regex — real
+    corpora use ``'\\n'`` lines or paragraph breaks) or, for
+    newline-free text, fixed runs of ``seg_tokens`` tokens. Returns one
+    row per input document: ``(id, n_segments, n_kept, text_clean)``.
+
+    Plan shape / 100 TB: one scan → explode to segments; the global
+    first-occurrence census is ONE row_number window partitioned by the
+    normalized segment (hot segments — boilerplate lines — are exactly
+    the duplicated ones, and their window state is a per-key counter,
+    not a buffer); reassembly is one groupBy(id) whose collect_list is
+    bounded by the document's own segment count. Two shuffles total,
+    both on keys the data already provides; nothing is pairwise.
+    """
+    if split_pattern is not None:
+        segs = F.filter(
+            F.transform(F.split(F.col(text), split_pattern), lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+        joiner = "\n"
+    else:
+        toks = tokens(text)
+        starts = F.sequence(
+            F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(seg_tokens)
+        )
+        segs = F.transform(
+            starts, lambda st: F.concat_ws(" ", F.slice(toks, st + 1, seg_tokens))
+        )
+        joiner = " "
+    ex = df.select(F.col(id_col).alias("id"), F.posexplode(segs).alias("pos", "seg"))
+    w = Window.partitionBy("_key").orderBy("id", "pos")
+    flagged = ex.withColumn("_key", normalized("seg")).withColumn(
+        "_keep", F.row_number().over(w) == 1
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                joiner,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct(F.col("pos"), F.col("seg")))
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("text_clean"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_segments").cast("long").alias("n_segments"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            "text_clean",
+        )
+    )

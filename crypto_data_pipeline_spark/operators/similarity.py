@@ -1049,3 +1049,102 @@ def semantic_dedup(
             (F.coalesce("n_dominators", F.lit(0)) == 0).alias("is_kept"),
         )
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily select ``k`` of the ``pool`` most-relevant
+    candidates, each step taking the argmax of
+    ``lam * rel(c) - (1 - lam) * max_sim(c, selected)`` — the RAG-retrieval
+    re-ranker that trades raw relevance for coverage so the k results
+    are not k paraphrases of each other.
+
+    Determinism contract: candidate relevances are the 6-dp-rounded
+    cosines of ``brute_force_topk``; pairwise candidate sims are
+    6-dp-rounded in the JVM BEFORE the greedy stage; each step's score
+    is ``round(.. + 1e-9, 6)`` (the repo's tie-up nudge) with an id-asc
+    tiebreak — so the Python greedy consumes only pre-rounded doubles
+    and the whole operator hash-checks against an unrolled SQL twin.
+
+    Scale shape: stage 1 is the existing top-k (corpus never shuffles);
+    stage 2 self-joins the CANDIDATE set only — ``pool²`` rows per
+    query, corpus-independent; stage 3 is one Arrow ``applyInPandas``
+    whose per-group state is the pool-sized score table, parallel
+    across queries. The sequential part of MMR (selection is inherently
+    a chain) touches pool² kilobytes per query, never the corpus.
+    """
+    import pandas as pd
+
+    cand = brute_force_topk(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, exclude_self=exclude_self,
+    )
+    c_n = corpus.select(F.col(id_col), as_double(vec_col).alias("_v")).withColumn(
+        "_n", norm("_v")
+    )
+    cv = cand.select(query_id_col, id_col, F.col("cosine").alias("rel")).join(
+        c_n, id_col
+    )
+    a = cv.select(
+        query_id_col,
+        F.col(id_col).alias("a_id"),
+        F.col("rel").alias("rel_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = cv.select(
+        query_id_col,
+        F.col(id_col).alias("b_id"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    # a==b self rows are kept: they carry rel_a for pool-of-one groups
+    pairs = (
+        a.join(b, query_id_col)
+        .withColumn(
+            "sim",
+            F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6),
+        )
+        .select(query_id_col, "a_id", "rel_a", "b_id", "sim")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        rel: dict[int, float] = {}
+        sim: dict[tuple[int, int], float] = {}
+        for r in pdf.itertuples(index=False):
+            rel[r.a_id] = r.rel_a
+            sim[(r.a_id, r.b_id)] = r.sim
+        qid = int(pdf[query_id_col].iloc[0])
+        cands = sorted(rel)
+        selected: list[int] = []
+        out = []
+        while len(selected) < min(k, len(cands)):
+            best_s, best_c = None, None
+            for cid in cands:
+                if cid in selected:
+                    continue
+                if not selected:
+                    s = round(lam * rel[cid] + 1e-9, 6)
+                else:
+                    ms = max(sim[(cid, sel)] for sel in selected)
+                    s = round(lam * rel[cid] - (1 - lam) * ms + 1e-9, 6)
+                if best_s is None or s > best_s:
+                    best_s, best_c = s, cid
+            selected.append(best_c)
+            out.append((qid, best_c, best_s, len(selected)))
+        return pd.DataFrame(
+            out, columns=[query_id_col, id_col, "mmr_score", "rank"]
+        )
+
+    schema = f"{query_id_col} long, {id_col} long, mmr_score double, rank int"
+    return pairs.groupBy(query_id_col).applyInPandas(greedy, schema)

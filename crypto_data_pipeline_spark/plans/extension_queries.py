@@ -2890,3 +2890,185 @@ def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivfpq_topk(index, queries, books, k=5, nprobe=4)
+
+
+@register(
+    "embedding_knn_classify",
+    extra=True,
+    survey_ids=("EXT-sim",),
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 20
+),
+c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id, label,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+  FROM c, q WHERE query_id != vec_id
+),
+nn AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+votes AS (
+  SELECT query_id, label, count(*) AS votes, max(cosine) AS best
+  FROM nn GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, label AS pred_label, votes FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, best DESC, label) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT p.query_id, p.pred_label, p.votes, e.label AS true_label,
+       p.pred_label = e.label AS correct
+FROM pred p LEFT JOIN embeddings e ON e.vec_id = p.query_id
+""",
+)
+def embedding_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification (`ml/classify.knn_classify`):
+    label 20 query vectors by their 5 nearest corpus neighbors — the
+    label-by-retrieval baseline semi-supervised curation pipelines use
+    to propagate quality/domain labels onto unlabeled shards. Vote
+    tie-break is (votes desc, best-neighbor cosine desc, label asc) on
+    the 6-dp-rounded cosines, so prediction, vote count, truth join and
+    hit flag all hash-check cross-engine."""
+    from crypto_data_pipeline_spark.ml.classify import knn_classify
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_classify(embs, queries, k=5)
+
+
+@register(
+    "dedup_segments",
+    extra=True,
+    survey_ids=("EXT-dedup", "EXT-text"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents),
+st AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, greatest(len(toks) - 1, 0) + 1, 5)) AS INT) AS strt,
+         toks
+  FROM t
+),
+seg AS (
+  SELECT doc_id, CAST(strt // 5 AS INT) AS pos,
+         array_to_string(toks[strt + 1:strt + 5], ' ') AS seg
+  FROM st
+),
+flagged AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (
+           PARTITION BY regexp_replace(trim(lower(seg)), '\\s+', ' ', 'g')
+           ORDER BY doc_id, pos
+         ) = 1 AS keep
+  FROM seg
+)
+SELECT doc_id,
+       count(*) AS n_segments,
+       count(*) FILTER (WHERE keep) AS n_kept,
+       coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS text_clean
+FROM flagged GROUP BY doc_id
+""",
+)
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup (`dedup.segment_dedup`): the C4/CCNet
+    "drop any repeated line" rule over 5-token runs — keep only the
+    corpus-global first occurrence of each distinct segment, reassemble
+    the surviving text per document. One row_number census over the
+    segment key + one per-doc reassembly groupBy; exact cross-engine
+    hash including the rebuilt text."""
+    return dedup.segment_dedup(_docs(spark, sf_dir), seg_tokens=5)
+
+
+@register(
+    "embedding_mmr_topk",
+    extra=True,
+    survey_ids=("EXT-sim",),
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS rel
+  FROM c, q WHERE query_id != vec_id
+),
+cand AS (
+  SELECT query_id, vec_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= 8
+),
+pairs AS (
+  SELECT ca.query_id, ca.vec_id AS a_id, cb.vec_id AS b_id,
+         round(list_dot_product(va.cv, vb.cv)
+               / (sqrt(list_dot_product(va.cv, va.cv)) * sqrt(list_dot_product(vb.cv, vb.cv))), 6) AS sim
+  FROM cand ca
+  JOIN cand cb ON cb.query_id = ca.query_id
+  JOIN c va ON va.vec_id = ca.vec_id
+  JOIN c vb ON vb.vec_id = cb.vec_id
+),
+s1 AS (SELECT query_id, vec_id, round(0.5 * rel + 1e-9, 6) AS score FROM cand),
+sel1 AS (
+  SELECT query_id, vec_id, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM s1
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(0.5 * cand.rel - 0.5 * p.sim + 1e-9, 6) AS score
+  FROM cand
+  JOIN sel1 ON sel1.query_id = cand.query_id AND cand.vec_id <> sel1.vec_id
+  JOIN pairs p ON p.query_id = cand.query_id AND p.a_id = cand.vec_id AND p.b_id = sel1.vec_id
+),
+sel2 AS (
+  SELECT query_id, vec_id, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM s2
+  ) WHERE rn = 1
+),
+s3 AS (
+  SELECT cand.query_id, cand.vec_id,
+         round(0.5 * cand.rel - 0.5 * greatest(p1.sim, p2.sim) + 1e-9, 6) AS score
+  FROM cand
+  JOIN sel1 ON sel1.query_id = cand.query_id AND cand.vec_id <> sel1.vec_id
+  JOIN sel2 ON sel2.query_id = cand.query_id AND cand.vec_id <> sel2.vec_id
+  JOIN pairs p1 ON p1.query_id = cand.query_id AND p1.a_id = cand.vec_id AND p1.b_id = sel1.vec_id
+  JOIN pairs p2 ON p2.query_id = cand.query_id AND p2.a_id = cand.vec_id AND p2.b_id = sel2.vec_id
+),
+sel3 AS (
+  SELECT query_id, vec_id, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn FROM s3
+  ) WHERE rn = 1
+)
+SELECT query_id, vec_id, score AS mmr_score, CAST(rk AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, score, 1 AS rk FROM sel1
+  UNION ALL SELECT query_id, vec_id, score, 2 FROM sel2
+  UNION ALL SELECT query_id, vec_id, score, 3 FROM sel3
+)
+""",
+)
+def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified retrieval
+    (`similarity.mmr_topk`, Carbonell & Goldstein 1998): top-3 of an
+    8-candidate pool per query at lambda=0.5. The greedy chain runs in
+    one Arrow `applyInPandas` over pool-sized per-query state; because
+    every input (relevance, pairwise sims) is pre-rounded in the JVM
+    and lambda=0.5 is exactly representable, the selection unrolls to
+    a 3-step DuckDB twin that hash-matches step scores exactly."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.mmr_topk(embs, queries, k=3, pool=8, lam=0.5)

@@ -506,3 +506,116 @@ def test_incremental_ingest_admits_only_novel(spark, sf_dir):
     assert m["n_exchanges"] <= 1, "store must not shuffle"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_segment_dedup_keeps_global_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta eps shared one two three four"),
+            (2, "shared one two three four unique five six seven eight"),
+            (3, "shared one two three four"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.segment_dedup(docs, seg_tokens=5).collect()
+    }
+    # doc 1 owns both its segments (first occurrence of "shared one two
+    # three four" by (id, pos) order)
+    assert (out[1].n_segments, out[1].n_kept) == (2, 2)
+    assert out[1].text_clean == "alpha beta gamma delta eps shared one two three four"
+    # doc 2 loses its first segment to doc 1, keeps its unique tail
+    assert (out[2].n_segments, out[2].n_kept) == (2, 1)
+    assert out[2].text_clean == "unique five six seven eight"
+    # doc 3 is entirely boilerplate → empty reassembly
+    assert (out[3].n_segments, out[3].n_kept) == (1, 0)
+    assert out[3].text_clean == ""
+
+
+def test_segment_dedup_line_mode(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\nboilerplate footer"),
+            (2, "other line\nboilerplate footer"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.segment_dedup(docs, split_pattern="\n").collect()
+    }
+    assert out[1].text_clean == "keep me\nboilerplate footer"
+    assert out[2].text_clean == "other line"
+    assert out[2].n_kept == 1
+
+
+def test_knn_classify_majority_vote(spark):
+    from crypto_data_pipeline_spark.ml.classify import knn_classify
+
+    # two tight clusters on orthogonal axes; the query id 0 sits in
+    # cluster A (label 7) — 3 of its 5 neighbors must be label 7
+    rows = [(0, [1.0, 0.05, 0.0], 7)]
+    rows += [(i, [1.0, 0.01 * i, 0.0], 7) for i in range(1, 4)]
+    rows += [(i, [0.0, 1.0, 0.01 * i], 9) for i in range(4, 10)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    queries = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = knn_classify(corpus, queries, k=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.pred_label, r.votes, r.true_label, r.correct) == (7, 3, 7, True)
+
+
+def test_mmr_diversifies_vs_pure_relevance(spark):
+    # corpus: a near-duplicate pair most relevant to the query plus a
+    # moderately-relevant diverse vector. Pure top-2 takes the dup pair
+    # (2 then 1); MMR at lambda=0.5 must swap the dup out for 4
+    # (verified closed-form: step-2 scores 1→-0.0278, 3→0.0315,
+    # 4→0.0879).
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.045, 0.0]),   # near-dup of 1
+            (3, [0.5, 0.0, 0.866]),
+            (4, [0.6, 0.75, 0.0]),      # diverse, still relevant
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.9, 0.3, 0.1])], "query_id long, embedding array<double>"
+    )
+    got = sorted(
+        similarity.mmr_topk(
+            corpus, queries, k=2, pool=4, lam=0.5, exclude_self=False
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    exact = sorted(
+        similarity.brute_force_topk(
+            corpus, queries, k=2, exclude_self=False
+        ).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.vec_id for r in exact] == [2, 1]          # relevance-only picks the dup pair
+    assert got[0].vec_id == 2                            # MMR step 1 = most relevant
+    assert got[1].vec_id == 4                            # step 2 trades relevance for diversity
+    assert got[0].rank == 1 and got[1].rank == 2
+
+
+def test_mmr_pool_smaller_than_k(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(9, [1.0, 0.1])], "query_id long, embedding array<double>"
+    )
+    got = similarity.mmr_topk(
+        corpus, queries, k=5, pool=10, lam=0.5, exclude_self=False
+    ).collect()
+    assert len(got) == 2                                 # selection stops at the pool
+    assert sorted(r.rank for r in got) == [1, 2]

@@ -49,6 +49,8 @@ BNLJ_OK = {
     "nb_lang_classifier",          # classes-row prior frame (5 rows) + 1-row vocab/total frames
     "vocab_coverage",              # 1-row corpus-token-total frame
     "embedding_pq_topk",           # 10 query distance-tables (m×k doubles each) broadcast
+    "embedding_knn_classify",      # 20 query vectors broadcast (brute-force top-k stage)
+    "embedding_mmr_topk",          # 10 query vectors broadcast (candidate top-k stage)
 }
 
 # Arrow-batched Python (mapInPandas / applyInPandas / pandas UDF) is a
@@ -62,6 +64,7 @@ ARROW_OK = {
     "model_comparison", "model_comparison_sanity",  # Spark ML internals
     "linear_ridge_closed_form",
     "doc_chunks_udtf",             # ArrowEvalPythonUDTF — the §2.10 table-function surface
+    "embedding_mmr_topk",          # greedy MMR chain: applyInPandas over pool-sized groups
 }
 
 
