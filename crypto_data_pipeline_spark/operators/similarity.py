@@ -430,6 +430,38 @@ def _cell_scores(vec: Column, centers: Column) -> Column:
     )
 
 
+def _assign_cells(c_n: DataFrame, centers: list[list[float]], id_col: str) -> DataFrame:
+    """Vectorized (id, _cv, _cell) assignment: numpy squared-L2 argmin
+    against the centroid matrix inside one Arrow ``mapInPandas`` — the
+    same fix as ``pq_encode`` for the interpreted-HOF-per-row trap
+    (the expression formulation costs ~1 ms/row at 16 cells × 64 dims;
+    the PROBE side keeps the expression because query batches are
+    tiny). Sequential float64 sums over the dims plus argmin's
+    first-minimum rule reproduce the (dist, cell)-asc tie-break; the
+    cell choice itself has O(0.1) margins vs ~1e-15 formulation noise
+    (see build_fixed_ivf_index), so assignment is engine-stable."""
+    import numpy as np
+
+    C = np.asarray(centers, dtype=np.float64)
+    idt = c_n.schema[id_col].dataType.simpleString()
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vs = np.stack(pdf["_cv"].to_numpy())
+            dists = np.empty((len(pdf), len(C)), dtype=np.float64)
+            for ci in range(len(C)):
+                dists[:, ci] = np.square(vs - C[ci][None, :]).sum(axis=1)
+            out = pdf[[id_col, "_cv"]].copy()
+            out["_cell"] = dists.argmin(axis=1).astype("int32")
+            yield out
+
+    return c_n.select(id_col, "_cv").mapInPandas(
+        assign, f"{id_col} {idt}, _cv array<double>, _cell int"
+    )
+
+
 def build_fixed_ivf_index(
     corpus: DataFrame,
     centroid_ids: list[int],
@@ -467,19 +499,16 @@ def build_fixed_ivf_index(
         centers.append([x / n for x in v])
 
     c_n = _unit_normed(corpus, id_col, vec_col).withColumnRenamed("_v", "_cv")
-    cell = F.element_at(F.array_sort(_cell_scores(F.col("_cv"), _centers_expr(centers))), 1)[
-        "_cell"
-    ]
-    # persisted like the KMeans build — besides probe amortization, the
-    # InMemoryRelation is load-bearing: left lazy, `_cell` stays an
-    # EXPRESSION over `_cv`, and a probe join on it lets
-    # InferFiltersFromConstraints push an f(_cv)-shaped predicate into
-    # the query branch where _cv does not exist (an invalid `!Filter`
-    # in the optimized plan → INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at
-    # runtime, bisected via ivfpq_topk). The cache barrier makes
-    # `_cell` a stored column, which is also the honest physical model
-    # — an index is materialized state, not a recomputed view.
-    assigned = c_n.withColumn("_cell", cell).select(id_col, "_cv", "_cell").persist()
+    # Arrow-vectorized assignment (see _assign_cells); persisted like
+    # the KMeans build — an index is materialized state, not a
+    # recomputed view, and repeated probes must not re-pay the assign.
+    # (Historical note: when `_cell` was a lazy EXPRESSION over `_cv`,
+    # a probe join on it let InferFiltersFromConstraints push an
+    # f(_cv)-shaped predicate into the query branch where _cv does not
+    # exist — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime, bisected
+    # via ivfpq_topk. The mapInPandas boundary now also blocks that
+    # structurally.)
+    assigned = _assign_cells(c_n, centers, id_col).persist()
     return IvfIndex(assigned=assigned, centers=centers, id_col=id_col, seed=-1)
 
 
@@ -853,40 +882,75 @@ def _sq_dist(a: Column, b: Column) -> Column:
     return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
 
 
-def _pq_codes(u: Column | str, books: list[list[list[float]]]) -> Column:
-    """codes array<int> for a unit-normalized vector column: per
-    subspace, the (distance, code)-argmin sub-codebook entry."""
-    d = len(books[0][0])
-    u = F.col(u) if isinstance(u, str) else u
-    return F.transform(
-        _books_expr(books),
-        lambda book, j: F.element_at(
-            F.array_sort(
-                F.transform(
-                    book,
-                    lambda c: F.struct(
-                        _sq_dist(F.slice(u, j * d + 1, d), c["_ctr"]).alias("_d"),
-                        c["_code"].alias("_code"),
-                    ),
-                )
-            ),
-            1,
-        )["_code"],
-    )
-
-
 def pq_encode(
     corpus: DataFrame,
     books: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    unit: bool = False,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as its per-subspace argmin codes:
-    ``(id, codes array<int>)``, ties broken code-asc. One scan, zero
-    shuffle, all codegen — the encode is the PQ index build, run once
-    per ingest batch; at rest the codes column is m bytes/vector."""
-    u = _unit_normed(corpus, id_col, vec_col)
-    return u.select(id_col, _pq_codes("_v", books).alias("codes"))
+    ``(id, *keep, codes array<int>)``, ties broken code-asc. One scan,
+    zero shuffle — the encode is the PQ index build, run once per
+    ingest batch; at rest the codes column is m bytes/vector.
+
+    The distance grid is computed with vectorized numpy inside one
+    Arrow ``mapInPandas`` (the FAISS `add()` design): per subspace,
+    one (batch × codes × dims) squared-diff reduction. The reduction
+    is a sequential float64 add over the d sub-dimensions (numpy sums
+    axes under 128 elements sequentially), bit-identical to the
+    JVM/DuckDB left fold, and ``argmin``'s first-minimum rule IS the
+    (dist, code)-asc tie-break — so the codes hash-match the DuckDB
+    twin exactly. An earlier pure-expression formulation put the whole
+    m×k×d grid in ONE nested higher-order function; Catalyst evaluates
+    those interpreted, per row (~30 ms/row measured at m=8, k=16 —
+    hours per million vectors). Encoding is the only stage of PQ that
+    touches every corpus float, so it is exactly the stage that must
+    be vectorized.
+
+    ``unit=True`` declares ``vec_col`` already L2-normalized (e.g. an
+    IVF index's ``_cv``) — re-normalizing an already-unit vector is
+    not a bitwise no-op and would break cross-engine parity. ``keep``
+    carries extra columns (e.g. the IVF cell) through the encode.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m, k, d = len(books), len(books[0]), len(books[0][0])
+    cb = np.asarray(books, dtype=np.float64)  # (m, k, d)
+
+    base = corpus.select(
+        F.col(id_col), *[F.col(c) for c in keep], as_double(vec_col).alias("_r")
+    )
+    if unit:
+        src = base.withColumnRenamed("_r", "_v")
+    else:
+        src = base.withColumn("_nrm", norm(F.col("_r"))).select(
+            id_col, *keep, F.transform("_r", lambda x: x / F.col("_nrm")).alias("_v")
+        )
+    out_schema = ", ".join(
+        [f"{id_col} {src.schema[id_col].dataType.simpleString()}"]
+        + [f"{c} {src.schema[c].dataType.simpleString()}" for c in keep]
+        + ["codes array<int>"]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vs = np.stack(pdf["_v"].to_numpy())  # (n, m*d) float64
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                diff = vs[:, j * d : (j + 1) * d][:, None, :] - cb[j][None, :, :]
+                codes[:, j] = np.square(diff).sum(axis=2).argmin(axis=1)
+            out = {id_col: pdf[id_col]}
+            for c in keep:
+                out[c] = pdf[c]
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(encode, out_schema)
 
 
 def _pq_dist_table(u: Column | str, books: list[list[list[float]]]) -> Column:
@@ -982,7 +1046,11 @@ def ivfpq_topk(
     from pyspark.sql import Window
 
     idc = index.id_col
-    enc = index.assigned.select(idc, "_cell", _pq_codes("_cv", books).alias("codes"))
+    # _cv is the index's stored unit-normalized vector; unit=True keeps
+    # the encode bit-compatible with the oracle's once-normalized form
+    enc = pq_encode(
+        index.assigned, books, id_col=idc, vec_col="_cv", unit=True, keep=("_cell",)
+    )
     q_n = _unit_normed(queries, query_id_col, vec_col).withColumnRenamed("_v", "_qv")
     probes = F.slice(
         F.array_sort(_cell_scores(F.col("_qv"), _centers_expr(index.centers))), 1, nprobe

@@ -2789,8 +2789,8 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     compressed embedding format (8 bytes vs 256 per vector). Integer
     argmin output makes this an exact cross-engine hash check of the
     encoder; the fixed data-derived codebook is the same determinism
-    trick as `embedding_ann_ivf_fixed`. One scan, zero shuffle, all
-    codegen."""
+    trick as `embedding_ann_ivf_fixed`. One scan, zero shuffle,
+    Arrow-vectorized numpy distance grid."""
     embs = _embs(spark, sf_dir)
     books = similarity.build_fixed_pq_codebook(embs, list(range(16)), m=8)
     return similarity.pq_encode(embs, books)

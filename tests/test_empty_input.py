@@ -39,6 +39,9 @@ EXCUSED: dict[str, type[BaseException]] = {
     "embedding_ann_ivf_fixed": ValueError,  # centroids = vec_id 0..15, absent
     "semantic_dedup": ValueError,           # fixed quantizer, same centroids
     "cluster_balanced_sample": ValueError,  # fixed quantizer, same centroids
+    "embedding_pq_codes": ValueError,       # fixed PQ codebook, same seed rows
+    "embedding_pq_topk": ValueError,        # same codebook contract
+    "embedding_ann_ivfpq": ValueError,      # fixed quantizer + codebook
     "linear_ridge_closed_form": Py4JJavaError,  # Spark ML fit needs rows
     "model_comparison_sanity": Py4JJavaError,   # same fit underneath
     "gbt_closed_form": IllegalArgumentException,  # tree fit needs rows

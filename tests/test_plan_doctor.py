@@ -65,6 +65,11 @@ ARROW_OK = {
     "linear_ridge_closed_form",
     "doc_chunks_udtf",             # ArrowEvalPythonUDTF — the §2.10 table-function surface
     "embedding_mmr_topk",          # greedy MMR chain: applyInPandas over pool-sized groups
+    "embedding_pq_codes",          # vectorized numpy PQ encode (mapInPandas)
+    "embedding_pq_topk",           # same encode feeding the ADC scan
+    "embedding_ann_ivfpq",         # same encode over the IVF-assigned corpus
+    "embedding_ann_ivf_fixed",     # vectorized numpy cell assignment (mapInPandas)
+    "cluster_balanced_sample",     # same fixed-quantizer assignment
 }
 
 
