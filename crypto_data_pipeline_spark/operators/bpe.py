@@ -1,0 +1,142 @@
+"""Byte-pair-encoding vocabulary learning as DataFrame algebra.
+
+The tokenizer-training step of an LLM data pipeline (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units"):
+repeatedly merge the most frequent adjacent symbol pair. The classic
+implementation runs on a word-frequency dictionary, not the corpus —
+and that is exactly the distributed shape here:
+
+  * ONE corpus-sized shuffle builds the (word, freq) table; at 100 TB
+    the corpus is touched once and never again.
+  * Every merge iteration then runs on the vocab-sized symbol table
+    (unique words x word length), partitioned by word — each step is
+    a lead/lag window pass plus a tiny pair-count aggregation, with
+    the Exchange on `word` reused across all window passes.
+  * The per-step argmax is a 1-row collect (the learned merge rule —
+    model state, not data).
+
+Greedy left-to-right merge application over overlapping matches
+("aaa" + (a,a) -> ["aa", "a"]) is the sequential-looking part, and it
+is expressed as the gaps-and-islands trick: runs of consecutive
+matching positions are islands, and within each island the even
+offsets are the non-overlapping matches. Both engines (Spark and the
+DuckDB oracle, see plans/extension_queries.py) run the identical
+window algebra, so vocabulary learning hash-checks end to end despite
+being inherently iterative.
+
+No UDFs anywhere: pair counting, island grouping, and sequence
+rebuild are all JVM window/aggregate expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from crypto_data_pipeline_spark.operators.text import tokens
+
+
+def word_frequencies(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(word, freq): the only corpus-sized job in the whole learner."""
+    return (
+        docs.select(F.explode(tokens(text)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def initial_symbols(words: DataFrame) -> DataFrame:
+    """Exploded char-level start state: (word, freq, pos, sym)."""
+    return (
+        words.select(
+            "word",
+            "freq",
+            F.posexplode(F.split(F.col("word"), "")).alias("pos", "sym"),
+        )
+        # guard against engines that emit a trailing '' on empty-regex
+        # split; the filter keeps positions dense either way
+        .where(F.col("sym") != "")
+    )
+
+
+def top_pair(syms: DataFrame) -> tuple[str, str, int] | None:
+    """Most frequent adjacent pair, tie-broken (count DESC, l, r) so
+    the learned vocabulary is deterministic across engines."""
+    w = Window.partitionBy("word").orderBy("pos")
+    rows = (
+        syms.withColumn("nxt", F.lead("sym").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy("sym", "nxt")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("sym").asc(), F.col("nxt").asc())
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        return None
+    r = rows[0]
+    return (r["sym"], r["nxt"], r["cnt"])
+
+
+def apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy non-overlapping replacement of (left, right) -> left||right
+    in every word's symbol sequence — islands over match positions."""
+    w = Window.partitionBy("word").orderBy("pos")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    matched = F.coalesce(
+        (F.col("sym") == left) & (F.lead("sym").over(w) == right), F.lit(False)
+    )
+    df = syms.withColumn("mt", matched)
+    df = df.withColumn(
+        "grp", F.col("pos") - F.sum(F.col("mt").cast("int")).over(cum)
+    )
+    wrun = Window.partitionBy("word", "mt", "grp").orderBy("pos")
+    df = df.withColumn(
+        "sel",
+        F.when(F.col("mt"), (F.row_number().over(wrun) - 1) % 2 == 0).otherwise(
+            F.lit(False)
+        ),
+    )
+    df = df.withColumn("absorbed", F.coalesce(F.lag("sel").over(w), F.lit(False)))
+    return (
+        df.where(~F.col("absorbed"))
+        .select(
+            "word",
+            "freq",
+            (F.row_number().over(w) - 1).alias("pos"),
+            F.when(F.col("sel"), F.lit(left + right)).otherwise(F.col("sym")).alias("sym"),
+        )
+    )
+
+
+def learn_bpe(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = 3,
+    text: str = "text",
+) -> tuple[list[dict], DataFrame]:
+    """Run `n_merges` BPE iterations; returns (merge table rows, final
+    symbol frame). The final frame is persisted (vocab-sized — it is
+    the fitted tokenizer state, the analogue of the ANN index cache);
+    intermediate generations are materialized then released."""
+    syms = initial_symbols(word_frequencies(docs, text)).persist()
+    merges: list[dict] = []
+    for step in range(1, n_merges + 1):
+        best = top_pair(syms)
+        if best is None:
+            break
+        left, right, cnt = best
+        nxt = apply_merge(syms, left, right).persist()
+        nxt.count()  # materialize the child before dropping the parent
+        syms.unpersist()
+        syms = nxt
+        merges.append(
+            {
+                "step": step,
+                "left_sym": left,
+                "right_sym": right,
+                "merged": left + right,
+                "pair_freq": int(cnt),
+            }
+        )
+    return merges, syms

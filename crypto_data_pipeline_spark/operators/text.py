@@ -531,3 +531,65 @@ def vocab_coverage(df: DataFrame, text: str = "text") -> DataFrame:
         )
         .select("term", "tf", "rank", "cum_share")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k ranked retrieval for a fixed term query
+    (Robertson & Zaragoza 2009, §3.3):
+
+      score(d) = sum_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+                 * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Plan shape at 100 TB: the corpus is scanned once; the only
+    corpus-sized shuffle is the (doc, term) tf aggregation PRE-FILTERED
+    to the |Q| query terms (map-side combine absorbs everything else).
+    df_t is a |Q|-row broadcast, (N, avgdl) a 1-row broadcast, and the
+    final top-k is orderBy+limit = TakeOrderedAndProject (per-partition
+    heaps, no global sort partition)."""
+    toks = tokens(text)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_tk"))
+    lens = base.select("doc_id", F.size("_tk").alias("dl"))
+    totals = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", F.explode("_tk").alias("term"))
+        .where(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "contrib",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            )
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -3072,3 +3072,193 @@ def embedding_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.mmr_topk(embs, queries, k=3, pool=8, lam=0.5)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py)
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    """The DuckDB unrolling of `bpe.learn_bpe`: each merge step is the
+    identical window algebra the Spark side runs (pair-count argmax,
+    match islands, even-offset selection, sequence rebuild), so the
+    inherently iterative learner hash-checks end to end."""
+    parts = [
+        f"""
+words AS (
+  SELECT t AS word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({TOKENS_SQL}) AS t FROM documents)
+  WHERE t <> ''
+  GROUP BY 1
+),
+syms0 AS (
+  SELECT word, freq,
+         unnest(range(len(string_split(word, '')))) AS pos,
+         unnest(string_split(word, '')) AS sym
+  FROM words
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(
+            f"""
+pc{k} AS (
+  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT sym AS l,
+               lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r,
+               freq
+        FROM syms{p})
+  WHERE r IS NOT NULL GROUP BY 1, 2
+),
+m{k} AS (
+  SELECT l, r, l || r AS merged, cnt FROM pc{k} ORDER BY cnt DESC, l, r LIMIT 1
+),
+a{k} AS (
+  SELECT word, freq, pos, sym,
+         coalesce(sym = (SELECT l FROM m{k})
+                  AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                      = (SELECT r FROM m{k}),
+                  false) AS mt
+  FROM syms{p}
+),
+b{k} AS (
+  SELECT *, pos - sum(CASE WHEN mt THEN 1 ELSE 0 END)
+                OVER (PARTITION BY word ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM a{k}
+),
+c{k} AS (
+  SELECT *, CASE WHEN mt
+                 THEN (row_number() OVER (PARTITION BY word, mt, grp ORDER BY pos) - 1) % 2 = 0
+                 ELSE false END AS sel
+  FROM b{k}
+),
+d{k} AS (
+  SELECT *, coalesce(lag(sel) OVER (PARTITION BY word ORDER BY pos), false) AS absorbed
+  FROM c{k}
+),
+syms{k} AS (
+  SELECT word, freq,
+         row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         CASE WHEN sel THEN (SELECT merged FROM m{k}) ELSE sym END AS sym
+  FROM d{k} WHERE NOT absorbed
+)"""
+        )
+    return "WITH " + ",".join(parts)
+
+
+_BPE_N_MERGES = 3
+
+
+def _bpe_learn_oracle(n: int) -> str:
+    steps = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS step, l AS left_sym, r AS right_sym, "
+        f"merged, cnt AS pair_freq FROM m{k}"
+        for k in range(1, n + 1)
+    )
+    return f"{_bpe_ctes(n)}\n{steps}"
+
+
+def _bpe_token_freq_oracle(n: int) -> str:
+    return f"""{_bpe_ctes(n)}
+SELECT sym AS token, CAST(sum(freq) AS BIGINT) AS total_freq
+FROM syms{n} GROUP BY 1
+"""
+
+
+@register(
+    "bpe_learn_merges",
+    extra=True,
+    survey_ids=("EXT-text",),
+    oracle=_bpe_learn_oracle(_BPE_N_MERGES),
+)
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary learning (Sennrich et al. 2016) on the documents
+    corpus: 3 merge iterations, output = the learned merge table. One
+    corpus-sized shuffle (word frequencies); every iteration is
+    vocab-sized window algebra on `word` with a 1-row argmax collect
+    (the model state). Greedy overlapping-match application is the
+    gaps-and-islands trick, identical in the DuckDB unrolling — the
+    engine's second iterative operator with a full value-level oracle
+    (after embedding_mmr_topk)."""
+    from crypto_data_pipeline_spark.operators import bpe
+
+    merges, syms = bpe.learn_bpe(spark, _docs(spark, sf_dir), n_merges=_BPE_N_MERGES)
+    syms.unpersist()
+    return spark.createDataFrame(
+        [
+            (m["step"], m["left_sym"], m["right_sym"], m["merged"], m["pair_freq"])
+            for m in merges
+        ],
+        schema="step int, left_sym string, right_sym string, merged string, pair_freq long",
+    )
+
+
+@register(
+    "bpe_token_freq",
+    extra=True,
+    survey_ids=("EXT-text",),
+    oracle=_bpe_token_freq_oracle(_BPE_N_MERGES),
+)
+def bpe_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-with-the-learned-vocab: the post-merge symbol frequency
+    table (token, total corpus occurrences) after the same 3 BPE
+    iterations — the artifact a tokenizer build hands to vocab_coverage.
+    The final symbol frame stays persisted (vocab-sized fitted state,
+    like the ANN index caches)."""
+    from crypto_data_pipeline_spark.operators import bpe
+
+    _, syms = bpe.learn_bpe(spark, _docs(spark, sf_dir), n_merges=_BPE_N_MERGES)
+    return (
+        syms.groupBy("sym")
+        .agg(F.sum("freq").alias("total_freq"))
+        .select(F.col("sym").alias("token"), "total_freq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (operators/text.py)
+
+_BM25_TERMS = ("spark", "table", "hash", "window")
+
+
+@register(
+    "bm25_retrieval",
+    extra=True,
+    survey_ids=("EXT-text", "EXT-sim"),
+    oracle=f"""
+WITH base AS (SELECT doc_id, {TOKENS_SQL} AS tk FROM documents),
+lens AS (SELECT doc_id, len(tk) AS dl FROM base),
+totals AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM lens),
+tf AS (
+  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS t FROM base)
+  WHERE t IN {_BM25_TERMS}
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1 + (totals.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / totals.avgdl)) AS contrib
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN totals
+)
+SELECT doc_id, round(sum(contrib), 6) AS bm25
+FROM scored GROUP BY 1
+ORDER BY bm25 DESC, doc_id LIMIT 15
+""",
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (Robertson & Zaragoza 2009) top-15 documents for a
+    4-term query (k1=1.2, b=0.75): the lexical-retrieval half of a
+    curation/RAG stack next to the embedding ANN paths. Term stats are
+    a |Q|-row broadcast, corpus totals a 1-row broadcast, and the
+    top-k is TakeOrderedAndProject — no global sort, no corpus-sized
+    shuffle beyond the tf aggregation."""
+    from crypto_data_pipeline_spark.operators.text import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), list(_BM25_TERMS), k=15)
