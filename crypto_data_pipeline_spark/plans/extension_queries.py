@@ -3262,3 +3262,89 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_spark.operators.text import bm25_topk
 
     return bm25_topk(_docs(spark, sf_dir), list(_BM25_TERMS), k=15)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (operators/sketch.py)
+
+_CMS_TERMS = ("table", "spark", "merge", "the", "zz_absent")
+_CMS_DEPTH, _CMS_WIDTH, _CMS_SEED = 3, 64, 11
+
+
+def _cms_oracle() -> str:
+    from crypto_data_pipeline_spark.operators.dedup import (
+        PORTABLE_MOD,
+        portable_minhash_params,
+    )
+
+    params = portable_minhash_params(_CMS_DEPTH, _CMS_SEED)
+    a_lit = "[" + ", ".join(str(a) for a, _ in params) + "]"
+    b_lit = "[" + ", ".join(str(b) for _, b in params) + "]"
+    poly = "(h, x) -> (h * 131 + x) % 2147483647"
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split({col}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"{poly})"
+    )
+    terms_sql = "[" + ", ".join(f"'{t}'" for t in _CMS_TERMS) + "]"
+    in_list = ", ".join(f"'{t}'" for t in _CMS_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT t FROM (SELECT unnest({TOKENS_SQL}) AS t FROM documents) WHERE t <> ''
+),
+hashed AS (SELECT {fold.format(col='t')} AS h FROM toks),
+cells AS (
+  SELECT j, (h * ({a_lit})[j + 1] + ({b_lit})[j + 1]) % {PORTABLE_MOD} % {_CMS_WIDTH} AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM hashed, unnest(range({_CMS_DEPTH})) AS g(j)
+  GROUP BY 1, 2
+),
+probes AS (SELECT unnest({terms_sql}) AS term),
+pb AS (
+  SELECT term,
+         j,
+         ({fold.format(col='term')} * ({a_lit})[j + 1] + ({b_lit})[j + 1])
+           % {PORTABLE_MOD} % {_CMS_WIDTH} AS bucket
+  FROM probes, unnest(range({_CMS_DEPTH})) AS g(j)
+),
+est AS (
+  SELECT term, min(coalesce(c, CAST(0 AS BIGINT))) AS cms_estimate
+  FROM pb LEFT JOIN cells USING (j, bucket) GROUP BY 1
+),
+exact AS (
+  SELECT t AS term, CAST(count(*) AS BIGINT) AS exact_freq
+  FROM toks WHERE t IN ({in_list}) GROUP BY 1
+)
+SELECT term,
+       coalesce(exact_freq, CAST(0 AS BIGINT)) AS exact_freq,
+       cms_estimate,
+       cms_estimate - coalesce(exact_freq, CAST(0 AS BIGINT)) AS overcount
+FROM est LEFT JOIN exact USING (term)
+"""
+
+
+@register(
+    "cms_token_estimates",
+    extra=True,
+    survey_ids=("EXT-text", "EXT-olap"),
+    oracle=_cms_oracle(),
+)
+def cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries (Cormode & Muthukrishnan 2005,
+    `operators/sketch.py`): a 3x64 counter grid built in ONE token
+    aggregation whose shuffle is bounded by depth*width keys (map-side
+    combine collapses each task to <=192 rows at any corpus size),
+    probed for 5 terms — one deliberately absent — with the exact
+    counts alongside. Portable polynomial hashes make the whole lossy
+    sketch hash-check against DuckDB; overcount >= 0 is the CM
+    guarantee."""
+    from crypto_data_pipeline_spark.operators.sketch import cms_point_estimates
+
+    return cms_point_estimates(
+        spark,
+        _docs(spark, sf_dir),
+        list(_CMS_TERMS),
+        depth=_CMS_DEPTH,
+        width=_CMS_WIDTH,
+        seed=_CMS_SEED,
+    )

@@ -1,0 +1,93 @@
+"""BPE learner vs a pure-Python reference implementation.
+
+The catalog oracle (test_catalog_oracle) proves Spark == DuckDB on the
+real corpus, but the word-soup test data never produces overlapping
+pair matches ("aaa" + merge (a,a)) — the one place the greedy
+left-to-right semantics and the islands-trick encoding could diverge.
+These tests drive exactly those cases against the textbook sequential
+algorithm (Sennrich et al. 2016, alg. 1)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from crypto_data_pipeline_spark.operators import bpe
+
+
+def _ref_apply(syms: list[str], left: str, right: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_learn(word_freq: dict[str, int], n_merges: int):
+    syms = {w: list(w) for w in word_freq}
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, f in word_freq.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((left, right, cnt))
+        syms = {w: _ref_apply(s, left, right) for w, s in syms.items()}
+    return merges, syms
+
+
+def _spark_words(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+
+
+def _collect_syms(df):
+    rows = df.orderBy("word", "pos").collect()
+    out: dict[str, list[str]] = {}
+    for r in rows:
+        out.setdefault(r["word"], []).append(r["sym"])
+    return out
+
+
+def test_apply_merge_overlapping_runs(spark):
+    """aaaa -> [aa, aa]; aaa -> [aa, a]; banana (a,n) -> [b, an, an, a]."""
+    docs = _spark_words(spark, ["aaaa aaa banana"])
+    syms = bpe.initial_symbols(bpe.word_frequencies(docs))
+    m_aa = _collect_syms(bpe.apply_merge(syms, "a", "a"))
+    assert m_aa["aaaa"] == ["aa", "aa"]
+    assert m_aa["aaa"] == ["aa", "a"]
+    assert m_aa["banana"] == ["b", "a", "n", "a", "n", "a"]
+    m_an = _collect_syms(bpe.apply_merge(syms, "a", "n"))
+    assert m_an["banana"] == ["b", "an", "an", "a"]
+    assert m_an["aaaa"] == ["a", "a", "a", "a"]
+
+
+def test_learn_matches_reference_on_pathological_words(spark):
+    texts = ["aaaa aaa aa banana bananana abab ababab",
+             "aaaa banana abab abab aaa aaa"]
+    word_freq: Counter = Counter(w for t in texts for w in t.split())
+    ref_merges, ref_syms = _ref_learn(dict(word_freq), 4)
+
+    docs = _spark_words(spark, texts)
+    merges, syms_df = bpe.learn_bpe(spark, docs, n_merges=4)
+    got_syms = _collect_syms(syms_df)
+    syms_df.unpersist()
+
+    assert [(m["left_sym"], m["right_sym"], m["pair_freq"]) for m in merges] == ref_merges
+    assert got_syms == {w: s for w, s in ref_syms.items()}
+
+
+def test_learn_stops_when_no_pairs_left(spark):
+    docs = _spark_words(spark, ["a b c"])
+    merges, syms_df = bpe.learn_bpe(spark, docs, n_merges=5)
+    syms_df.unpersist()
+    assert merges == []

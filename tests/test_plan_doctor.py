@@ -37,6 +37,7 @@ BNLJ_OK = {
     "boilerplate_ratio",           # 1-row fingerprint-total frame
     "value_histogram",             # 1-row min/max bounds frame
     "quality_unigram_logprob",     # 1-row vocab-total + tercile-bounds frames
+    "bm25_retrieval",              # 1-row (N, avgdl) corpus-totals frame
     "mix_temperature_sampling",    # 1-row census-totals frame
     "pack_token_budget",
     "dedup_minhash_portable",      # broadcast candidate-id prune
@@ -70,6 +71,7 @@ ARROW_OK = {
     "embedding_ann_ivfpq",         # same encode over the IVF-assigned corpus
     "embedding_ann_ivf_fixed",     # vectorized numpy cell assignment (mapInPandas)
     "cluster_balanced_sample",     # same fixed-quantizer assignment
+    "semantic_dedup",              # same fixed-quantizer assignment
 }
 
 
