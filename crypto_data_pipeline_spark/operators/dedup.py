@@ -968,3 +968,117 @@ def segment_dedup(
             "text_clean",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter-accelerated incremental ingest
+
+BLOOM_SEED = 23
+
+
+def _bloom_positions(text: str, m_bits: int, k: int) -> Column:
+    """k bloom bit positions for a document's normalized content:
+    the engine-portable polynomial char fold (the family doc_winnowing
+    / simhash_pairs_portable prove bit-identical in DuckDB) mapped
+    through k universal-hash transforms (a_j*h + b_j) mod P mod m.
+    Products stay under 2^62, so the exact integer arithmetic is
+    reproducible on any engine with 64-bit integers."""
+    params = portable_minhash_params(k, BLOOM_SEED)
+    h = _poly_fold(F.transform(F.split(normalized(text), ""), F.ascii))
+    return F.array(
+        *[
+            ((h * F.lit(a) + F.lit(b)) % F.lit(PORTABLE_MOD) % F.lit(m_bits))
+            for a, b in params
+        ]
+    )
+
+
+def bloom_bitset(
+    store: DataFrame, m_bits: int = 4096, k: int = 4, text: str = "text"
+) -> DataFrame:
+    """The corpus content-bloom as a DataFrame of distinct set-bit
+    positions (``bit`` long): at most ``m_bits`` rows REGARDLESS of
+    corpus size, so it is always broadcastable. Map-side partial
+    aggregation collapses each scan task to <= m_bits rows before the
+    single tiny shuffle. The set is monotone under union, so a
+    continuously ingesting store maintains it incrementally (union the
+    admitted batch's positions) instead of rescanning — the build here
+    is the bootstrap."""
+    return (
+        store.where(normalized(text).isNotNull())
+        .select(F.explode(_bloom_positions(text, m_bits, k)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_prefilter_flags(
+    store: DataFrame,
+    batch: DataFrame,
+    m_bits: int = 4096,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Admissible batch rows annotated with ``content_hash`` and
+    ``bloom_pass`` — whether ALL k bloom positions of the row's content
+    are set in the store's bloom (Bloom 1970: no false negatives, so
+    ``bloom_pass = false`` PROVES novelty; ``true`` only licenses the
+    exact check). The bit set is the broadcast side of a left join;
+    a row passes iff every exploded position finds its bit."""
+    bits = bloom_bitset(store, m_bits=m_bits, k=k, text=text)
+    staged = (
+        batch.withColumn("content_hash", F.md5(normalized(text)))
+        .where(F.col("content_hash").isNotNull())
+        .withColumn("_pos", _bloom_positions(text, m_bits, k))
+    )
+    hits = (
+        staged.select(id_col, F.explode("_pos").alias("bit"))
+        .join(F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left")
+        .groupBy(id_col)
+        .agg((F.count(F.lit(1)) == F.count("_set")).alias("bloom_pass"))
+    )
+    return staged.drop("_pos").join(hits, id_col)
+
+
+def bloom_prefilter_ingest(
+    store: DataFrame,
+    batch: DataFrame,
+    m_bits: int = 4096,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """incremental_ingest_dedup accelerated by a bloom prefilter, with
+    the IDENTICAL admitted set (the bloom only routes rows; the exact
+    md5 membership check still decides every maybe-duplicate).
+
+    100 TB shape: the store collapses once into a <= m_bits-row bit
+    set (thereafter maintained incrementally — see bloom_bitset), so
+    the common case — novel content — is admitted by a broadcast join
+    against kilobytes of bits WITHOUT touching the store at all. Only
+    the bloom-positive slice (true duplicates + the controlled
+    false-positive tail, ~(1-e^{-kn/m})^k of novel rows) pays the
+    store-scan semi join that plain incremental_ingest_dedup pays for
+    the whole batch. Store: zero Exchange ever; batch: one window
+    shuffle, same as the unaccelerated path."""
+    flagged = bloom_prefilter_flags(
+        store, batch, m_bits=m_bits, k=k, id_col=id_col, text=text
+    )
+    definite_novel = flagged.where(~F.col("bloom_pass"))
+    maybe = flagged.where(F.col("bloom_pass"))
+    maybe_hashes = maybe.select("content_hash").distinct()
+    known = (
+        store.withColumn("content_hash", F.md5(normalized(text)))
+        .join(F.broadcast(maybe_hashes), "content_hash", "left_semi")
+        .select("content_hash")
+        .distinct()
+    )
+    admitted = definite_novel.unionByName(
+        maybe.join(F.broadcast(known), "content_hash", "left_anti")
+    )
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        admitted.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "bloom_pass")
+    )

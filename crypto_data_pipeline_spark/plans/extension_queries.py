@@ -157,6 +157,122 @@ def incremental_ingest_dedup_report(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_BLOOM_M, _BLOOM_K = 4096, 4
+
+
+def _bloom_oracle() -> str:
+    from crypto_data_pipeline_spark.operators.dedup import (
+        BLOOM_SEED,
+        PORTABLE_MOD,
+        portable_minhash_params,
+    )
+
+    params = portable_minhash_params(_BLOOM_K, BLOOM_SEED)
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({NORM_SQL}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(h, x) -> (h * 131 + x) % 2147483647)"
+    )
+    pos = (
+        "["
+        + ", ".join(
+            f"(h * {a} + {b}) % {PORTABLE_MOD} % {_BLOOM_M}" for a, b in params
+        )
+        + "]"
+    )
+    return f"""
+WITH sb AS (
+  SELECT doc_id, lang, md5({NORM_SQL}) AS ch, {fold} AS h
+  FROM documents WHERE doc_id % 4 = 0
+),
+b0 AS (SELECT * FROM sb WHERE ch IS NOT NULL),
+sr AS (
+  SELECT {fold} AS h FROM documents
+  WHERE doc_id % 4 <> 0 AND {NORM_SQL} IS NOT NULL
+),
+bits AS (SELECT DISTINCT unnest({pos}) AS bit FROM sr),
+bp AS (SELECT doc_id, unnest({pos}) AS bit FROM b0),
+hit AS (
+  SELECT bp.doc_id, count(*) AS nk, count(bits.bit) AS nh
+  FROM bp LEFT JOIN bits ON bp.bit = bits.bit GROUP BY 1
+),
+flagged AS (
+  SELECT b0.*, (hit.nk = hit.nh) AS pass FROM b0 JOIN hit USING (doc_id)
+),
+smd5 AS (
+  SELECT DISTINCT md5({NORM_SQL}) AS ch FROM documents
+  WHERE doc_id % 4 <> 0 AND {NORM_SQL} IS NOT NULL
+),
+adm0 AS (
+  SELECT * FROM flagged
+  WHERE (NOT pass) OR ch NOT IN (SELECT ch FROM smd5)
+),
+adm AS (
+  SELECT lang, doc_id FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY ch ORDER BY doc_id) AS rn
+    FROM adm0
+  ) WHERE rn = 1
+),
+bat AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_batch,
+         CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass
+  FROM flagged GROUP BY 1
+),
+aag AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_admitted,
+         min(doc_id) AS first_admitted_id
+  FROM adm GROUP BY 1
+)
+SELECT bat.lang, bat.n_batch, bat.n_bloom_pass,
+       CAST(coalesce(aag.n_admitted, 0) AS BIGINT) AS n_admitted,
+       CAST(coalesce(aag.first_admitted_id, -1) AS BIGINT) AS first_admitted_id
+FROM bat LEFT JOIN aag USING (lang)
+"""
+
+
+@register(
+    "bloom_prefilter_ingest",
+    extra=True,
+    survey_ids=("EXT-dedup", "EXT-stream", "EXT-olap"),
+    oracle=_bloom_oracle(),
+)
+def bloom_prefilter_ingest_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental_ingest_dedup accelerated by a content Bloom filter
+    (Bloom 1970): the store collapses once into a <= 4096-row set-bit
+    DataFrame (monotone under union → maintained incrementally in
+    steady state), and a batch row touches the store's exact md5
+    membership ONLY if all 4 of its portable-hash bloom positions are
+    set. Bloom-negative rows are admitted straight off the broadcast
+    bit join — at 100 TB the novel-content common case never scans the
+    corpus. No false negatives, so the admitted set is IDENTICAL to
+    the unaccelerated operator (tests/test_dedup_similarity.py pins
+    the equivalence); the per-language report also exposes
+    n_bloom_pass — the exact-check slice (true dups + the ~(1-e^-kn/m)^k
+    false-positive tail) — which the portable hash family makes
+    reproducible in DuckDB, so even the lossy filter's routing
+    decisions hash-check (`operators/dedup.py:bloom_prefilter_ingest`)."""
+    docs = _docs(spark, sf_dir)
+    store = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    flagged = dedup.bloom_prefilter_flags(store, batch, m_bits=_BLOOM_M, k=_BLOOM_K)
+    admitted = dedup.bloom_prefilter_ingest(store, batch, m_bits=_BLOOM_M, k=_BLOOM_K)
+    bat = flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+    )
+    aag = admitted.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("_n_adm"), F.min("doc_id").alias("_first")
+    )
+    return bat.join(aag, "lang", "left").select(
+        "lang",
+        "n_batch",
+        "n_bloom_pass",
+        F.coalesce(F.col("_n_adm"), F.lit(0)).cast("long").alias("n_admitted"),
+        F.coalesce(F.col("_first"), F.lit(-1)).cast("long").alias("first_admitted_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # fuzzy dedup (hash-based → rows-only; Jaccard math is the checkable part)
 

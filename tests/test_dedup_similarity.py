@@ -508,6 +508,59 @@ def test_incremental_ingest_admits_only_novel(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bloom_prefilter_matches_exact_ingest(spark, sf_dir):
+    """The bloom-accelerated ingest admits the IDENTICAL set as the
+    unaccelerated exact path (Bloom guarantees no false negatives, so
+    the prefilter may only route rows, never change the answer), and
+    every true duplicate in the batch passes the bloom — the
+    no-false-negative property itself."""
+    from crypto_data_pipeline_spark.operators.text import normalized
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+
+    exact = {
+        (r.doc_id, r.content_hash)
+        for r in dedup.incremental_ingest_dedup(store, batch)
+        .select("doc_id", "content_hash")
+        .collect()
+    }
+    bloom = {
+        (r.doc_id, r.content_hash)
+        for r in dedup.bloom_prefilter_ingest(store, batch)
+        .select("doc_id", "content_hash")
+        .collect()
+    }
+    assert bloom == exact
+
+    # no false negatives: every batch row whose content IS in the
+    # store must be bloom-positive
+    store_hashes = {
+        r.h for r in store.select(F.md5(normalized("text")).alias("h")).collect()
+    }
+    flags = dedup.bloom_prefilter_flags(store, batch).collect()
+    for r in flags:
+        if r.content_hash in store_hashes:
+            assert r.bloom_pass, f"false negative for doc {r.doc_id}"
+
+    # the bit set is bounded by m regardless of corpus size
+    assert dedup.bloom_bitset(store, m_bits=64, k=4).count() <= 64
+
+
+def test_bloom_prefilter_saturated_filter_degrades_to_exact(spark):
+    """A tiny m forces every position set → all rows bloom-positive →
+    the path degenerates to the plain exact check, still correct."""
+    rows = [(i, "alpha beta gamma " + str(i % 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    store, batch = df.where("doc_id < 9"), df.where("doc_id >= 9")
+    out = dedup.bloom_prefilter_ingest(store, batch, m_bits=2, k=2)
+    # contents 0,1,2 all already in store → nothing admitted
+    assert out.count() == 0
+    flagged = dedup.bloom_prefilter_flags(store, batch, m_bits=2, k=2)
+    assert all(r.bloom_pass for r in flagged.collect())
+
+
 def test_segment_dedup_keeps_global_first_occurrence(spark):
     docs = spark.createDataFrame(
         [
