@@ -30,7 +30,7 @@ rebuild are all JVM window/aggregate expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from crypto_data_pipeline_spark.operators.text import tokens
 
@@ -105,6 +105,103 @@ def apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
             "freq",
             (F.row_number().over(w) - 1).alias("pos"),
             F.when(F.col("sel"), F.lit(left + right)).otherwise(F.col("sym")).alias("sym"),
+        )
+    )
+
+
+# Fold bases for the encode pins. Char-level reuses the portable
+# family's base (dedup.PORTABLE_BASE); the two outer folds use odd
+# primes small enough that residue*base + residue stays < 2^62.
+_CHAR_BASE = 131
+_PIECE_BASE = 1000003
+_DOC_BASE = 8191
+_FOLD_MOD = 2147483647  # == dedup.PORTABLE_MOD
+
+
+def _fold(arr: Column, base: int) -> Column:
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda h, x: (h * F.lit(base) + x) % F.lit(_FOLD_MOD),
+    )
+
+
+def word_pieces(syms: DataFrame) -> DataFrame:
+    """The fitted tokenizer as a lookup table: one row per distinct
+    word with its ordered subword decomposition plus the integer
+    summaries every downstream consumer actually joins on —
+    ``n_pieces`` (subword count) and ``word_code`` (a polynomial fold
+    over per-piece char folds, pinning the exact decomposition,
+    boundaries included). Vocab-sized, hence always broadcastable:
+    this frame IS the model artifact BPE encode ships to 1000
+    executors."""
+    piece_hash = _fold(F.transform(F.split(F.col("sym"), ""), F.ascii), _CHAR_BASE)
+    return (
+        syms.groupBy("word")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("sym")))
+            ).alias("_ps")
+        )
+        .select(
+            "word",
+            F.transform("_ps", lambda s: s["sym"]).alias("pieces"),
+        )
+        .select(
+            "word",
+            "pieces",
+            F.size("pieces").cast("long").alias("n_pieces"),
+            _fold(
+                F.transform("pieces", lambda p: _fold(F.transform(F.split(p, ""), F.ascii), _CHAR_BASE)),
+                _PIECE_BASE,
+            ).alias("word_code"),
+        )
+    )
+
+
+def encode_docs(
+    docs: DataFrame,
+    syms: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Tokenize the corpus with a fitted BPE symbol frame: per doc,
+    ``n_tokens`` (subword count) and ``seq_hash`` (fold of word codes
+    in document order — pins the exact token sequence, subword
+    boundaries included). Docs whose normalized text has no words
+    produce no row, matching the learner's census.
+
+    100 TB shape: BPE encoding factors through the word — identical
+    words always tokenize identically — so the per-word merge work
+    happens ONCE on the vocab-sized fitted table (`word_pieces`,
+    broadcast), never on the corpus. The corpus is touched by exactly
+    one explode + broadcast join, and per-doc reassembly is one
+    groupBy on `id_col` carrying only three integers per word (widx,
+    n_pieces, word_code) — no windows, no per-token rows, no text in
+    the shuffle."""
+    wp = word_pieces(syms).select("word", "n_pieces", "word_code")
+    keys = [id_col, *carry]
+    ex = (
+        docs.select(
+            *keys, F.posexplode(tokens(text)).alias("widx", "word")
+        )
+        .where(F.col("word") != "")
+    )
+    return (
+        ex.join(F.broadcast(wp), "word")
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_pieces").cast("long").alias("n_tokens"),
+            _fold(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("widx"), F.col("word_code")))
+                    ),
+                    lambda s: s["word_code"],
+                ),
+                _DOC_BASE,
+            ).alias("seq_hash"),
         )
     )
 

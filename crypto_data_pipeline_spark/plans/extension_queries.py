@@ -3332,6 +3332,101 @@ def bpe_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_oracle(n: int) -> str:
+    """Encode = join the exploded corpus against the learned syms{n}
+    word->pieces table; per-doc sequence pinned by the same triple
+    polynomial fold (char 131 / piece 1000003 / doc 8191, mod 2^31-1)
+    the Spark side computes."""
+    char_fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(sym, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(h, x) -> (h * 131 + x) % 2147483647)"
+    )
+    return f"""{_bpe_ctes(n)},
+wh AS (
+  SELECT word, pos, {char_fold} AS th FROM syms{n}
+),
+wp AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_pieces,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(th ORDER BY pos)),
+                     (h, x) -> (h * 1000003 + x) % 2147483647) AS word_code
+  FROM wh GROUP BY word
+),
+ex AS (
+  SELECT doc_id, lang, widx, word FROM (
+    SELECT doc_id, lang,
+           unnest(range(len(tk))) AS widx,
+           unnest(tk) AS word
+    FROM (SELECT doc_id, lang, {TOKENS_SQL} AS tk FROM documents)
+  ) WHERE word <> ''
+),
+da AS (
+  SELECT doc_id, lang,
+         CAST(sum(wp.n_pieces) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), list(wp.word_code ORDER BY widx)),
+                     (h, x) -> (h * 8191 + x) % 2147483647) AS seq_hash
+  FROM ex JOIN wp USING (word) GROUP BY 1, 2
+),
+dt AS (
+  SELECT lang, CAST(count(DISTINCT syms{n}.sym) AS BIGINT) AS n_distinct_tokens
+  FROM (SELECT DISTINCT lang, word FROM ex) lw
+  JOIN syms{n} USING (word) GROUP BY 1
+)
+SELECT da.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       any_value(dt.n_distinct_tokens) AS n_distinct_tokens,
+       CAST(sum(seq_hash) AS BIGINT) AS seq_hash_sum
+FROM da JOIN dt USING (lang)
+GROUP BY da.lang
+"""
+
+
+@register(
+    "bpe_encode_corpus",
+    extra=True,
+    survey_ids=("EXT-text",),
+    oracle=_bpe_encode_oracle(_BPE_N_MERGES),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the tokenize-the-corpus half that completes the
+    learn (`bpe_learn_merges`) -> encode lifecycle: apply the fitted
+    3-merge vocabulary to every document and pin the exact per-doc
+    token sequence (boundaries included) via a triple polynomial fold,
+    rolled up per language. Encoding factors through the word, so the
+    merge work runs once on the vocab-sized fitted table (broadcast);
+    the corpus pays one explode + one integer-only groupBy on doc_id —
+    no window over per-token rows, no text in the shuffle
+    (`operators/bpe.py:encode_docs`)."""
+    from crypto_data_pipeline_spark.operators import bpe
+
+    docs = _docs(spark, sf_dir)
+    _, syms = bpe.learn_bpe(spark, docs, n_merges=_BPE_N_MERGES)
+    enc = bpe.encode_docs(docs, syms, carry=("lang",))
+    wp = bpe.word_pieces(syms)
+    ex = docs.select(
+        "lang", F.explode(text.tokens("text")).alias("word")
+    ).where(F.col("word") != "")
+    dt = (
+        ex.distinct()
+        .join(F.broadcast(wp.select("word", "pieces")), "word")
+        .select("lang", F.explode("pieces").alias("piece"))
+        .groupBy("lang")
+        .agg(F.count_distinct("piece").cast("long").alias("n_distinct_tokens"))
+    )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("seq_hash").cast("long").alias("seq_hash_sum"),
+        )
+        .join(dt, "lang")
+        .select(
+            "lang", "n_docs", "n_tokens", "n_distinct_tokens", "seq_hash_sum"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25 ranked retrieval (operators/text.py)
 

@@ -91,3 +91,51 @@ def test_learn_stops_when_no_pairs_left(spark):
     merges, syms_df = bpe.learn_bpe(spark, docs, n_merges=5)
     syms_df.unpersist()
     assert merges == []
+
+
+def _ref_fold(xs, base):
+    h = 0
+    for x in xs:
+        h = (h * base + x) % 2147483647
+    return h
+
+
+def _ref_word_code(pieces):
+    return _ref_fold([_ref_fold([ord(c) for c in p], 131) for p in pieces], 1000003)
+
+
+def test_word_pieces_reconstructs_and_codes(spark):
+    """Every word's pieces concatenate back to the word, and word_code
+    equals the pure-Python triple fold."""
+    texts = ["aaaa aaa banana bananana abab", "banana abab aaaa aaa aaa"]
+    docs = _spark_words(spark, texts)
+    _, syms = bpe.learn_bpe(spark, docs, n_merges=3)
+    rows = bpe.word_pieces(syms).collect()
+    syms.unpersist()
+    assert rows
+    for r in rows:
+        assert "".join(r["pieces"]) == r["word"]
+        assert r["n_pieces"] == len(r["pieces"])
+        assert r["word_code"] == _ref_word_code(r["pieces"])
+
+
+def test_encode_docs_matches_reference_sequence(spark):
+    """encode_docs' (n_tokens, seq_hash) equal the fold over the
+    textbook sequential encoder's per-doc subword stream — exact
+    sequence semantics, not just counts."""
+    texts = ["aaaa banana abab", "aaa bananana aaaa aaaa", ""]
+    word_freq: Counter = Counter(w for t in texts for w in t.split())
+    ref_merges, ref_syms = _ref_learn(dict(word_freq), 3)
+
+    docs = _spark_words(spark, texts)
+    _, syms = bpe.learn_bpe(spark, docs, n_merges=3)
+    got = {r["doc_id"]: r for r in bpe.encode_docs(docs, syms).collect()}
+    syms.unpersist()
+
+    assert set(got) == {0, 1}  # empty doc produces no row
+    for doc_id, t in enumerate(texts[:2]):
+        words = t.split()
+        exp_tokens = sum(len(ref_syms[w]) for w in words)
+        exp_hash = _ref_fold([_ref_word_code(ref_syms[w]) for w in words], 8191)
+        assert got[doc_id]["n_tokens"] == exp_tokens
+        assert got[doc_id]["seq_hash"] == exp_hash
