@@ -64,6 +64,70 @@ def cms_build(
     )
 
 
+def hll_registers(
+    df: DataFrame,
+    key: Column,
+    m: int = 256,
+    seed: int = 29,
+    group: tuple[str, ...] = (),
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet, Fusy, Gandouet, Meunier
+    2007): one row per (group, register j) holding max(rho). The build
+    is ONE aggregation with at most |groups|*m distinct keys, so
+    map-side combine collapses every scan task to a handful of rows
+    and the shuffle carries kilobytes regardless of input size — the
+    whole point vs an exact COUNT(DISTINCT), which must shuffle every
+    distinct key. Registers are max-monotone, so sketches merge by
+    unionByName + the same groupBy(max) — partition-local sketches,
+    daily sketches, and the global sketch are the same frame.
+
+    Portability: item hash h = (a*x + b) mod 2^31-1 (the repo's LCG
+    family); j = h mod m; rho = leading-zero count of the remaining
+    (31 - log2(m))-bit word + 1, computed via integer bit length
+    (length of the binary string — no floating log anywhere), so every
+    register value is bit-identical in DuckDB."""
+    p = m.bit_length() - 1
+    if m != 1 << p:
+        raise ValueError(f"m must be a power of two, got {m}")
+    wbits = 31 - p
+    (a, b) = portable_minhash_params(1, seed)[0]
+    x = F.pmod(key.cast("long"), F.lit(PORTABLE_MOD))
+    h = (x * F.lit(a) + F.lit(b)) % F.lit(PORTABLE_MOD)
+    w = F.floor(h / F.lit(m)).cast("long")
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.where(key.isNotNull())
+        .select(*group, (h % F.lit(m)).alias("j"), rho.cast("int").alias("rho"))
+        .groupBy(*group, "j")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(regs: DataFrame, m: int = 256, group: tuple[str, ...] = ()) -> DataFrame:
+    """Cardinality estimate per group from a register table: the
+    standard bias-corrected harmonic mean, with the small-range
+    linear-counting correction (est <= 2.5m and empty registers
+    present -> m*ln(m/V)).
+
+    The harmonic sum is EXACT cross-engine despite being floating
+    point: every term 2^-r (r <= 31-log2(m)+1) is a power of two, and
+    the full sum fits a 53-bit mantissa (lsb 2^-24, total < 2^8 for
+    m=256), so addition is associative here and no engine ordering can
+    change a bit. Only the final ln/division are rounded (6 dp)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per = regs.groupBy(*group).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_s"),
+        F.count(F.lit(1)).cast("double").alias("_nz"),
+    )
+    v = F.lit(float(m)) - F.col("_nz")
+    s = F.col("_s") + v  # absent registers hold 0 -> each contributes 2^0
+    raw = F.lit(alpha * m * m) / s
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)).otherwise(raw)
+    return per.select(*group, F.round(est, 6).alias("hll_estimate"))
+
+
 def cms_point_estimates(
     spark: SparkSession,
     docs: DataFrame,
@@ -106,5 +170,79 @@ def cms_point_estimates(
             F.coalesce("exact_freq", zero).alias("exact_freq"),
             "cms_estimate",
             (F.col("cms_estimate") - F.coalesce("exact_freq", zero)).alias("overcount"),
+        )
+    )
+
+
+def _misra_gries_candidates(keyed: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries (Misra & Gries 1982), keys
+    only. MG guarantees per-partition undercount <= N_p/(capacity+1),
+    so any item with GLOBAL count > N/(capacity+1) exceeds that bound
+    in at least one partition (pigeonhole over the partition sums) and
+    must appear in that partition's summary — the union of summary
+    keys is therefore a certified superset of every global heavy
+    hitter. Arrow-batched; state is one dict of <= capacity counters
+    per task regardless of partition size."""
+    schema = keyed.schema
+
+    def summarize(batches):
+        import pandas as pd
+
+        # Mergeable-summaries form of MG (Agarwal et al. 2013): each
+        # Arrow batch is summarized exactly by value_counts (vectorized),
+        # added into the running summary, then reduced back to
+        # `capacity` keys by subtracting the (capacity+1)-th largest
+        # counter from all — the same error bound as item-at-a-time MG,
+        # with per-batch cost O(batch + summary log summary).
+        summary = pd.Series(dtype="int64")
+        dtype = None
+        for pdf in batches:
+            dtype = pdf["k"].dtype
+            summary = summary.add(pdf["k"].value_counts(), fill_value=0)
+            if len(summary) > capacity:
+                cut = summary.nlargest(capacity + 1).iloc[-1]
+                summary = summary[summary > cut] - cut
+        if len(summary):
+            yield pd.DataFrame({"k": pd.Series(summary.index, dtype=dtype)})
+
+    return keyed.mapInPandas(summarize, schema)
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key: Column,
+    threshold_num: int,
+    threshold_den: int,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters — every key with count*den >= N*num (share
+    >= num/den) with its exact count and share — WITHOUT a
+    full-cardinality shuffle. Two passes over the stream:
+
+      1. per-partition Misra-Gries (capacity ~ den/num counters) emits
+         a certified candidate superset: <= capacity keys per TASK, so
+         even at 1000 executors the candidate frame is broadcast-sized;
+      2. a broadcast semi join filters the stream to candidates and an
+         exact groupBy counts ONLY them — the shuffle carries the
+         candidate slice, never the tail vocabulary.
+
+    The threshold test is pure integer arithmetic (count*den >= N*num)
+    so the output is bit-exact and plain-SQL-oracle-checkable; the
+    lossy sketch only routes work, exactly like bloom_prefilter_ingest."""
+    if capacity is None:
+        capacity = max(2 * ((threshold_den + threshold_num - 1) // threshold_num), 8)
+    keyed = df.select(key.alias("k")).where(F.col("k").isNotNull())
+    cands = _misra_gries_candidates(keyed, capacity).distinct()
+    total = keyed.select(F.count(F.lit(1)).alias("_n"))
+    return (
+        keyed.join(F.broadcast(cands), "k", "left_semi")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("freq") * F.lit(threshold_den) >= F.col("_n") * F.lit(threshold_num))
+        .select(
+            "k",
+            "freq",
+            F.round(F.col("freq") * 100.0 / F.col("_n"), 6).alias("share_pct"),
         )
     )

@@ -3559,3 +3559,144 @@ def cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=_CMS_WIDTH,
         seed=_CMS_SEED,
     )
+
+
+# ---------------------------------------------------------------------------
+# exact two-pass heavy hitters (operators/sketch.py)
+
+_HH_NUM, _HH_DEN = 1, 100  # share >= 1%
+
+
+@register(
+    "heavy_hitter_tokens",
+    extra=True,
+    survey_ids=("EXT-text", "EXT-olap"),
+    oracle=f"""
+WITH toks AS (
+  SELECT t AS k FROM (SELECT unnest({TOKENS_SQL}) AS t FROM documents) WHERE t <> ''
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+SELECT k, CAST(count(*) AS BIGINT) AS freq,
+       round(count(*) * 100.0 / any_value(tot.n), 6) AS share_pct
+FROM toks, tot
+GROUP BY k
+HAVING count(*) * {_HH_DEN} >= any_value(tot.n) * {_HH_NUM}
+""",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy-hitter tokens (share >= 1%) via the two-pass
+    Misra-Gries prune (`operators/sketch.py:heavy_hitters_exact`):
+    pass 1 runs bounded-memory MG per partition in one Arrow
+    mapInPandas, emitting <= ~200 certified candidate keys per task;
+    pass 2 broadcast-semi-joins the stream to candidates and counts
+    ONLY them. At 100 TB the exact alternative shuffles the entire
+    vocabulary; here the shuffle carries just the candidate slice,
+    yet the output is bit-exact (integer threshold arithmetic) —
+    which is why a plain-SQL DuckDB oracle can gate a sketch-routed
+    query. The certificate: any key with global count > N/(cap+1)
+    must exceed the MG bound in some partition (pigeonhole), so no
+    true heavy hitter can be pruned."""
+    from crypto_data_pipeline_spark.operators.sketch import heavy_hitters_exact
+
+    stream = _docs(spark, sf_dir).select(
+        F.explode(text.tokens("text")).alias("t")
+    ).where(F.col("t") != "")
+    return heavy_hitters_exact(stream, F.col("t"), _HH_NUM, _HH_DEN)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (operators/sketch.py)
+
+_HLL_M, _HLL_SEED = 256, 29
+
+
+def _hll_oracle() -> str:
+    from crypto_data_pipeline_spark.operators.dedup import (
+        PORTABLE_MOD,
+        portable_minhash_params,
+    )
+
+    (a, b) = portable_minhash_params(1, _HLL_SEED)[0]
+    m = _HLL_M
+    wbits1 = 31 - (m.bit_length() - 1) + 1  # rho for w = 0
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+         ((user_id % {PORTABLE_MOD}) * {a} + {b}) % {PORTABLE_MOD} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT event_type, h % {m} AS j,
+         max(CASE WHEN h // {m} = 0 THEN {wbits1}
+                  ELSE {wbits1} - length(bin(h // {m})) END) AS r
+  FROM hashed GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type, sum(power(2.0, -r)) AS s,
+         CAST(count(*) AS DOUBLE) AS nz
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN ((0.7213 / (1.0 + 1.079 / {m}) * {m}) * {m}) / (s + ({m} - nz))
+                   <= 2.5 * {m}
+              AND ({m} - nz) > 0
+              THEN {m} * ln({m} / ({m} - nz))
+              ELSE ((0.7213 / (1.0 + 1.079 / {m}) * {m}) * {m}) / (s + ({m} - nz))
+         END AS e
+  FROM per
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n_exact,
+       round(e, 6) AS hll_estimate,
+       round((round(e, 6) - n_exact) / n_exact * 100, 6) AS rel_err_pct
+FROM est JOIN exact USING (event_type)
+"""
+
+
+@register(
+    "distinct_users_hll_portable",
+    extra=True,
+    survey_ids=("EXT-olap", "EXT-stream"),
+    oracle=_hll_oracle(),
+)
+def distinct_users_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per-event-type distinct users (Flajolet et al. 2007,
+    `operators/sketch.py:hll_registers`): 256 max-monotone registers
+    per group — ONE aggregation whose shuffle is bounded by
+    |groups|*256 keys at any input size, vs the full distinct-key
+    shuffle an exact COUNT(DISTINCT) pays; registers also merge across
+    partitions/days by the same groupBy(max), which is how a 100 TB
+    pipeline maintains the sketch incrementally. The portable hash
+    family + integer bit-length rho + an exactly-associative harmonic
+    sum (all terms are powers of two that fit one mantissa) make even
+    the ESTIMATES bit-reproducible in DuckDB — both correction
+    branches (linear counting at sf<=0.01, raw harmonic at sf0.1) are
+    exercised by the test SFs. Exact counts sit alongside, so the row
+    also documents the sketch's actual relative error."""
+    from crypto_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    regs = hll_registers(
+        events, F.col("user_id"), m=_HLL_M, seed=_HLL_SEED, group=("event_type",)
+    )
+    est = hll_estimate(regs, m=_HLL_M, group=("event_type",))
+    exact = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "hll_estimate",
+        F.round(
+            (F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact") * 100, 6
+        ).alias("rel_err_pct"),
+    )

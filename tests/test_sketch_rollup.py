@@ -83,3 +83,83 @@ def test_approx_top_k_recovers_exact_heavy_hitters(spark, sf_dir):
     # every sketched (item, count) pair must be a true exact pair
     assert got <= want
     assert len(got) == 5
+
+
+def test_portable_hll_matches_python_reference_and_merges(spark, sf_dir):
+    """The PORTABLE HLL (operators/sketch.py:hll_registers) — unlike
+    the Datasketches built-in above, every register and estimate is
+    reproducible in pure Python: recompute the registers sequentially
+    and require bit equality, then pin the max-merge property by
+    splitting the input and merging the halves' register tables."""
+    from crypto_data_pipeline_spark.operators.dedup import (
+        PORTABLE_MOD,
+        portable_minhash_params,
+    )
+    from crypto_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    m, seed = 64, 29
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    regs = hll_registers(ev, F.col("user_id"), m=m, seed=seed)
+    got = {r["j"]: r["r"] for r in regs.collect()}
+
+    (a, b) = portable_minhash_params(1, seed)[0]
+    wbits = 31 - (m.bit_length() - 1)
+    ref: dict[int, int] = {}
+    for (uid,) in ev.where("user_id IS NOT NULL").collect():
+        h = ((uid % PORTABLE_MOD) * a + b) % PORTABLE_MOD
+        w = h // m
+        rho = wbits + 1 if w == 0 else wbits + 1 - w.bit_length()
+        j = h % m
+        ref[j] = max(ref.get(j, 0), rho)
+    assert got == ref
+
+    est = hll_estimate(regs, m=m).collect()[0]["hll_estimate"]
+    exact = ev.select(F.count_distinct("user_id")).collect()[0][0]
+    assert abs(est - exact) <= 0.3 * exact  # m=64 -> ~13% std err
+
+    # max-merge: sketch each half, union, re-max -> identical registers
+    lo = hll_registers(ev.where("user_id % 2 = 0"), F.col("user_id"), m=m, seed=seed)
+    hi = hll_registers(ev.where("user_id % 2 = 1"), F.col("user_id"), m=m, seed=seed)
+    merged = lo.unionByName(hi).groupBy("j").agg(F.max("r").alias("r"))
+    assert {r["j"]: r["r"] for r in merged.collect()} == got
+
+
+def test_heavy_hitters_exact_on_adversarial_tail(spark):
+    """One dominant key + a long tail far wider than the MG capacity:
+    the prune must keep the certified heavy hitters and the final
+    output must equal the plain exact groupBy, including on a
+    repartitioned input with empty partitions."""
+    from crypto_data_pipeline_spark.operators.sketch import heavy_hitters_exact
+
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 60
+        + [(f"tail{i}",) for i in range(3000)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(50)
+    got = {
+        (r["k"], r["freq"], r["share_pct"])
+        for r in heavy_hitters_exact(df, F.col("k"), 1, 100, capacity=64).collect()
+    }
+    n = len(rows)
+    exact = {
+        (r["k"], r["cnt"], round(r["cnt"] * 100.0 / n, 6))
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("cnt")).collect()
+        if r["cnt"] * 100 >= n
+    }
+    assert got == exact
+    assert ("hot", 400, round(400 * 100.0 / n, 6)) in got
+
+
+def test_heavy_hitters_exact_long_keys(spark):
+    """Key dtype survives the Arrow round-trip (bigint keys)."""
+    from crypto_data_pipeline_spark.operators.sketch import heavy_hitters_exact
+
+    df = spark.createDataFrame(
+        [(7,)] * 50 + [(i,) for i in range(200)], "k long"
+    ).repartition(8)
+    rows = heavy_hitters_exact(df, F.col("k"), 1, 10).collect()
+    assert [(r["k"], r["freq"]) for r in rows] == [(7, 51)]
