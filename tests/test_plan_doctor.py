@@ -52,6 +52,7 @@ BNLJ_OK = {
     "embedding_pq_topk",           # 10 query distance-tables (m×k doubles each) broadcast
     "embedding_knn_classify",      # 20 query vectors broadcast (brute-force top-k stage)
     "embedding_mmr_topk",          # 10 query vectors broadcast (candidate top-k stage)
+    "heavy_hitter_tokens",         # 1-row stream-total frame (threshold test)
 }
 
 # Arrow-batched Python (mapInPandas / applyInPandas / pandas UDF) is a
@@ -72,6 +73,7 @@ ARROW_OK = {
     "embedding_ann_ivf_fixed",     # vectorized numpy cell assignment (mapInPandas)
     "cluster_balanced_sample",     # same fixed-quantizer assignment
     "semantic_dedup",              # same fixed-quantizer assignment
+    "heavy_hitter_tokens",         # bounded-memory Misra-Gries prune (mapInPandas)
 }
 
 
