@@ -3562,6 +3562,61 @@ def cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# snapshot / generation diff (sources/generations.py)
+
+
+@register(
+    "snapshot_diff_orders",
+    extra=True,
+    survey_ids=("EXT-olap", "EXT-stream"),
+    oracle="""
+WITH old AS (SELECT * FROM orders WHERE o_orderkey % 10 < 8),
+new AS (
+  SELECT * REPLACE (CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                         ELSE o_totalprice END AS o_totalprice)
+  FROM orders WHERE o_orderkey % 10 >= 1
+),
+d AS (
+  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS k,
+         CASE WHEN old.o_orderkey IS NULL THEN 'added'
+              WHEN new.o_orderkey IS NULL THEN 'removed'
+              WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice THEN 'changed'
+         END AS change
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT change, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS key_sum
+FROM d WHERE change IS NOT NULL GROUP BY change
+""",
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (`sources/generations.py:snapshot_diff`
+    — the audit half of the generation-addressed store: "what did this
+    publish actually change?"). Two derived orders snapshots — one
+    dropping a key slice and bumping every 7th price — are diffed into
+    added/removed/changed with EXACT null-safe struct comparison (no
+    content hash, no collision caveat) in one full-outer join keyed on
+    o_orderkey; unchanged rows die inside the join. Publishing
+    generations bucketed by the key removes even that Exchange."""
+    from crypto_data_pipeline_spark.sources.generations import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.where(k % 10 < 8)
+    new = orders.where(k % 10 >= 1).withColumn(
+        "o_totalprice",
+        F.when(k % 7 == 0, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    d = snapshot_diff(old, new, ["o_orderkey"])
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact two-pass heavy hitters (operators/sketch.py)
 
 _HH_NUM, _HH_DEN = 1, 100  # share >= 1%

@@ -163,3 +163,59 @@ def upsert_publish(
             existing.unionByName(new_rows), keys, list(order_by)
         )
     return publish(merged, root)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of a keyed table:
+    (keys..., change) with change in {'added', 'removed', 'changed'};
+    unchanged rows are dropped inside the join, never surfaced.
+
+    Comparison is EXACT: both sides' non-key columns are packed into a
+    struct and tested with null-safe equality — no content hashing, so
+    no collision caveat and no cross-engine hash portability to prove.
+    Distributed shape: one full-outer sort-merge join keyed on the
+    table key per side; generations published bucketed by the key
+    co-locate both scans and drop even that Exchange. Only the key
+    columns and one struct per side travel."""
+    from pyspark.sql import functions as F
+
+    cols = compare_cols or [c for c in new.columns if c not in keys]
+    if not cols:
+        raise ValueError("snapshot_diff needs at least one non-key column")
+    o = old.select(*keys, F.struct(*cols).alias("_o"))
+    n = new.select(*keys, F.struct(*cols).alias("_n"))
+    change = (
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .when(F.col("_n").isNull(), F.lit("removed"))
+        .when(~F.col("_o").eqNullSafe(F.col("_n")), F.lit("changed"))
+    )
+    return (
+        o.join(n, list(keys), "full_outer")
+        .select(*keys, change.alias("change"))
+        .where(F.col("change").isNotNull())
+    )
+
+
+def generation_diff(
+    spark: SparkSession,
+    root: str,
+    from_gen: int,
+    to_gen: int,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-travel diff: what changed between two retained generations
+    — the audit primitive a pointer-flip store owes its operators
+    ("what did yesterday's publish actually do?"). Pure composition of
+    read_generation + snapshot_diff."""
+    return snapshot_diff(
+        read_generation(spark, root, from_gen),
+        read_generation(spark, root, to_gen),
+        keys,
+        compare_cols,
+    )

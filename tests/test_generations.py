@@ -100,3 +100,33 @@ def test_upsert_publish_is_transactional(spark):
     gen.upsert_publish(fix, root, keys=["coin", "day"], order_by=["seq"])
     cur = {(r.coin, r.day): r.price for r in gen.read_current(spark, root).collect()}
     assert cur == {("btc", "2025-01-01"): 101.0, ("eth", "2025-01-01"): 10.0}
+
+
+def test_generation_diff_classifies_all_change_kinds(spark):
+    """Publish two generations and diff them: added / removed /
+    changed / unchanged (absent) — plus null-safe comparison: a value
+    flipping to NULL counts as changed, NULL->NULL does not."""
+    root = tempfile.mkdtemp(prefix="gens_") + "/t"
+    v0 = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 10), (3, "c", 30), (4, None, 40)],
+        "id long, tag string, val int",
+    )
+    v1 = spark.createDataFrame(
+        [(2, "b", 10), (3, "c", None), (4, None, 40), (5, "e", 50)],
+        "id long, tag string, val int",
+    )
+    gen.publish(v0, root)
+    gen.publish(v1, root)
+    d = {
+        r["id"]: r["change"]
+        for r in gen.generation_diff(spark, root, 0, 1, ["id"]).collect()
+    }
+    # 1 removed; 2 unchanged (absent); 3 changed (30 -> NULL);
+    # 4 unchanged despite a NULL field (null-safe equality); 5 added
+    assert d == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_snapshot_diff_refuses_keys_only_tables(spark):
+    keys_only = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        gen.snapshot_diff(keys_only, keys_only, ["id"])
