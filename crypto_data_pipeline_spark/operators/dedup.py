@@ -1018,14 +1018,18 @@ def bloom_prefilter_flags(
     k: int = 4,
     id_col: str = "doc_id",
     text: str = "text",
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """Admissible batch rows annotated with ``content_hash`` and
     ``bloom_pass`` — whether ALL k bloom positions of the row's content
     are set in the store's bloom (Bloom 1970: no false negatives, so
     ``bloom_pass = false`` PROVES novelty; ``true`` only licenses the
     exact check). The bit set is the broadcast side of a left join;
-    a row passes iff every exploded position finds its bit."""
-    bits = bloom_bitset(store, m_bits=m_bits, k=k, text=text)
+    a row passes iff every exploded position finds its bit. Pass a
+    maintained ``bits`` frame (one ``bit`` long column) to skip the
+    bootstrap store scan — the incremental steady state."""
+    if bits is None:
+        bits = bloom_bitset(store, m_bits=m_bits, k=k, text=text)
     staged = (
         batch.withColumn("content_hash", F.md5(normalized(text)))
         .where(F.col("content_hash").isNotNull())
@@ -1047,6 +1051,7 @@ def bloom_prefilter_ingest(
     k: int = 4,
     id_col: str = "doc_id",
     text: str = "text",
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """incremental_ingest_dedup accelerated by a bloom prefilter, with
     the IDENTICAL admitted set (the bloom only routes rows; the exact
@@ -1062,7 +1067,7 @@ def bloom_prefilter_ingest(
     the whole batch. Store: zero Exchange ever; batch: one window
     shuffle, same as the unaccelerated path."""
     flagged = bloom_prefilter_flags(
-        store, batch, m_bits=m_bits, k=k, id_col=id_col, text=text
+        store, batch, m_bits=m_bits, k=k, id_col=id_col, text=text, bits=bits
     )
     definite_novel = flagged.where(~F.col("bloom_pass"))
     maybe = flagged.where(F.col("bloom_pass"))

@@ -149,6 +149,8 @@ def ingest_corpus_batch(
     store_root: str,
     id_col: str = "doc_id",
     text: str = "text",
+    bloom_m: int | None = None,
+    bloom_k: int = 4,
 ) -> None:
     """One delivery of the continuously-ingesting deduplicated corpus:
     admit the batch's rows that are NOVEL versus every PRIOR delivery,
@@ -170,10 +172,25 @@ def ingest_corpus_batch(
         replay's overwrite replaces — partial rows are never visible
         to OTHER batches' novelty checks mid-flight because Spark's
         committed batches are sequential per query.
+
+    With ``bloom_m`` set, each delivery also lands its admitted rows'
+    bloom bit positions under ``store_root/_bloom/batch_id=N`` (the
+    underscore prefix hides it from the store's own parquet
+    discovery), and the novelty check runs through
+    `operators/dedup.py:bloom_prefilter_ingest` against the UNION of
+    prior deliveries' bits — the bit set is monotone, so it is
+    maintained incrementally, kilobytes per delivery, never rebuilt.
+    The admitted set is IDENTICAL (no false negatives; the exact md5
+    check still decides every bloom-positive row), but a delivery of
+    all-novel content admits off the broadcast bit join alone — AQE
+    collapses the store-scan semi join to empty when no row needs the
+    exact check, so the 100 TB store is not even read. Replay stays
+    idempotent: the batch's own bit dir is excluded and overwritten
+    the same way its data dir is.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
-    from crypto_data_pipeline_spark.operators.dedup import incremental_ingest_dedup
+    from crypto_data_pipeline_spark.operators import dedup
 
     s = batch.sparkSession
     try:
@@ -185,10 +202,39 @@ def ingest_corpus_batch(
         store.schema  # force resolution inside the try
     except AnalysisException:  # first delivery: no store yet
         store = s.createDataFrame([], batch.schema)
-    admitted = incremental_ingest_dedup(store, batch, id_col, text)
+    if bloom_m is None:
+        admitted = dedup.incremental_ingest_dedup(store, batch, id_col, text)
+    else:
+        bloom_root = f"{store_root}/_bloom"
+        try:
+            bits = (
+                s.read.parquet(bloom_root)
+                .where(F.col("batch_id") != batch_id)
+                .select("bit")
+                .distinct()
+            )
+            bits.schema
+        except AnalysisException:  # first delivery: empty bit set
+            bits = s.createDataFrame([], "bit long")
+        admitted = dedup.bloom_prefilter_ingest(
+            store, batch, m_bits=bloom_m, k=bloom_k,
+            id_col=id_col, text=text, bits=bits,
+        ).persist()
+        (
+            admitted.select(
+                F.explode(
+                    dedup._bloom_positions(text, bloom_m, bloom_k)
+                ).alias("bit")
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(f"{bloom_root}/batch_id={batch_id}")
+        )
     admitted.select(*batch.columns).write.mode("overwrite").parquet(
         f"{store_root}/batch_id={batch_id}"
     )
+    if bloom_m is not None:
+        admitted.unpersist()
 
 
 def stream_corpus_ingest(
@@ -199,17 +245,24 @@ def stream_corpus_ingest(
     schema,
     id_col: str = "doc_id",
     text: str = "text",
+    bloom_m: int | None = None,
+    bloom_k: int = 4,
 ) -> StreamingQuery:
     """Continuously-ingesting deduplicated corpus: stream arriving
     document files, admit only content novel versus all prior
     deliveries, append-only store of immutable per-batch directories
     (``ingest_corpus_batch`` above). availableNow = catch-up-and-stop;
     the checkpoint makes file pickup exactly-once, and the per-batch
-    overwrite makes foreachBatch's at-least-once replay harmless."""
+    overwrite makes foreachBatch's at-least-once replay harmless.
+    ``bloom_m`` enables the incrementally-maintained bloom prefilter
+    tier (identical admitted sets; novel-content deliveries skip the
+    store scan entirely)."""
     stream = spark.readStream.schema(schema).parquet(bronze_dir)
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
-        ingest_corpus_batch(batch, batch_id, store_root, id_col, text)
+        ingest_corpus_batch(
+            batch, batch_id, store_root, id_col, text, bloom_m, bloom_k
+        )
 
     return (
         stream.writeStream.foreachBatch(ingest)

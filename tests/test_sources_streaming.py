@@ -787,3 +787,60 @@ def test_stream_classify_matches_batch_twin(spark, tmp_path):
     q3 = ingest.stream_classify(spark, bronze, out, ckpt, DOCS_SCHEMA, classes, grid)
     q3.awaitTermination()
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {10, 11, 12}
+
+
+def test_stream_corpus_ingest_bloom_tier_identical_store(spark, tmp_path):
+    """The bloom-prefiltered ingest tier admits the IDENTICAL store as
+    the exact tier across multiple deliveries, maintains one _bloom
+    bit dir per delivery (hidden from the store's parquet discovery),
+    and replaying a batch id under the bloom tier is a no-op rewrite
+    of both dirs."""
+    bronze = str(tmp_path / "bronze")
+    exact_store = str(tmp_path / "exact")
+    bloom_store = str(tmp_path / "bloom")
+
+    d1 = [(1, "alpha text"), (2, "beta text"), (3, "Alpha   TEXT ")]
+    d2 = [(10, "beta text"), (11, "gamma text")]
+    d3 = [(20, "gamma text"), (21, "delta text")]
+
+    _doc_rows(spark, d1).write.parquet(bronze)
+    for mode_store, bloom_m in ((exact_store, None), (bloom_store, 512)):
+        ckpt = str(tmp_path / f"ckpt_{bloom_m}")
+        q = ingest.stream_corpus_ingest(
+            spark, bronze, mode_store, ckpt, DOCS_SCHEMA, bloom_m=bloom_m
+        )
+        q.awaitTermination()
+
+    _doc_rows(spark, d2).write.mode("append").parquet(bronze)
+    _doc_rows(spark, d3).write.mode("append").parquet(bronze)
+    for mode_store, bloom_m in ((exact_store, None), (bloom_store, 512)):
+        ckpt = str(tmp_path / f"ckpt_{bloom_m}")
+        q = ingest.stream_corpus_ingest(
+            spark, bronze, mode_store, ckpt, DOCS_SCHEMA, bloom_m=bloom_m
+        )
+        q.awaitTermination()
+
+    exact_rows = {r.doc_id for r in spark.read.parquet(exact_store).collect()}
+    bloom_rows = {r.doc_id for r in spark.read.parquet(bloom_store).collect()}
+    assert bloom_rows == exact_rows == {1, 2, 11, 21}
+
+    # the bit store exists, is per-delivery, and is invisible to the
+    # store's own parquet discovery (underscore prefix)
+    bit_rows = spark.read.parquet(f"{bloom_store}/_bloom").collect()
+    assert {r.batch_id for r in bit_rows} == {
+        r.batch_id for r in spark.read.parquet(bloom_store).collect()
+    }
+    assert all(0 <= r.bit < 512 for r in bit_rows)
+    assert "bit" not in spark.read.parquet(bloom_store).columns
+
+    # replay of the last delivery under the bloom tier: identical store
+    # (d2 and d3 may have coalesced into one micro-batch, so replay the
+    # union — the exactly-once file source guarantees batch CONTENT,
+    # not how many files compose it)
+    before = {(r.doc_id, r.batch_id) for r in spark.read.parquet(bloom_store).collect()}
+    last_id = max(b for _, b in before)
+    ingest.ingest_corpus_batch(
+        _doc_rows(spark, d2 + d3), last_id, bloom_store, bloom_m=512
+    )
+    after = {(r.doc_id, r.batch_id) for r in spark.read.parquet(bloom_store).collect()}
+    assert after == before
