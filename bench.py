@@ -135,7 +135,10 @@ def main() -> None:
     # the 3 rows added after BENCH_r01 was recorded — kept out of the
     # baseline-comparable subtotal so round-over-round and vs-baseline
     # comparisons need no manual exclusion arithmetic
-    post_baseline = AMORTIZED | {"nb_lang_classifier", "embedding_pq_topk"}
+    post_baseline = AMORTIZED | {
+        "nb_lang_classifier", "embedding_pq_topk",
+        "heavy_hitter_tokens", "distinct_users_hll_portable",
+    }
     comparable = round(
         sum(t for q, t in timings.items() if q not in post_baseline), 3
     )
@@ -156,8 +159,9 @@ def main() -> None:
                 "notes": "rows added after the BENCH_r01 baseline suite: "
                          "embedding_ann_{ivf,lsh} (probe-only, index prebuilt "
                          "in the untimed warm pass), "
-                         "nb_lang_classifier and embedding_pq_topk (round 6; "
-                         "encode+search each run, nothing amortized) and "
+                         "nb_lang_classifier, embedding_pq_topk, heavy_hitter_tokens "
+                         "and distinct_users_hll_portable (round 6; nothing "
+                         "amortized) and "
                          "corpus_curation_pipeline (round 5; its three "
                          "persisted stages likewise build once in the warm "
                          "pass and are reused, so timed runs measure the "

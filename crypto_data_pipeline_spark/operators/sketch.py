@@ -188,24 +188,30 @@ def _misra_gries_candidates(keyed: DataFrame, capacity: int) -> DataFrame:
     def summarize(batches):
         import pandas as pd
 
-        # Mergeable-summaries form of MG (Agarwal et al. 2013): each
-        # Arrow batch is summarized exactly by value_counts (vectorized),
-        # added into the running summary, then reduced back to
-        # `capacity` keys by subtracting the (capacity+1)-th largest
-        # counter from all — the same error bound as item-at-a-time MG,
-        # with per-batch cost O(batch + summary log summary).
         summary = pd.Series(dtype="int64")
         dtype = None
         for pdf in batches:
             dtype = pdf["k"].dtype
-            summary = summary.add(pdf["k"].value_counts(), fill_value=0)
-            if len(summary) > capacity:
-                cut = summary.nlargest(capacity + 1).iloc[-1]
-                summary = summary[summary > cut] - cut
+            summary = _mg_merge(summary, pdf["k"], capacity)
         if len(summary):
             yield pd.DataFrame({"k": pd.Series(summary.index, dtype=dtype)})
 
     return keyed.mapInPandas(summarize, schema)
+
+
+def _mg_merge(summary, batch, capacity: int):
+    """Mergeable-summaries form of MG (Agarwal et al. 2013): the batch
+    is summarized exactly by value_counts (vectorized), added into the
+    running summary, then reduced back to <= `capacity` keys by
+    subtracting the (capacity+1)-th largest counter from all and
+    dropping non-positives — the same N/(capacity+1) undercount bound
+    as item-at-a-time MG, at O(batch + summary log summary) per batch.
+    Pure pandas: property-tested directly in tests/test_sketch_rollup."""
+    summary = summary.add(batch.value_counts(), fill_value=0)
+    if len(summary) > capacity:
+        cut = summary.nlargest(capacity + 1).iloc[-1]
+        summary = summary[summary > cut] - cut
+    return summary
 
 
 def heavy_hitters_exact(

@@ -3625,6 +3625,7 @@ _HH_NUM, _HH_DEN = 1, 100  # share >= 1%
 @register(
     "heavy_hitter_tokens",
     extra=True,
+    bench=True,
     survey_ids=("EXT-text", "EXT-olap"),
     oracle=f"""
 WITH toks AS (
@@ -3715,6 +3716,7 @@ FROM est JOIN exact USING (event_type)
 @register(
     "distinct_users_hll_portable",
     extra=True,
+    bench=True,
     survey_ids=("EXT-olap", "EXT-stream"),
     oracle=_hll_oracle(),
 )

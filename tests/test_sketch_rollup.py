@@ -163,3 +163,49 @@ def test_heavy_hitters_exact_long_keys(spark):
     ).repartition(8)
     rows = heavy_hitters_exact(df, F.col("k"), 1, 10).collect()
     assert [(r["k"], r["freq"]) for r in rows] == [(7, 51)]
+
+
+def test_mg_merge_superset_certificate_property():
+    """Hypothesis property over the shipped pandas MG reduction
+    (operators/sketch.py:_mg_merge): for ANY stream and ANY batch
+    split, every item with total count > N/(capacity+1) survives in
+    the summary keys, and the summary never exceeds capacity — the
+    certificate heavy_hitters_exact's pass-1 prune rests on."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from crypto_data_pipeline_spark.operators.sketch import _mg_merge
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        stream=st.lists(st.integers(0, 30), min_size=1, max_size=400),
+        capacity=st.integers(2, 12),
+        n_batches=st.integers(1, 6),
+        data=st.data(),
+    )
+    def prop(stream, capacity, n_batches, data):
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(0, len(stream)),
+                    min_size=n_batches - 1,
+                    max_size=n_batches - 1,
+                )
+            )
+        )
+        bounds = [0, *cuts, len(stream)]
+        summary = pd.Series(dtype="int64")
+        for lo, hi in zip(bounds, bounds[1:]):
+            if hi > lo:
+                summary = _mg_merge(summary, pd.Series(stream[lo:hi]), capacity)
+        assert len(summary) <= capacity
+        n = len(stream)
+        counts = pd.Series(stream).value_counts()
+        for item, c in counts.items():
+            if c * (capacity + 1) > n:
+                assert item in summary.index, (item, c, n, capacity)
+            # MG counters never overestimate
+            if item in summary.index:
+                assert summary[item] <= c
+
+    prop()
