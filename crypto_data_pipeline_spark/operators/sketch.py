@@ -252,3 +252,13 @@ def heavy_hitters_exact(
             F.round(F.col("freq") * 100.0 / F.col("_n"), 6).alias("share_pct"),
         )
     )
+
+
+def hll_merge(regs: DataFrame, group: tuple[str, ...] = ()) -> DataFrame:
+    """Union-merge of HLL register tables: registers are max-monotone,
+    so ANY pile of per-partition / per-delivery / per-day register
+    frames merges by one groupBy(max) into the register table of the
+    union of their inputs — losslessly (bit-identical to sketching the
+    union directly). This is the read side of the streaming sketch
+    store: merge kilobytes of registers, never rescan raw events."""
+    return regs.groupBy(*group, "j").agg(F.max("r").alias("r"))

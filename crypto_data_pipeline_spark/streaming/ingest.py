@@ -313,3 +313,59 @@ def stream_classify(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sketch_distinct_batch(
+    batch: DataFrame,
+    batch_id: int,
+    regs_root: str,
+    key: str = "user_id",
+    group: tuple[str, ...] = ("event_type",),
+    m: int = 256,
+    seed: int = 29,
+) -> None:
+    """One delivery of the streaming distinct-count sketch: reduce the
+    batch to its HLL register table (<= |groups|*m rows — kilobytes)
+    and land it as an immutable ``batch_id=N`` dir. Registers are
+    max-monotone, so the CURRENT sketch is `sketch.hll_merge` over all
+    delivery dirs — raw events are read exactly once, at arrival, and
+    never rescanned; replay overwrites the same dir with the same
+    rows (the register reduction is deterministic)."""
+    from crypto_data_pipeline_spark.operators.sketch import hll_registers
+
+    hll_registers(batch, F.col(key), m=m, seed=seed, group=group).write.mode(
+        "overwrite"
+    ).parquet(f"{regs_root}/batch_id={batch_id}")
+
+
+def stream_distinct_sketch(
+    spark: SparkSession,
+    bronze_dir: str,
+    regs_root: str,
+    checkpoint_dir: str,
+    schema,
+    key: str = "user_id",
+    group: tuple[str, ...] = ("event_type",),
+    m: int = 256,
+    seed: int = 29,
+) -> StreamingQuery:
+    """Continuously-maintained distinct-count sketch: every arriving
+    delivery appends one register-table dir (`sketch_distinct_batch`);
+    readers merge the dirs (groupBy max — lossless) and estimate with
+    `sketch.hll_estimate`. The streaming answer is BIT-IDENTICAL to
+    sketching the union of all deliveries in one batch job, pinned by
+    test — the streaming/batch split costs nothing, which is the point
+    of a max-monotone sketch. availableNow = catch-up-and-stop; same
+    checkpoint + per-batch-overwrite replay contract as the corpus
+    ingest."""
+    stream = spark.readStream.schema(schema).parquet(bronze_dir)
+
+    def sk(batch: DataFrame, batch_id: int) -> None:
+        sketch_distinct_batch(batch, batch_id, regs_root, key, group, m, seed)
+
+    return (
+        stream.writeStream.foreachBatch(sk)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -844,3 +844,65 @@ def test_stream_corpus_ingest_bloom_tier_identical_store(spark, tmp_path):
     )
     after = {(r.doc_id, r.batch_id) for r in spark.read.parquet(bloom_store).collect()}
     assert after == before
+
+
+def test_stream_distinct_sketch_bit_identical_to_batch(spark, tmp_path):
+    """The streamed HLL register store, merged across delivery dirs,
+    is BIT-IDENTICAL to sketching the union of all deliveries in one
+    batch job — max-monotone merge loses nothing — and the estimates
+    therefore agree exactly. Replay of a delivery id is a no-op."""
+    from crypto_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), True),
+            T.StructField("event_type", T.StringType(), True),
+        ]
+    )
+    bronze = str(tmp_path / "bronze")
+    regs_root = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+
+    d1 = [(i, "click") for i in range(40)] + [(i, "view") for i in range(10)]
+    d2 = [(i, "click") for i in range(20, 60)] + [(None, "click")]
+    spark.createDataFrame(d1, schema).write.parquet(bronze)
+    q = ingest.stream_distinct_sketch(spark, bronze, regs_root, ckpt, schema, m=64)
+    q.awaitTermination()
+    spark.createDataFrame(d2, schema).write.mode("append").parquet(bronze)
+    q = ingest.stream_distinct_sketch(spark, bronze, regs_root, ckpt, schema, m=64)
+    q.awaitTermination()
+
+    streamed = hll_merge(
+        spark.read.parquet(regs_root).drop("batch_id"), group=("event_type",)
+    )
+    direct = hll_registers(
+        spark.createDataFrame(d1 + d2, schema),
+        F.col("user_id"),
+        m=64,
+        group=("event_type",),
+    )
+    key = lambda rows: {(r["event_type"], r["j"]): r["r"] for r in rows}
+    assert key(streamed.collect()) == key(direct.collect())
+
+    est_s = {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_estimate(streamed, m=64, group=("event_type",)).collect()
+    }
+    est_d = {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_estimate(direct, m=64, group=("event_type",)).collect()
+    }
+    assert est_s == est_d
+
+    # replaying a delivery rewrites identical registers
+    batch_ids = {r.batch_id for r in spark.read.parquet(regs_root).collect()}
+    before = key(spark.read.parquet(regs_root).drop("batch_id").collect())
+    ingest.sketch_distinct_batch(
+        spark.createDataFrame(d2, schema), max(batch_ids), regs_root, m=64
+    )
+    after = key(spark.read.parquet(regs_root).drop("batch_id").collect())
+    assert after == before
