@@ -672,3 +672,63 @@ def test_mmr_pool_smaller_than_k(spark):
     ).collect()
     assert len(got) == 2                                 # selection stops at the pool
     assert sorted(r.rank for r in got) == [1, 2]
+
+
+def test_rp_projection_matrix_and_distance_preservation(spark, sf_dir):
+    """JL projection: the ±1 matrix matches the portable-hash high-bit
+    formula element-wise; an exact duplicate projects to distance 0
+    and ranks first; and the JL property itself holds on the real
+    corpus — ||S(x-y)||^2 / (m*||x-y||^2) concentrates around 1
+    (E[ratio] = 1 for Rademacher rows; std ~ sqrt(2/m) ~ 0.35 at
+    m=16). Top-5 recall is deliberately NOT pinned: on this synthetic
+    near-equidistant corpus, neighbor ordering is fragile under ANY
+    m=16 projection — distance concentration is the guarantee JL
+    actually makes."""
+    import numpy as np
+
+    from crypto_data_pipeline_spark.operators.dedup import (
+        PORTABLE_MOD,
+        portable_minhash_params,
+    )
+    from crypto_data_pipeline_spark.operators.similarity import (
+        _rp_matrix,
+        rp_topk,
+        with_int8_codes,
+        with_rp_codes,
+    )
+
+    s = _rp_matrix(4, 6, seed=41)
+    for j, (a, b) in enumerate(portable_minhash_params(4, 41)):
+        for i in range(6):
+            assert s[j, i] == 1 - 2 * (((a * i + b) % PORTABLE_MOD) * 2 // PORTABLE_MOD)
+    assert set(np.unique(s)) <= {-1, 1}
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    # planted exact duplicate: projected distance must be exactly 0
+    dup = embs.where("vec_id = 0").select(
+        (F.col("vec_id") + 10**9).alias("vec_id"), "embedding", "label"
+    )
+    queries = embs.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = rp_topk(embs.unionByName(dup), queries, k=5).collect()
+    assert got[0]["vec_id"] == 10**9 and got[0]["rp_dist"] == 0
+
+    # distance concentration over sampled pairs
+    m = 16
+    q = {r["vec_id"]: np.array(r["q"], dtype=np.int64)
+         for r in with_int8_codes(embs).select("vec_id", "q").collect()}
+    y = {r["vec_id"]: np.array(r["y"], dtype=np.int64)
+         for r in with_rp_codes(embs, out_dim=m, seed=41).collect()}
+    ids = sorted(q)
+    rng = np.random.default_rng(7)
+    ratios = []
+    for _ in range(400):
+        a_id, b_id = rng.choice(ids, 2, replace=False)
+        orig = int(((q[a_id] - q[b_id]) ** 2).sum())
+        proj = int(((y[a_id] - y[b_id]) ** 2).sum())
+        if orig:
+            ratios.append(proj / (m * orig))
+    r = np.array(ratios)
+    assert 0.7 <= np.median(r) <= 1.3, np.median(r)
+    assert (np.abs(np.log(r)) <= np.log(4)).mean() >= 0.9, r

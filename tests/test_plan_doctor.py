@@ -53,6 +53,7 @@ BNLJ_OK = {
     "embedding_knn_classify",      # 20 query vectors broadcast (brute-force top-k stage)
     "embedding_mmr_topk",          # 10 query vectors broadcast (candidate top-k stage)
     "heavy_hitter_tokens",         # 1-row stream-total frame (threshold test)
+    "embedding_rp_topk",           # 10 projected query vectors broadcast
 }
 
 # Arrow-batched Python (mapInPandas / applyInPandas / pandas UDF) is a
@@ -74,6 +75,7 @@ ARROW_OK = {
     "cluster_balanced_sample",     # same fixed-quantizer assignment
     "semantic_dedup",              # same fixed-quantizer assignment
     "heavy_hitter_tokens",         # bounded-memory Misra-Gries prune (mapInPandas)
+    "embedding_rp_topk",           # vectorized numpy JL matmul (mapInPandas)
 }
 
 
