@@ -2114,6 +2114,94 @@ def sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HH_STREAM_SHARDS, _HH_STREAM_CAP = 4, 16
+
+
+def _hh_stream_oracle() -> str:
+    """Single availableNow delivery over one parquet file = ONE
+    micro-batch with empty initial state, so the stateful tracker's
+    summary is `_mg_merge(empty, shard_substream, cap)` — a
+    deterministic function of the key multiset: per-shard counts minus
+    the (cap+1)-th largest count (0 if the shard holds <= cap keys),
+    keeping strictly-positive remainders. Plain SQL."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(k, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(h, x) -> (h * 131 + x) % 2147483647)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT t AS k FROM (SELECT unnest({TOKENS_SQL}) AS t FROM documents) WHERE t <> ''
+),
+counts AS (
+  SELECT CAST({fold} % {_HH_STREAM_SHARDS} AS INT) AS shard, k,
+         CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY c DESC, k) AS rn
+  FROM counts
+),
+cut AS (
+  SELECT shard, max(CASE WHEN rn = {_HH_STREAM_CAP + 1} THEN c ELSE CAST(0 AS BIGINT) END) AS cutoff
+  FROM ranked GROUP BY shard
+)
+SELECT counts.shard, counts.k, counts.c - cut.cutoff AS mg_count
+FROM counts JOIN cut USING (shard)
+WHERE counts.c > cut.cutoff
+"""
+
+
+@register(
+    "heavy_hitter_stream_tokens",
+    extra=True,
+    survey_ids=("EXT-stream", "EXT-text"),
+    oracle=_hh_stream_oracle(),
+)
+def heavy_hitter_stream_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATEFUL STREAMING heavy-hitter tracker
+    (`streaming/heavy_hitters.py`) run as a real Structured Streaming
+    query: documents stream in via availableNow, tokens hash-shard to
+    4 applyInPandasWithState rows, each maintaining a capacity-16
+    Misra-Gries summary in the checkpointed state store (bounded
+    FOREVER — no watermark needed, unlike the sessionizer). The
+    single-delivery summary is a deterministic function of the token
+    multiset (one `_mg_merge` per shard), and the portable shard hash
+    makes it reproducible shard-for-shard in DuckDB — a custom
+    state-store operator whose EMISSIONS hash-check. Multi-delivery /
+    restart behavior is pinned by
+    tests/test_streaming_heavy_hitters.py."""
+    import tempfile
+
+    from crypto_data_pipeline_spark.streaming.heavy_hitters import (
+        heavy_hitter_stream,
+        latest_summaries,
+    )
+
+    schema = _docs(spark, sf_dir).schema
+    # glob → the parent dir becomes basePath (file sources need a dir)
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/documents.[p]arquet")
+    keyed = stream.select(F.explode(text.tokens("text")).alias("k")).where(
+        F.col("k") != ""
+    )
+    out_dir = tempfile.mkdtemp(prefix="hh_stream_out_")
+    ckpt = tempfile.mkdtemp(prefix="hh_stream_ckpt_")
+    summaries = heavy_hitter_stream(keyed, _HH_STREAM_SHARDS, _HH_STREAM_CAP)
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    q = (
+        summaries.writeStream.foreachBatch(land)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return latest_summaries(spark, out_dir).select("shard", "k", "mg_count")
+
+
 @register(
     "stream_dedup_idempotent",
     survey_ids=("ST2", "EXT-stream"),
