@@ -3716,6 +3716,107 @@ def cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental view maintenance under CDC (sources/cdc.py)
+
+
+@register(
+    "ivm_group_aggregate",
+    extra=True,
+    survey_ids=("EXT-stream", "EXT-olap"),
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS key, o_orderpriority AS grp,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey % 10 < 8
+),
+survivors AS (
+  SELECT key,
+         CASE WHEN key % 10 >= 1 AND key % 13 = 5 AND key % 7 <> 0
+              THEN 'MOVED' ELSE grp END AS grp,
+         CASE WHEN key % 10 >= 1 AND key % 7 = 0 AND key % 13 <> 5
+              THEN cents + 100 ELSE cents END AS cents
+  FROM base WHERE key % 10 <> 0
+),
+final AS (
+  SELECT grp, cents FROM survivors
+  UNION ALL
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT)
+  FROM orders WHERE o_orderkey % 10 = 8
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM final GROUP BY grp
+""",
+)
+def ivm_group_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (Gupta & Mumick; Materialize/Delta
+    Live Tables territory — `sources/cdc.py:maintain_group_aggregate`):
+    a COUNT/SUM-cents aggregate over orders is maintained under a CDC
+    feed with before-images — inserts, deletes, value updates, AND
+    group moves — WITHOUT rescanning the base table: deltas aggregate
+    map-side to <= |groups| rows and one outer merge applies them to
+    the gold table. The oracle recomputes the aggregate from the
+    post-change table from scratch; the maintained result must equal
+    it exactly (integer cents make retraction order-independent).
+    That equality IS the IVM correctness statement."""
+    from crypto_data_pipeline_spark.sources.cdc import maintain_group_aggregate
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.where(k % 10 < 8).select(
+        k.alias("key"), F.col("o_orderpriority").alias("grp"), cents.alias("cents")
+    )
+    agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+    key = F.col("key")
+    null_g = F.lit(None).cast("string")
+    null_v = F.lit(None).cast("long")
+    ins = orders.where(k % 10 == 8).select(
+        F.lit("U").alias("op"),
+        F.col("o_orderpriority").alias("grp"),
+        cents.alias("cents"),
+        null_g.alias("prev_grp"),
+        null_v.alias("prev_cents"),
+    )
+    dels = base.where(key % 10 == 0).select(
+        F.lit("D").alias("op"),
+        null_g.alias("grp"),
+        null_v.alias("cents"),
+        F.col("grp").alias("prev_grp"),
+        F.col("cents").alias("prev_cents"),
+    )
+    upd = base.where((key % 10 >= 1) & (key % 7 == 0) & (key % 13 != 5)).select(
+        F.lit("U").alias("op"),
+        F.col("grp"),
+        (F.col("cents") + 100).alias("cents"),
+        F.col("grp").alias("prev_grp"),
+        F.col("cents").alias("prev_cents"),
+    )
+    mov = base.where((key % 10 >= 1) & (key % 13 == 5) & (key % 7 != 0)).select(
+        F.lit("U").alias("op"),
+        F.lit("MOVED").alias("grp"),
+        F.col("cents"),
+        F.col("grp").alias("prev_grp"),
+        F.col("cents").alias("prev_cents"),
+    )
+    changes = ins.unionByName(dels).unionByName(upd).unionByName(mov)
+    return maintain_group_aggregate(
+        agg,
+        changes,
+        group_col="grp",
+        value_col="cents",
+        cnt_col="n_rows",
+        sum_col="total_cents",
+        prev_group_col="prev_grp",
+        prev_value_col="prev_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
 # snapshot / generation diff (sources/generations.py)
 
 
@@ -3770,6 +3871,129 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_M, _HLL_SEED = 256, 29
+
+
+def _hll_setops_oracle() -> str:
+    from crypto_data_pipeline_spark.operators.dedup import (
+        PORTABLE_MOD,
+        portable_minhash_params,
+    )
+
+    (a, b) = portable_minhash_params(1, _HLL_SEED)[0]
+    m = _HLL_M
+    wbits1 = 31 - (m.bit_length() - 1) + 1
+    est = (
+        f"CASE WHEN ((0.7213 / (1.0 + 1.079 / {m}) * {m}) * {m}) / (s + ({m} - nz))"
+        f" <= 2.5 * {m} AND ({m} - nz) > 0"
+        f" THEN {m} * ln({m} / ({m} - nz))"
+        f" ELSE ((0.7213 / (1.0 + 1.079 / {m}) * {m}) * {m}) / (s + ({m} - nz)) END"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT CASE WHEN event_type IN ('click', 'view') THEN event_type END AS grp,
+         ((user_id % {PORTABLE_MOD}) * {a} + {b}) % {PORTABLE_MOD} AS h
+  FROM events WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')
+),
+regs AS (
+  SELECT grp, h % {m} AS j,
+         max(CASE WHEN h // {m} = 0 THEN {wbits1}
+                  ELSE {wbits1} - length(bin(h // {m})) END) AS r
+  FROM hashed GROUP BY 1, 2
+),
+union_regs AS (SELECT 'union' AS grp, j, max(r) AS r FROM regs GROUP BY 2),
+all_regs AS (SELECT * FROM regs UNION ALL SELECT * FROM union_regs),
+per AS (
+  SELECT grp, sum(power(2.0, -r)) AS s, CAST(count(*) AS DOUBLE) AS nz
+  FROM all_regs GROUP BY 1
+),
+est AS (SELECT grp, round({est}, 6) AS e FROM per),
+p AS (
+  SELECT max(CASE WHEN grp = 'click' THEN e END) AS a_est,
+         max(CASE WHEN grp = 'view' THEN e END) AS b_est,
+         max(CASE WHEN grp = 'union' THEN e END) AS union_est
+  FROM est
+),
+exact AS (
+  SELECT CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS a_exact,
+         CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT) AS b_exact,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS union_exact,
+         CAST(count(DISTINCT CASE WHEN in_a AND in_b THEN user_id END) AS BIGINT) AS intersect_exact
+  FROM (
+    SELECT user_id, event_type,
+           bool_or(event_type = 'click') OVER (PARTITION BY user_id) AS in_a,
+           bool_or(event_type = 'view') OVER (PARTITION BY user_id) AS in_b
+    FROM events WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')
+  )
+)
+SELECT a_est, b_est, union_est,
+       round(a_est + b_est - union_est, 6) AS intersect_est,
+       a_exact, b_exact, union_exact, intersect_exact
+FROM p, exact
+"""
+
+
+@register(
+    "hll_set_ops",
+    extra=True,
+    survey_ids=("EXT-olap",),
+    oracle=_hll_setops_oracle(),
+)
+def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA over two user cohorts (click vs view): union
+    cardinality by register max-merge (`sketch.hll_merge` — lossless,
+    the sketch of the union), intersection by inclusion-exclusion on
+    the three estimates. This is the audience-overlap query every
+    analytics store answers from sketches because the exact form needs
+    a full per-user shuffle; here each cohort is |m| registers and the
+    union costs one groupBy(max) over 2m rows. All estimates
+    bit-reproducible in DuckDB (portable registers + exactly-
+    associative harmonic sums); exact counts sit alongside as the
+    error witness."""
+    from crypto_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    regs = hll_registers(
+        events, F.col("user_id"), m=_HLL_M, seed=_HLL_SEED, group=("event_type",)
+    ).persist()
+    union_regs = hll_merge(regs)
+    ests = {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_estimate(regs, m=_HLL_M, group=("event_type",)).collect()
+    }
+    union_est = hll_estimate(union_regs, m=_HLL_M).collect()[0]["hll_estimate"]
+    regs.unpersist()
+
+    flags = events.where(F.col("user_id").isNotNull()).groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("in_a"),
+        F.max((F.col("event_type") == "view").cast("int")).alias("in_b"),
+    )
+    ex = flags.agg(
+        F.sum("in_a").cast("long").alias("a_exact"),
+        F.sum("in_b").cast("long").alias("b_exact"),
+        F.count(F.lit(1)).cast("long").alias("union_exact"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("intersect_exact"),
+    )
+    return ex.select(
+        F.lit(ests["click"]).alias("a_est"),
+        F.lit(ests["view"]).alias("b_est"),
+        F.lit(union_est).alias("union_est"),
+        F.round(F.lit(ests["click"] + ests["view"] - union_est), 6).alias(
+            "intersect_est"
+        ),
+        "a_exact",
+        "b_exact",
+        "union_exact",
+        "intersect_exact",
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact two-pass heavy hitters (operators/sketch.py)
 
@@ -3816,8 +4040,6 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # HyperLogLog distinct-count sketch (operators/sketch.py)
-
-_HLL_M, _HLL_SEED = 256, 29
 
 
 def _hll_oracle() -> str:

@@ -53,3 +53,59 @@ def apply_changes(
         .where((F.col("_rn") == 1) & (F.col(op_col) != OP_DELETE))
         .select(*out_cols)
     )
+
+
+def maintain_group_aggregate(
+    agg: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    value_col: str,
+    cnt_col: str = "n_rows",
+    sum_col: str = "total",
+    op_col: str = "op",
+    prev_group_col: str | None = None,
+    prev_value_col: str | None = None,
+) -> DataFrame:
+    """Incremental view maintenance of a COUNT/SUM group aggregate
+    under a CDC feed carrying BEFORE-images (the Debezium envelope:
+    insert = after only, update = before+after, delete = before only).
+    Per feed row the delta algebra is textbook IVM (Gupta & Mumick):
+
+      * op U with NULL before  -> +1/+value to the new group
+      * op U with a before     -> -1/-prev to the old group AND
+                                  +1/+value to the new one (group
+                                  moves handled by construction)
+      * op D                   -> -1/-prev to the old group
+
+    The BASE FACT TABLE IS NEVER TOUCHED — that is the entire point:
+    deltas aggregate map-side to <= |groups| rows, then one outer
+    merge against the (gold-sized) aggregate table applies them;
+    groups whose count reaches zero disappear. SUM stays exact under
+    retraction because the operator contract takes an INTEGER value
+    column (store cents, not dollars) — float retraction would be
+    order-dependent and unauditable."""
+    prev_group_col = prev_group_col or f"prev_{group_col}"
+    prev_value_col = prev_value_col or f"prev_{value_col}"
+
+    plus = changes.where(F.col(op_col) != OP_DELETE).select(
+        F.col(group_col).alias("_g"),
+        F.lit(1).cast("long").alias("_dc"),
+        F.col(value_col).cast("long").alias("_dv"),
+    )
+    minus = changes.where(F.col(prev_group_col).isNotNull()).select(
+        F.col(prev_group_col).alias("_g"),
+        F.lit(-1).cast("long").alias("_dc"),
+        (-F.col(prev_value_col).cast("long")).alias("_dv"),
+    )
+    deltas = (
+        plus.unionByName(minus)
+        .groupBy("_g")
+        .agg(F.sum("_dc").alias("_dc"), F.sum("_dv").alias("_dv"))
+    )
+    zero = F.lit(0).cast("long")
+    merged = agg.join(deltas, agg[group_col] == deltas["_g"], "full_outer").select(
+        F.coalesce(agg[group_col], F.col("_g")).alias(group_col),
+        (F.coalesce(F.col(cnt_col), zero) + F.coalesce(F.col("_dc"), zero)).alias(cnt_col),
+        (F.coalesce(F.col(sum_col), zero) + F.coalesce(F.col("_dv"), zero)).alias(sum_col),
+    )
+    return merged.where(F.col(cnt_col) != 0)

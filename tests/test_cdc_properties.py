@@ -64,3 +64,72 @@ def test_cdc_matches_python_replay_model(spark):
         got = {r.k: r.v for r in apply_changes(base, changes, ["k"], ["seq"]).collect()}
         want = _python_model(base_rows, change_rows)
         assert got == want, f"case {case}: base={base_rows} changes={change_rows}"
+
+
+def test_ivm_maintained_aggregate_equals_recompute(spark):
+    """Property (seeded scenarios, one session): maintaining a
+    COUNT/SUM aggregate from CDC deltas (`maintain_group_aggregate`)
+    equals recomputing it from the post-change table — across inserts,
+    deletes, value updates, group moves, brand-new groups, and groups
+    whose count falls to zero (which must VANISH, not linger at 0)."""
+    from collections import defaultdict
+
+    from crypto_data_pipeline_spark.sources.cdc import maintain_group_aggregate
+
+    rng = random.Random(17)
+    for scenario in range(12):
+        groups = ["g0", "g1", "g2", "g3"]
+        base = {
+            k: (rng.choice(groups), rng.randint(-50, 200))
+            for k in range(rng.randint(0, 25))
+        }
+        # ensure one scenario empties a whole group
+        if scenario == 3:
+            base = {0: ("solo", 7), 1: ("g0", 5)}
+        changes = []
+        final = dict(base)
+        keys = list(base) or [0]
+        for k in rng.sample(keys, min(len(keys), rng.randint(0, len(keys)))):
+            op = rng.choice(["del", "upd", "move"])
+            pg, pv = base[k]
+            if op == "del" or scenario == 3:
+                changes.append(("D", None, None, pg, pv))
+                final.pop(k, None)
+            elif op == "upd":
+                nv = rng.randint(-50, 200)
+                changes.append(("U", pg, nv, pg, pv))
+                final[k] = (pg, nv)
+            else:
+                ng = rng.choice(groups + ["brand_new"])
+                changes.append(("U", ng, pv, pg, pv))
+                final[k] = (ng, pv)
+        for k in range(1000, 1000 + rng.randint(0, 6)):  # inserts
+            g, v = rng.choice(groups + ["brand_new"]), rng.randint(-50, 200)
+            changes.append(("U", g, v, None, None))
+            final[k] = (g, v)
+
+        agg_rows = defaultdict(lambda: [0, 0])
+        for g, v in base.values():
+            agg_rows[g][0] += 1
+            agg_rows[g][1] += v
+        agg = spark.createDataFrame(
+            [(g, c, s) for g, (c, s) in agg_rows.items()] or [("_none", 0, 0)],
+            "grp string, n_rows long, total long",
+        ).where("n_rows > 0")
+        ch = spark.createDataFrame(
+            changes or [("U", "g0", 0, None, None)][:0],
+            "op string, grp string, val long, prev_grp string, prev_val long",
+        )
+        got = {
+            (r["grp"], r["n_rows"], r["total"])
+            for r in maintain_group_aggregate(
+                agg, ch, "grp", "val", cnt_col="n_rows", sum_col="total",
+                prev_group_col="prev_grp", prev_value_col="prev_val",
+            ).collect()
+        }
+        want_rows = defaultdict(lambda: [0, 0])
+        for g, v in final.values():
+            want_rows[g][0] += 1
+            want_rows[g][1] += v
+        want = {(g, c, s) for g, (c, s) in want_rows.items() if c != 0}
+        assert got == want, (scenario, got ^ want)
