@@ -216,3 +216,62 @@ def pagerank(
     nodes.unpersist()
     edges.unpersist()
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Exact triangle count over an undirected edge list — the cluster
+    cohesion diagnostic for near-dup graphs (a clique-ish component is
+    one duplicated document; a chain of borderline pairs is not).
+
+    Algorithm: degree-ordered orientation (Suri & Vassilvitskii 2011,
+    "Counting Triangles and the Curse of the Last Reducer"): orient
+    every edge from the (degree, id)-smaller endpoint to the larger,
+    build wedges only from each vertex's OUT-neighbors, and close them
+    against the oriented edge set. Each triangle is produced exactly
+    once (its ordering has one source), and — the scale point — a
+    vertex's out-degree under this orientation is O(sqrt(m)) no matter
+    how big its raw degree, so a celebrity node cannot melt one
+    reducer. Three key-local shuffles (degrees, wedge self-join on the
+    pivot, closing join on the edge), nothing quadratic in degree.
+
+    Returns one row: (n_triangles, vertex_id_sum) where vertex_id_sum
+    = sum over triangles of (a+b+c) — pins exact membership, not just
+    the count."""
+    a, bcol = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, bcol).alias("a"), F.greatest(a, bcol).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(y, F.col("x.u") == F.col("y.u")).where(
+        (F.col("x.dv") < F.col("y.dv"))
+        | ((F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v")))
+    ).select(
+        F.col("x.u").alias("w_u"), F.col("x.v").alias("w_v"), F.col("y.v").alias("w_w")
+    )
+    closing = oriented.select(F.col("u").alias("w_v"), F.col("v").alias("w_w"))
+    tri = wedges.join(closing, ["w_v", "w_w"], "left_semi")
+    return tri.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles"),
+        F.coalesce(
+            F.sum(F.col("w_u") + F.col("w_v") + F.col("w_w")), F.lit(0)
+        ).cast("long").alias("vertex_id_sum"),
+    )

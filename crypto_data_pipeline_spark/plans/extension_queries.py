@@ -556,6 +556,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_graph_triangles",
+    extra=True,
+    survey_ids=("EXT-graph", "EXT-dedup"),
+    oracle=f"""
+WITH pairs AS ({_NGRAM_JACCARD_ORACLE}),
+e AS (SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a <> id_b),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST(coalesce(sum(a + b + c), 0) AS BIGINT) AS vertex_id_sum
+FROM tri
+""",
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph
+    (`operators/graph.py:triangle_count`): cluster-cohesion diagnostic
+    — cliquey components are one duplicated document, chains are
+    borderline pairs. Spark runs the degree-ordered-orientation
+    algorithm (each triangle produced once, out-degree capped at
+    O(sqrt m) so no celebrity-node reducer melt); the oracle counts
+    the same triangles with a naive ordered 3-way self-join (a<b<c
+    holds because the pair list is already canonical). Equality proves
+    the oriented algebra exact, including vertex membership via the
+    id-sum pin."""
+    from crypto_data_pipeline_spark.operators.graph import triangle_count
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return triangle_count(pairs, "id_a", "id_b")
+
+
 @register("dedup_clusters_star",
     extra=True, survey_ids=("EXT-dedup", "EXT-graph"), oracle=_CLUSTERS_ORACLE)
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3712,6 +3746,69 @@ def cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         depth=_CMS_DEPTH,
         width=_CMS_WIDTH,
         seed=_CMS_SEED,
+    )
+
+
+_ZIPF_TOP = 100
+
+
+@register(
+    "zipf_rank_frequency",
+    extra=True,
+    survey_ids=("EXT-text", "EXT-olap"),
+    oracle=f"""
+WITH vocab AS (
+  SELECT t AS token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({TOKENS_SQL}) AS t FROM documents) WHERE t <> ''
+  GROUP BY 1
+),
+ranked AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rnk
+  FROM vocab
+),
+pts AS (
+  SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+  FROM ranked WHERE rnk <= {_ZIPF_TOP}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(-(covar_pop(x, y) / var_pop(x)), 6) AS zipf_exponent,
+       round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 6) AS log_intercept,
+       round(corr(x, y) * corr(x, y), 6) AS r2
+FROM pts
+""",
+)
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-100 vocabulary: OLS of
+    ln(freq) on ln(rank) — the corpus-health diagnostic a tokenizer/
+    sampling design starts from (natural text sits near exponent 1;
+    boilerplate-heavy or templated corpora bend the curve). The vocab
+    aggregation is the only corpus-sized job; ranking touches only the
+    vocab and the fit is one closed-form aggregation over 100 points
+    using the STABLE moment aggregates (the entity_trend_ols
+    portability contract)."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    vocab = (
+        docs.select(F.explode(text.tokens("text")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = vocab.orderBy(F.col("freq").desc(), "token").limit(_ZIPF_TOP)
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "token")),
+    )
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    slope = F.covar_pop(x, y) / F.var_pop(x)
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(-slope, 6).alias("zipf_exponent"),
+        F.round(F.avg(y) - slope * F.avg(x), 6).alias("log_intercept"),
+        F.round(F.corr(x, y) * F.corr(x, y), 6).alias("r2"),
     )
 
 

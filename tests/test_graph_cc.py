@@ -85,3 +85,24 @@ def test_pagerank_star_graph_properties(spark):
     hub, leaf_ranks = ranks[0], [ranks[x] for x in leaves]
     assert all(hub > lr for lr in leaf_ranks)
     assert max(leaf_ranks) - min(leaf_ranks) < 1e-12
+
+
+def test_triangle_count_known_graphs(spark):
+    """K4 has 4 triangles (id sum = sum over the four 3-subsets); a
+    star has none (the celebrity-node case the orientation caps); a
+    triangle with a pendant edge has exactly 1; duplicate/reversed
+    edge listings must not double-count."""
+    from crypto_data_pipeline_spark.operators.graph import triangle_count
+
+    def tri(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        r = triangle_count(df, "id_a", "id_b").collect()[0]
+        return (r["n_triangles"], r["vertex_id_sum"])
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    # triangles: 123,124,134,234 -> sums 6+7+8+9 = 30
+    assert tri(k4) == (4, 30)
+    assert tri(k4 + [(2, 1), (4, 3), (1, 2)]) == (4, 30)  # dups/reversals
+    star = [(0, i) for i in range(1, 9)]
+    assert tri(star) == (0, 0)
+    assert tri([(1, 2), (2, 3), (1, 3), (3, 9)]) == (1, 6)
