@@ -4023,8 +4023,9 @@ exact AS (
     FROM events WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')
   )
 )
-SELECT a_est, b_est, union_est,
-       round(a_est + b_est - union_est, 6) AS intersect_est,
+SELECT coalesce(a_est, 0.0) AS a_est, coalesce(b_est, 0.0) AS b_est,
+       coalesce(union_est, 0.0) AS union_est,
+       round(coalesce(a_est, 0.0) + coalesce(b_est, 0.0) - coalesce(union_est, 0.0), 6) AS intersect_est,
        a_exact, b_exact, union_exact, intersect_exact
 FROM p, exact
 """
@@ -4064,26 +4065,34 @@ def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["event_type"]: r["hll_estimate"]
         for r in hll_estimate(regs, m=_HLL_M, group=("event_type",)).collect()
     }
-    union_est = hll_estimate(union_regs, m=_HLL_M).collect()[0]["hll_estimate"]
+    # empty cohort -> zero registers -> linear counting gives m*ln(1)=0;
+    # the grouped frame simply has no row for it, so default explicitly
+    a_est = ests.get("click", 0.0)
+    b_est = ests.get("view", 0.0)
+    union_rows = hll_estimate(union_regs, m=_HLL_M).collect()
+    union_est = union_rows[0]["hll_estimate"] if union_rows else 0.0
+    if union_est is None:  # global agg over zero registers
+        union_est = 0.0
     regs.unpersist()
 
     flags = events.where(F.col("user_id").isNotNull()).groupBy("user_id").agg(
         F.max((F.col("event_type") == "click").cast("int")).alias("in_a"),
         F.max((F.col("event_type") == "view").cast("int")).alias("in_b"),
     )
+    zero = F.lit(0).cast("long")
     ex = flags.agg(
-        F.sum("in_a").cast("long").alias("a_exact"),
-        F.sum("in_b").cast("long").alias("b_exact"),
+        F.coalesce(F.sum("in_a"), zero).cast("long").alias("a_exact"),
+        F.coalesce(F.sum("in_b"), zero).cast("long").alias("b_exact"),
         F.count(F.lit(1)).cast("long").alias("union_exact"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("intersect_exact"),
+        F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), zero)
+        .cast("long")
+        .alias("intersect_exact"),
     )
     return ex.select(
-        F.lit(ests["click"]).alias("a_est"),
-        F.lit(ests["view"]).alias("b_est"),
+        F.lit(a_est).alias("a_est"),
+        F.lit(b_est).alias("b_est"),
         F.lit(union_est).alias("union_est"),
-        F.round(F.lit(ests["click"] + ests["view"] - union_est), 6).alias(
-            "intersect_est"
-        ),
+        F.round(F.lit(a_est + b_est - union_est), 6).alias("intersect_est"),
         "a_exact",
         "b_exact",
         "union_exact",

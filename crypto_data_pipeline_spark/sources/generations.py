@@ -86,16 +86,36 @@ def current_generation(spark: SparkSession, root: str) -> int | None:
     return gens[-1] if gens else None
 
 
-def publish(df: DataFrame, root: str) -> int:
+def publish(df: DataFrame, root: str, marker: str | None = None) -> int:
     """Write a complete new snapshot and make it current. The data
     write happens ENTIRELY before the pointer flip — the only
-    non-idempotent step is one tiny file rename."""
+    non-idempotent step is one tiny file rename.
+
+    ``marker`` (an underscore-prefixed name, invisible to parquet
+    reads) is dropped INSIDE the new generation dir BEFORE the pointer
+    flip, so "is the current generation the one that applied X?" is
+    crash-safe: a crash before the flip leaves a dangling unreferenced
+    dir (replay recomputes under the next number); a crash after the
+    flip leaves the marker visible (replay no-ops). This is the
+    transaction-id idempotence a Delta log provides, in one file."""
     spark = df.sparkSession
     gens = list_generations(spark, root)
     gen = (gens[-1] + 1) if gens else 0
     df.write.mode("errorifexists").parquet(f"{root}/gen={gen}")
+    if marker is not None:
+        if not marker.startswith("_"):
+            raise ValueError("marker must start with '_' to stay read-invisible")
+        jvm, fs, _ = _fs(spark, root)
+        fs.create(
+            jvm.org.apache.hadoop.fs.Path(f"{root}/gen={gen}/{marker}"), True
+        ).close()
     _write_pointer(spark, root, gen)
     return gen
+
+
+def generation_has_marker(spark: SparkSession, root: str, gen: int, marker: str) -> bool:
+    jvm, fs, _ = _fs(spark, root)
+    return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/gen={gen}/{marker}")))
 
 
 def read_current(spark: SparkSession, root: str) -> DataFrame:
