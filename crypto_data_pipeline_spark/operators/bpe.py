@@ -109,13 +109,16 @@ def apply_merge(syms: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
-# Fold bases for the encode pins. Char-level reuses the portable
-# family's base (dedup.PORTABLE_BASE); the two outer folds use odd
-# primes small enough that residue*base + residue stays < 2^62.
-_CHAR_BASE = 131
+from crypto_data_pipeline_spark.operators.dedup import PORTABLE_BASE, PORTABLE_MOD
+
+# Fold bases for the encode pins. Char-level IS the portable family's
+# base (imported, so the cross-engine portability proof this leans on
+# cannot silently diverge); the two outer folds use odd primes small
+# enough that residue*base + residue stays < 2^62.
+_CHAR_BASE = PORTABLE_BASE
 _PIECE_BASE = 1000003
 _DOC_BASE = 8191
-_FOLD_MOD = 2147483647  # == dedup.PORTABLE_MOD
+_FOLD_MOD = PORTABLE_MOD
 
 
 def _fold(arr: Column, base: int) -> Column:
@@ -172,6 +175,13 @@ def encode_docs(
     boundaries included). Docs whose normalized text has no words
     produce no row, matching the learner's census.
 
+    Out-of-vocabulary words (absent from the fit corpus) fall back to
+    their CHARACTER decomposition — the standard BPE behavior for a
+    known alphabet: n_pieces = length, word_code = the fold over
+    per-char piece hashes (a single char's piece hash is its code
+    point, so the fallback is one JVM expression, no join miss ever
+    drops a word).
+
     100 TB shape: BPE encoding factors through the word — identical
     words always tokenize identically — so the per-word merge work
     happens ONCE on the vocab-sized fitted table (`word_pieces`,
@@ -188,8 +198,15 @@ def encode_docs(
         )
         .where(F.col("word") != "")
     )
+    oov_pieces = F.length("word").cast("long")
+    oov_code = _fold(F.transform(F.split(F.col("word"), ""), F.ascii), _PIECE_BASE)
+    ex = (
+        ex.join(F.broadcast(wp), "word", "left")
+        .withColumn("n_pieces", F.coalesce("n_pieces", oov_pieces))
+        .withColumn("word_code", F.coalesce("word_code", oov_code))
+    )
     return (
-        ex.join(F.broadcast(wp), "word")
+        ex
         .groupBy(*keys)
         .agg(
             F.sum("n_pieces").cast("long").alias("n_tokens"),

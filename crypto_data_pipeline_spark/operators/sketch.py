@@ -237,6 +237,14 @@ def heavy_hitters_exact(
     lossy sketch only routes work, exactly like bloom_prefilter_ingest."""
     if capacity is None:
         capacity = max(2 * ((threshold_den + threshold_num - 1) // threshold_num), 8)
+    if (capacity + 1) * threshold_num <= threshold_den:
+        # the MG certificate only covers keys with count > N/(cap+1);
+        # a smaller capacity could prune a key that meets the output
+        # threshold — silently breaking the EXACT contract
+        raise ValueError(
+            f"capacity {capacity} cannot certify threshold "
+            f"{threshold_num}/{threshold_den}: need (capacity+1)*num > den"
+        )
     keyed = df.select(key.alias("k")).where(F.col("k").isNotNull())
     cands = _misra_gries_candidates(keyed, capacity).distinct()
     total = keyed.select(F.count(F.lit(1)).alias("_n"))

@@ -255,8 +255,15 @@ def bloom_prefilter_ingest_report(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = _docs(spark, sf_dir)
     store = docs.where(F.col("doc_id") % 4 != 0)
     batch = docs.where(F.col("doc_id") % 4 == 0)
-    flagged = dedup.bloom_prefilter_flags(store, batch, m_bits=_BLOOM_M, k=_BLOOM_K)
-    admitted = dedup.bloom_prefilter_ingest(store, batch, m_bits=_BLOOM_M, k=_BLOOM_K)
+    # build the bit set ONCE and share it — flags + ingest would
+    # otherwise each rebuild it (two store scans for identical bits)
+    bits = dedup.bloom_bitset(store, m_bits=_BLOOM_M, k=_BLOOM_K)
+    flagged = dedup.bloom_prefilter_flags(
+        store, batch, m_bits=_BLOOM_M, k=_BLOOM_K, bits=bits
+    )
+    admitted = dedup.bloom_prefilter_ingest(
+        store, batch, m_bits=_BLOOM_M, k=_BLOOM_K, bits=bits
+    )
     bat = flagged.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_batch"),
         F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),

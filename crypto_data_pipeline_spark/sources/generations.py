@@ -98,13 +98,15 @@ def publish(df: DataFrame, root: str, marker: str | None = None) -> int:
     dir (replay recomputes under the next number); a crash after the
     flip leaves the marker visible (replay no-ops). This is the
     transaction-id idempotence a Delta log provides, in one file."""
+    if marker is not None and not marker.startswith("_"):
+        # validate BEFORE the snapshot write: failing after would leak
+        # a dangling generation dir and consume its number
+        raise ValueError("marker must start with '_' to stay read-invisible")
     spark = df.sparkSession
     gens = list_generations(spark, root)
     gen = (gens[-1] + 1) if gens else 0
     df.write.mode("errorifexists").parquet(f"{root}/gen={gen}")
     if marker is not None:
-        if not marker.startswith("_"):
-            raise ValueError("marker must start with '_' to stay read-invisible")
         jvm, fs, _ = _fs(spark, root)
         fs.create(
             jvm.org.apache.hadoop.fs.Path(f"{root}/gen={gen}/{marker}"), True
@@ -116,6 +118,22 @@ def publish(df: DataFrame, root: str, marker: str | None = None) -> int:
 def generation_has_marker(spark: SparkSession, root: str, gen: int, marker: str) -> bool:
     jvm, fs, _ = _fs(spark, root)
     return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/gen={gen}/{marker}")))
+
+
+def generation_markers(
+    spark: SparkSession, root: str, gen: int, prefix: str = "_"
+) -> list[str]:
+    """Names of marker files inside a generation dir (underscore files
+    are invisible to parquet reads, so they are free metadata)."""
+    jvm, fs, _ = _fs(spark, root)
+    path = jvm.org.apache.hadoop.fs.Path(f"{root}/gen={gen}")
+    if not fs.exists(path):
+        return []
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(path)
+        if st.getPath().getName().startswith(prefix)
+    ]
 
 
 def read_current(spark: SparkSession, root: str) -> DataFrame:

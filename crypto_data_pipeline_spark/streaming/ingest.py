@@ -214,8 +214,14 @@ def ingest_corpus_batch(
                 .distinct()
             )
             bits.schema
-        except AnalysisException:  # first delivery: empty bit set
-            bits = s.createDataFrame([], "bit long")
+        except AnalysisException:
+            # No maintained bit dirs (first delivery, or a store built
+            # without the bloom tier / bit dirs lost): bits=None makes
+            # bloom_prefilter_ingest BOOTSTRAP the set from the store
+            # scan. An empty frame here would be a correctness bug —
+            # every row would read bloom-negative and skip the exact
+            # check against a possibly non-empty store.
+            bits = None
         admitted = dedup.bloom_prefilter_ingest(
             store, batch, m_bits=bloom_m, k=bloom_k,
             id_col=id_col, text=text, bits=bits,
@@ -396,15 +402,31 @@ def maintain_aggregate_batch(
 
     s = changes.sparkSession
     marker = f"_applied_{batch_id}"
-    cur = gen.current_generation(s, gold_root)
-    if cur is not None and gen.generation_has_marker(s, gold_root, cur, marker):
-        return  # replayed delivery already current
-    if cur is None:
+    # Base selection trusts only MARKED generations: every generation
+    # this pipeline publishes carries its marker (written before the
+    # pointer flip), so an unmarked dir is a crashed, incomplete
+    # publish — treating it as the base (which current_generation's
+    # missing-pointer fallback would happily do) would re-apply its
+    # delivery's deltas on top of themselves. A marked generation for
+    # THIS batch_id that lost the pointer race just needs the pointer
+    # repaired.
+    base_gen = None
+    for g in reversed(gen.list_generations(s, gold_root)):
+        applied = gen.generation_markers(s, gold_root, g, prefix="_applied_")
+        if not applied:
+            continue  # unmarked dir = crashed mid-publish; never a base
+        if marker in applied:
+            if gen.current_generation(s, gold_root) != g:
+                gen.rollback(s, gold_root, g)  # crash-after-marker repair
+            return  # replayed delivery already applied
+        base_gen = g
+        break
+    if base_gen is None:
         agg = s.createDataFrame(
             [], f"{group_col} string, {cnt_col} long, {sum_col} long"
         )
     else:
-        agg = gen.read_generation(s, gold_root, cur)
+        agg = gen.read_generation(s, gold_root, base_gen)
     new = maintain_group_aggregate(
         agg,
         changes,

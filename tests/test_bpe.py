@@ -139,3 +139,25 @@ def test_encode_docs_matches_reference_sequence(spark):
         exp_hash = _ref_fold([_ref_word_code(ref_syms[w]) for w in words], 8191)
         assert got[doc_id]["n_tokens"] == exp_tokens
         assert got[doc_id]["seq_hash"] == exp_hash
+
+
+def test_encode_docs_oov_falls_back_to_characters(spark):
+    """Encoding NEW docs with a fitted vocabulary: out-of-vocabulary
+    words decompose to characters (standard BPE alphabet fallback) —
+    they are counted and pinned, never silently dropped."""
+    fit = _spark_words(spark, ["aaaa aaa banana"])
+    _, syms = bpe.learn_bpe(spark, fit, n_merges=2)
+    new = _spark_words(spark, ["banana zq aaaa"])  # zq is OOV
+    got = {r["doc_id"]: r for r in bpe.encode_docs(new, syms).collect()}
+    syms.unpersist()
+
+    word_freq = Counter("aaaa aaa banana".split())
+    ref_merges, ref_syms = _ref_learn(dict(word_freq), 2)
+    exp_tokens = len(ref_syms["banana"]) + 2 + len(ref_syms["aaaa"])  # zq -> z,q
+    assert got[0]["n_tokens"] == exp_tokens
+    zq_code = _ref_fold([ord("z"), ord("q")], 1000003)
+    exp_hash = _ref_fold(
+        [_ref_word_code(ref_syms["banana"]), zq_code, _ref_word_code(ref_syms["aaaa"])],
+        8191,
+    )
+    assert got[0]["seq_hash"] == exp_hash

@@ -140,9 +140,13 @@ def test_heavy_hitters_exact_on_adversarial_tail(spark):
         + [(f"tail{i}",) for i in range(3000)]
     )
     df = spark.createDataFrame(rows, "k string").repartition(50)
+    import pytest
+
+    with pytest.raises(ValueError):  # capacity below the certificate bound
+        heavy_hitters_exact(df, F.col("k"), 1, 100, capacity=64)
     got = {
         (r["k"], r["freq"], r["share_pct"])
-        for r in heavy_hitters_exact(df, F.col("k"), 1, 100, capacity=64).collect()
+        for r in heavy_hitters_exact(df, F.col("k"), 1, 100, capacity=128).collect()
     }
     n = len(rows)
     exact = {
