@@ -506,6 +506,9 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedupe_last_write_wins",
+    extra=True,  # r6 rotation: S7 stays driver-green via cdc_apply_changes,
+    # ST2 via sessionize_stateful + stream_dedup_idempotent; slot traded
+    # for bpe_encode_corpus (the round-6 tokenizer-lifecycle flagship)
     survey_ids=("S7", "ST2"),
     oracle="""
 SELECT user_id, event_type, event_id, ts, value

@@ -519,7 +519,14 @@ WHERE jaccard >= 0.5
 """
 
 
-@register("dedup_ngram_jaccard", survey_ids=("EXT-dedup",), oracle=_NGRAM_JACCARD_ORACLE)
+@register(
+    "dedup_ngram_jaccard",
+    extra=True,  # r6 rotation: EXT-dedup keeps five other driver rows and
+    # this oracle still gates dedup_clusters; slot traded for
+    # heavy_hitter_tokens (sketch-routed exact aggregation)
+    survey_ids=("EXT-dedup",),
+    oracle=_NGRAM_JACCARD_ORACLE,
+)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via PPJoin-style prefix
     filtering — hash-free, zero recall loss, fully oracle-checkable."""
@@ -3578,7 +3585,6 @@ GROUP BY da.lang
 
 @register(
     "bpe_encode_corpus",
-    extra=True,
     survey_ids=("EXT-text",),
     oracle=_bpe_encode_oracle(_BPE_N_MERGES),
 )
@@ -4115,7 +4121,6 @@ _HH_NUM, _HH_DEN = 1, 100  # share >= 1%
 
 @register(
     "heavy_hitter_tokens",
-    extra=True,
     bench=True,
     survey_ids=("EXT-text", "EXT-olap"),
     oracle=f"""
