@@ -373,6 +373,59 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs_portable(_docs(spark, sf_dir), threshold=0.5)
 
 
+@register(
+    "split_leakage_report",
+    extra=True,
+    survey_ids=("EXT-dedup", "EXT-sample"),
+    oracle=f"""
+WITH pairs AS ({_portable_minhash_oracle()}),
+labeled AS (
+  SELECT p.id_a, p.id_b,
+         {sampling.sql_split_case("p.id_a", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=11)} AS split_a,
+         {sampling.sql_split_case("p.id_b", {"train": 0.8, "val": 0.1, "test": 0.1}, salt=11)} AS split_b
+  FROM pairs p
+)
+SELECT least(split_a, split_b) AS split_lo,
+       greatest(split_a, split_b) AS split_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(id_a + id_b) AS BIGINT) AS pair_id_sum
+FROM labeled GROUP BY 1, 2
+""",
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-INTEGRITY audit: near-duplicate pairs that STRADDLE
+    train/val/test — the leakage a random row-split silently ships
+    (a test doc whose near-twin sits in train inflates every metric).
+    Composes two gate-proven pieces: the portable MinHash-LSH pair
+    pipeline and the deterministic keyed split (same salt/weights as
+    train_val_test_split), so the report itself hash-checks. Output is
+    the split-pair census with an id-sum membership pin; the cross-
+    split rows (train/val, train/test, val/test) are the leaks a
+    curation pipeline must quarantine before training. One banding
+    shuffle — split labeling is a free keyed-hash expression on the
+    pair rows."""
+    from crypto_data_pipeline_spark.operators import sampling
+
+    pairs = dedup.minhash_dedup_pairs_portable(_docs(spark, sf_dir), threshold=0.5)
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    lab = pairs.select(
+        "id_a",
+        "id_b",
+        sampling.split_column(F.col("id_a"), splits, salt=11).alias("split_a"),
+        sampling.split_column(F.col("id_b"), splits, salt=11).alias("split_b"),
+    )
+    return (
+        lab.groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("id_a") + F.col("id_b")).cast("long").alias("pair_id_sum"),
+        )
+    )
+
+
 def _staged_dedup_oracle() -> str:
     """Exact-first staged dedup twin: collapse verbatim clone groups
     (md5 of normalized text, min-id survivor via arg_min), run the full
