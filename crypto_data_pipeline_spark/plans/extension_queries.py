@@ -4166,6 +4166,110 @@ def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_rollup_oracle() -> str:
+    from crypto_data_pipeline_spark.operators.dedup import (
+        PORTABLE_MOD,
+        portable_minhash_params,
+    )
+
+    (a, b) = portable_minhash_params(1, _HLL_SEED)[0]
+    m = _HLL_M
+    wbits1 = 31 - (m.bit_length() - 1) + 1
+    def est(t: str) -> str:
+        return (
+            f"CASE WHEN ((0.7213 / (1.0 + 1.079 / {m}) * {m}) * {m}) / ({t}.s + ({m} - {t}.nz))"
+            f" <= 2.5 * {m} AND ({m} - {t}.nz) > 0"
+            f" THEN {m} * ln({m} / ({m} - {t}.nz))"
+            f" ELSE ((0.7213 / (1.0 + 1.079 / {m}) * {m}) * {m}) / ({t}.s + ({m} - {t}.nz)) END"
+        )
+
+    return f"""
+WITH hashed AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+         CAST(ts AS DATE) AS day,
+         ((user_id % {PORTABLE_MOD}) * {a} + {b}) % {PORTABLE_MOD} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+daily AS (
+  SELECT month, day, h % {m} AS j,
+         max(CASE WHEN h // {m} = 0 THEN {wbits1}
+                  ELSE {wbits1} - length(bin(h // {m})) END) AS r
+  FROM hashed GROUP BY 1, 2, 3
+),
+monthly_direct AS (
+  SELECT month, h % {m} AS j,
+         max(CASE WHEN h // {m} = 0 THEN {wbits1}
+                  ELSE {wbits1} - length(bin(h // {m})) END) AS r
+  FROM hashed GROUP BY 1, 2
+),
+monthly_merged AS (SELECT month, j, max(r) AS r FROM daily GROUP BY 1, 2),
+pd AS (SELECT month, sum(power(2.0, -r)) AS s, CAST(count(*) AS DOUBLE) AS nz
+       FROM monthly_direct GROUP BY 1),
+pm AS (SELECT month, sum(power(2.0, -r)) AS s, CAST(count(*) AS DOUBLE) AS nz
+       FROM monthly_merged GROUP BY 1),
+exact AS (
+  SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT exact.month, exact.n_exact,
+       round(({est("pd")}), 6) AS hll_direct,
+       round(({est("pm")}), 6) AS hll_from_daily
+FROM exact
+JOIN pd ON pd.month = exact.month
+JOIN pm ON pm.month = exact.month
+"""
+
+
+@register(
+    "distinct_users_hll_rollup",
+    extra=True,
+    survey_ids=("EXT-olap", "EXT-stream"),
+    oracle=_hll_rollup_oracle(),
+)
+def distinct_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-once / merge-upward rollup GATED: per-day HLL
+    register tables merge into monthly sketches by one groupBy(max),
+    and the query emits BOTH the direct monthly estimate and the
+    merged-from-daily one — they must be identical (register max-merge
+    is lossless), which the DuckDB oracle re-derives independently.
+    This is the daily→monthly pattern a 100 TB pipeline runs so raw
+    events are scanned once, at arrival, and every coarser grain is a
+    kilobyte-sized merge."""
+    from crypto_data_pipeline_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = hll_registers(
+        events, F.col("user_id"), m=_HLL_M, seed=_HLL_SEED, group=("month", "day")
+    )
+    merged = hll_merge(daily, group=("month",))
+    direct = hll_registers(
+        events, F.col("user_id"), m=_HLL_M, seed=_HLL_SEED, group=("month",)
+    )
+    est_d = hll_estimate(direct, m=_HLL_M, group=("month",)).withColumnRenamed(
+        "hll_estimate", "hll_direct"
+    )
+    est_m = hll_estimate(merged, m=_HLL_M, group=("month",)).withColumnRenamed(
+        "hll_estimate", "hll_from_daily"
+    )
+    exact = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("month")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    )
+    return exact.join(est_d, "month").join(est_m, "month").select(
+        "month", "n_exact", "hll_direct", "hll_from_daily"
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact two-pass heavy hitters (operators/sketch.py)
 
