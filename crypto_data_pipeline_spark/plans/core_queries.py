@@ -1728,8 +1728,8 @@ per_session AS (
 )
 SELECT user_id,
        count(*) AS n_sessions,
-       round(avg(n_events), 6) AS avg_events_per_session,
-       round(avg(duration_us) / 1e6, 6) AS avg_session_sec
+       round(CAST(sum(n_events) AS DOUBLE) / count(*) + 1e-9, 6) AS avg_events_per_session,
+       round(CAST(sum(duration_us) AS DOUBLE) / count(*) / 1e6 + 1e-9, 6) AS avg_session_sec
 FROM per_session
 GROUP BY 1
 """
@@ -1763,10 +1763,20 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.max("us") - F.min("us")).alias("duration_us"),
     )
+    # exact integer sums divided ONCE: avg() accumulates in doubles in
+    # engine-specific order, which at sf0.1 lands on a 6-dp rounding
+    # boundary (64.2340175) and splits the engines by one ulp
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
-        F.round(F.avg("duration_us") / 1e6, 6).alias("avg_session_sec"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)) + 1e-9, 6
+        ).alias("avg_events_per_session"),
+        # + 1e-9 = the repo's decimal-tie nudge: integer-sum averages
+        # land EXACTLY on x.xxxxxx5 (e.g. 64234017.5 us), where the
+        # engines' round() semantics split by one ulp
+        F.round(
+            F.sum("duration_us").cast("double") / F.count(F.lit(1)) / 1e6 + 1e-9, 6
+        ).alias("avg_session_sec"),
     )
 
 
@@ -1790,10 +1800,20 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     )
+    # exact integer sums divided ONCE: avg() accumulates in doubles in
+    # engine-specific order, which at sf0.1 lands on a 6-dp rounding
+    # boundary (64.2340175) and splits the engines by one ulp
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
-        F.round(F.avg("duration_us") / 1e6, 6).alias("avg_session_sec"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)) + 1e-9, 6
+        ).alias("avg_events_per_session"),
+        # + 1e-9 = the repo's decimal-tie nudge: integer-sum averages
+        # land EXACTLY on x.xxxxxx5 (e.g. 64234017.5 us), where the
+        # engines' round() semantics split by one ulp
+        F.round(
+            F.sum("duration_us").cast("double") / F.count(F.lit(1)) / 1e6 + 1e-9, 6
+        ).alias("avg_session_sec"),
     )
 
 
