@@ -119,31 +119,65 @@ def prior_bench_shuffle_bytes(
     import os
     import re
 
-    best: tuple[int, str] | None = None
+    def extract(doc: object) -> tuple[dict, object] | None:
+        """(shuffle_bytes_written, sf) from an artifact in any of its
+        three shapes: driver {tail, parsed}, driver with parsed=null
+        (the line outgrew the stdout tail — recover the map from the
+        tail string, where it survives clipping because it sits near
+        the end), or a committed BENCH_LOCAL full record."""
+        if not isinstance(doc, dict):
+            return None
+        parsed = doc.get("parsed", doc if "shuffle_bytes_written" in doc else None)
+        if isinstance(parsed, dict):
+            bm = parsed.get("shuffle_bytes_written")
+            if isinstance(bm, dict) and bm:
+                return bm, parsed.get("sf")
+        tail = doc.get("tail")
+        if isinstance(tail, str):
+            m = re.search(r'"shuffle_bytes_written":\s*(\{[^{}]*\})', tail)
+            if m:
+                try:
+                    bm = json.loads(m.group(1))
+                except json.JSONDecodeError:
+                    return None
+                sf_m = None
+                for sf_m in re.finditer(r'"sf":\s*([0-9.]+)', tail):
+                    pass  # last occurrence = the top-level sf field
+                if isinstance(bm, dict) and bm:
+                    return bm, (float(sf_m.group(1)) if sf_m else None)
+        return None
+
+    # newest round first; within a round the driver artifact wins, the
+    # committed BENCH_LOCAL record is the fallback when the driver's
+    # stdout tail clipped even the shuffle map
+    by_round: dict[int, dict[str, str]] = {}
     try:
         names = os.listdir(repo_root)
     except OSError:
         return None
     for fn in names:
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), fn)
-    if best is None:
-        return None
-    try:
-        with open(os.path.join(repo_root, best[1])) as f:
-            doc = json.load(f)
-        parsed = doc.get("parsed", doc)
-        bytes_map = parsed.get("shuffle_bytes_written")
-        prior_sf = parsed.get("sf")
-        if not isinstance(bytes_map, dict) or not bytes_map:
-            return None
-        # coercion stays inside the try: a malformed artifact (null /
-        # non-numeric entry) must degrade to "no prior", never crash
-        # the bench before its one JSON line prints
-        coerced = {str(k): int(v) for k, v in bytes_map.items()}
-    except (OSError, json.JSONDecodeError, AttributeError, TypeError, ValueError):
-        return None
-    if sf is not None and prior_sf != sf:
-        return None
-    return best[1], coerced
+        m = re.fullmatch(r"BENCH(_LOCAL)?_r(\d+)\.json", fn)
+        if m:
+            kind = "local" if m.group(1) else "driver"
+            by_round.setdefault(int(m.group(2)), {})[kind] = fn
+    for rnd in sorted(by_round, reverse=True):
+        for kind in ("driver", "local"):
+            fn = by_round[rnd].get(kind)
+            if fn is None:
+                continue
+            try:
+                with open(os.path.join(repo_root, fn)) as f:
+                    got = extract(json.load(f))
+                if got is None:
+                    continue
+                bytes_map, prior_sf = got
+                # coercion stays inside the try: a malformed artifact
+                # (null / non-numeric entry) must degrade to "no
+                # prior", never crash the bench before its line prints
+                coerced = {str(k): int(v) for k, v in bytes_map.items()}
+            except (OSError, json.JSONDecodeError, AttributeError, TypeError, ValueError):
+                continue
+            if sf is not None and prior_sf != sf:
+                continue
+            return fn, coerced
+    return None

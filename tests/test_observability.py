@@ -124,6 +124,40 @@ def test_prior_bench_artifact_loader(tmp_path):
     )
     assert prior_bench_shuffle_bytes(str(tmp_path))[1] == {"q": 7}
 
-    # artifact without the metric (rounds 1-4 predate it) -> None
+    # artifact without the metric (rounds 1-4 predate it) -> fall back
+    # to the newest round that HAS it, not to "no prior"
     (tmp_path / "BENCH_r12.json").write_text(json.dumps({"parsed": {}}))
-    assert prior_bench_shuffle_bytes(str(tmp_path)) is None
+    assert prior_bench_shuffle_bytes(str(tmp_path))[1] == {"q": 7}
+
+
+def test_prior_bench_truncated_tail_and_local_fallback(tmp_path):
+    """Round 6 regression: the driver clips bench stdout to its last
+    ~2000 chars, so a long line lands as {tail: <clipped>, parsed:
+    null}. The loader must (a) recover the shuffle map from the tail
+    string when it survived the clip, and (b) fall back to the
+    committed BENCH_LOCAL_r{N}.json full record otherwise."""
+    import json
+
+    from crypto_data_pipeline_spark.observability import prior_bench_shuffle_bytes
+
+    # (a) parsed=null but the map survives near the end of the tail
+    tail = ('..., "queries_CLIPPED": 0.1, "shuffle_bytes_written": '
+            '{"q1": 100, "q2": 200}, "shuffle_regressions": {}, '
+            '"sf": 0.1, "notes": "..."}')
+    (tmp_path / "BENCH_r06.json").write_text(
+        json.dumps({"n": 6, "tail": tail, "parsed": None})
+    )
+    name, got = prior_bench_shuffle_bytes(str(tmp_path), sf=0.1)
+    assert name == "BENCH_r06.json" and got == {"q1": 100, "q2": 200}
+    # the sf parsed from the tail is honored by the cross-SF guard
+    assert prior_bench_shuffle_bytes(str(tmp_path), sf=0.01) is None
+
+    # (b) tail clipped PAST the map -> the committed local record wins
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"n": 7, "tail": '"sf": 0.1, "notes": "..."}', "parsed": None})
+    )
+    (tmp_path / "BENCH_LOCAL_r07.json").write_text(
+        json.dumps({"shuffle_bytes_written": {"q1": 111}, "sf": 0.1})
+    )
+    name, got = prior_bench_shuffle_bytes(str(tmp_path), sf=0.1)
+    assert name == "BENCH_LOCAL_r07.json" and got == {"q1": 111}
