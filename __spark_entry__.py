@@ -42,11 +42,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins for every SQL-expressible query — including the
-    stateful streaming sessionizer (integer session frame) and the LSH
-    ANN path (deterministic hyperplanes inlined as SQL literals); the
-    MinHash-LSH and simhash pipelines additionally hash-check end to
-    end via engine-portable polynomial-hash twins (extras). The
-    remaining rows-only entries are the xxhash64 fast paths, the
-    iterative-KMeans IVF index, and the ML model zoo — each shadowed
-    by an oracle-checked twin, exactness baseline, or sanity pin."""
+    stateful streaming sessionizer (integer session frame), the LSH
+    ANN path (deterministic hyperplanes inlined as SQL literals), and
+    the engine-portable MinHash-LSH / simhash / fixed-quantizer IVF
+    pipelines (driver-seated since round 7; the xxhash64/KMeans fast
+    paths remain the production defaults as bench-flagged extras).
+    The single rows-only entry is the iterative ML model zoo
+    (model_comparison), value-pinned by linear_ridge_closed_form,
+    gbt_closed_form, and model_comparison_sanity."""
     return {name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None}

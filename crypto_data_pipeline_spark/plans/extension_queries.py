@@ -284,11 +284,14 @@ def bloom_prefilter_ingest_report(spark: SparkSession, sf_dir: str) -> DataFrame
 # fuzzy dedup (hash-based → rows-only; Jaccard math is the checkable part)
 
 
-@register("dedup_minhash_lsh", survey_ids=("EXT-dedup",), bench=True, oracle=None)
+@register("dedup_minhash_lsh", survey_ids=("EXT-dedup",), bench=True, oracle=None,
+          extra=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified at 0.5.
-    xxhash64 signatures are Spark-specific → rows-only driver check;
-    tests/test_dedup.py asserts recall against brute-force Jaccard."""
+    The production default (xxhash64 signatures are Spark-specific →
+    no SQL oracle), demoted to an extra in round 7 so the driver slot
+    goes to the value-checkable portable twin; stays bench-flagged and
+    recall-tested against brute-force Jaccard."""
     return dedup.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
@@ -362,7 +365,6 @@ WHERE jraw >= {threshold}
 @register(
     "dedup_minhash_portable",
     survey_ids=("EXT-dedup",),
-    extra=True,
     oracle=_portable_minhash_oracle(),
 )
 def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,7 +526,6 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 @register(
     "dedup_simhash_portable",
     survey_ids=("EXT-dedup",),
-    extra=True,
     oracle=_portable_simhash_oracle(),
 )
 def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -772,7 +773,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_pairs_blocked(staged, id_col="doc_id", text="_ascii")
 
 
-@register("dedup_simhash", survey_ids=("EXT-dedup",), oracle=None)
+@register("dedup_simhash", survey_ids=("EXT-dedup",), oracle=None, extra=True)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simhash near-dup pairs (Hamming <= 3 over 64-bit sketches)."""
     return dedup.simhash_candidate_pairs(_docs(spark, sf_dir))
@@ -1420,7 +1421,8 @@ def _cache_put(cache: dict, key: tuple[str, str], value, frame_of) -> None:
     cache[key] = value
 
 
-@register("embedding_ann_ivf", survey_ids=("EXT-sim",), oracle=None, bench=True)
+@register("embedding_ann_ivf", survey_ids=("EXT-sim",), oracle=None, bench=True,
+          extra=True)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via an IVF index (KMeans coarse quantizer, nprobe=4).
     The index builds ONCE per (session, corpus) and is cached — the
@@ -1723,7 +1725,7 @@ SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM r WHERE rank <= 
 """
 
 
-@register("embedding_ann_ivf_fixed", extra=True, survey_ids=("EXT-sim",), oracle=_ivf_fixed_oracle())
+@register("embedding_ann_ivf_fixed", survey_ids=("EXT-sim",), oracle=_ivf_fixed_oracle())
 def embedding_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hash-checked IVF twin: same probe machinery as
     `embedding_ann_ivf` (assign → nprobe → cell join → cosine rank) but
