@@ -143,6 +143,44 @@ def streaming_monthly_min_max(
     )
 
 
+_BLOOM_BOOTSTRAP_ID = -1  # reserved _bloom dir: store-derived bit set
+
+
+def _batch_dir_ids(spark: SparkSession, root: str) -> set[int]:
+    """The ``batch_id=N`` partition dirs under ``root`` by FILESYSTEM
+    LISTING — one metadata call against the store's FS (local, HDFS,
+    or object store), never a data read, so the per-delivery coverage
+    check stays O(number of deliveries) on a 100 TB store."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return set()
+    ids: set[int] = set()
+    for status in fs.listStatus(path):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("batch_id="):
+            try:
+                ids.add(int(name.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return ids
+
+
+def _bootstrap_covers(spark: SparkSession, bloom_root: str) -> set[int]:
+    """Store batch ids absorbed by the ``_bloom/batch_id=-1`` bootstrap
+    bit set, from the ``_bloom/_covers`` manifest (underscore-prefixed,
+    so the bit store's own parquet discovery never sees it). Missing or
+    unreadable manifest = covers nothing."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{bloom_root}/_covers").collect()
+    except AnalysisException:
+        return set()
+    return {r.covered_batch_id for r in rows}
+
+
 def ingest_corpus_batch(
     batch: DataFrame,
     batch_id: int,
@@ -187,12 +225,27 @@ def ingest_corpus_batch(
     exact check, so the 100 TB store is not even read. Replay stays
     idempotent: the batch's own bit dir is excluded and overwritten
     the same way its data dir is.
+
+    The maintained bits are trusted only when they COVER every prior
+    delivery: each call lists the store's and ``_bloom``'s
+    ``batch_id=`` dirs (one filesystem metadata call each — never a
+    data read) and requires every store id to hold its own bit dir or
+    be named by the bootstrap manifest. On a gap — the bloom tier
+    enabled over a pre-existing store, or bit dirs lost — the bit set
+    is REBUILT from the store scan and persisted under the reserved
+    ``_bloom/batch_id=-1`` dir, then a ``_bloom/_covers`` manifest
+    records which store deliveries that bootstrap absorbed (manifest
+    written LAST, so a crash between the two writes replays as another
+    rebuild, never as false coverage). Without this, a store predating
+    its ``_bloom`` would make old duplicates read bloom-negative =
+    "proven novel" forever — the gap a reviewer flagged in round 6.
     """
     from pyspark.errors.exceptions.captured import AnalysisException
 
     from crypto_data_pipeline_spark.operators import dedup
 
     s = batch.sparkSession
+    store_ids = _batch_dir_ids(s, store_root) - {batch_id}
     try:
         store = (
             s.read.parquet(store_root)
@@ -200,28 +253,49 @@ def ingest_corpus_batch(
             .drop("batch_id")
         )
         store.schema  # force resolution inside the try
-    except AnalysisException:  # first delivery: no store yet
-        store = s.createDataFrame([], batch.schema)
+    except AnalysisException:  # first delivery: no store yet (a crashed
+        store = s.createDataFrame([], batch.schema)  # first write's
+        store_ids = set()  # file-less dir also reads as "no store"
     if bloom_m is None:
         admitted = dedup.incremental_ingest_dedup(store, batch, id_col, text)
     else:
         bloom_root = f"{store_root}/_bloom"
-        try:
+        bloom_ids = _batch_dir_ids(s, bloom_root) - {batch_id}
+        covered = bloom_ids - {_BLOOM_BOOTSTRAP_ID}
+        # the manifest is only evidence if the -1 dir it describes is
+        # still there — a surviving manifest over a lost bootstrap dir
+        # must read as a gap, not as coverage
+        if _BLOOM_BOOTSTRAP_ID in bloom_ids and not store_ids <= covered:
+            covered |= _bootstrap_covers(s, bloom_root)
+        bits = boot = None
+        if store_ids <= covered and bloom_ids:
             bits = (
                 s.read.parquet(bloom_root)
                 .where(F.col("batch_id") != batch_id)
                 .select("bit")
                 .distinct()
             )
-            bits.schema
-        except AnalysisException:
-            # No maintained bit dirs (first delivery, or a store built
-            # without the bloom tier / bit dirs lost): bits=None makes
-            # bloom_prefilter_ingest BOOTSTRAP the set from the store
-            # scan. An empty frame here would be a correctness bug —
-            # every row would read bloom-negative and skip the exact
-            # check against a possibly non-empty store.
-            bits = None
+        elif store_ids:
+            # Coverage gap: at least one prior delivery has no bit
+            # representation, so the maintained set would read its
+            # duplicates as bloom-negative = "proven novel". Rebuild
+            # the full bit set from the store (<= m_bits rows, one
+            # scan), persist it for THIS check, and land it as the
+            # reserved bootstrap dir so later deliveries inherit it.
+            boot = dedup.bloom_bitset(
+                store, m_bits=bloom_m, k=bloom_k, text=text
+            ).persist()
+            boot.write.mode("overwrite").parquet(
+                f"{bloom_root}/batch_id={_BLOOM_BOOTSTRAP_ID}"
+            )
+            s.createDataFrame(
+                [(i,) for i in sorted(store_ids)], "covered_batch_id long"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{bloom_root}/_covers")
+            bits = boot
+        # else: empty store AND no bit dirs — bits=None bootstraps
+        # bloom_prefilter_ingest from the (empty) store scan. An empty
+        # FRAME here would be a correctness bug — every row would read
+        # bloom-negative and skip the exact check.
         admitted = dedup.bloom_prefilter_ingest(
             store, batch, m_bits=bloom_m, k=bloom_k,
             id_col=id_col, text=text, bits=bits,
@@ -236,6 +310,8 @@ def ingest_corpus_batch(
             .write.mode("overwrite")
             .parquet(f"{bloom_root}/batch_id={batch_id}")
         )
+        if boot is not None:
+            boot.unpersist()
     admitted.select(*batch.columns).write.mode("overwrite").parquet(
         f"{store_root}/batch_id={batch_id}"
     )
@@ -255,7 +331,7 @@ def stream_corpus_ingest(
     bloom_k: int = 4,
 ) -> StreamingQuery:
     """Continuously-ingesting deduplicated corpus: stream arriving
-    document files, admit only content novel versus all prior
+    document files, admit only content NOVEL versus all prior
     deliveries, append-only store of immutable per-batch directories
     (``ingest_corpus_batch`` above). availableNow = catch-up-and-stop;
     the checkpoint makes file pickup exactly-once, and the per-batch
@@ -396,7 +472,17 @@ def maintain_aggregate_batch(
     current is a no-op, while a crash mid-publish leaves only a
     dangling unreferenced dir the replay supersedes. Delta's txn-id
     trick, one file. The base fact table never exists here at all —
-    gold evolves from gold + deltas."""
+    gold evolves from gold + deltas.
+
+    Externally-seeded gold: a generation published by ANOTHER job (via
+    plain ``generations.publish()``) has no ``_applied_*`` marker but
+    IS committed — its pointer flip happened. Adopting it silently is
+    ambiguous with a crashed publish, and skipping it would silently
+    restart the view from an empty aggregate (wrong totals, no error).
+    So a pointer-referenced unmarked generation is adopted as the base
+    only when it carries an explicit ``_bootstrap`` marker
+    (``generations.publish(df, root, marker="_bootstrap")``); otherwise
+    this raises instead of producing wrong totals."""
     from crypto_data_pipeline_spark.sources import generations as gen
     from crypto_data_pipeline_spark.sources.cdc import maintain_group_aggregate
 
@@ -404,17 +490,32 @@ def maintain_aggregate_batch(
     marker = f"_applied_{batch_id}"
     # Base selection trusts only MARKED generations: every generation
     # this pipeline publishes carries its marker (written before the
-    # pointer flip), so an unmarked dir is a crashed, incomplete
-    # publish — treating it as the base (which current_generation's
-    # missing-pointer fallback would happily do) would re-apply its
-    # delivery's deltas on top of themselves. A marked generation for
-    # THIS batch_id that lost the pointer race just needs the pointer
-    # repaired.
+    # pointer flip), so an unmarked dir the pointer does NOT reference
+    # is a crashed, incomplete publish — treating it as the base
+    # (which current_generation's missing-pointer fallback would
+    # happily do) would re-apply its delivery's deltas on top of
+    # themselves. A marked generation for THIS batch_id that lost the
+    # pointer race just needs the pointer repaired. The pointer FILE
+    # (never the highest-dir fallback) is the commit evidence that
+    # separates an external publish from a crash.
+    ptr = gen._read_pointer(s, gold_root)
     base_gen = None
     for g in reversed(gen.list_generations(s, gold_root)):
         applied = gen.generation_markers(s, gold_root, g, prefix="_applied_")
         if not applied:
-            continue  # unmarked dir = crashed mid-publish; never a base
+            if g != ptr:
+                continue  # unmarked + unreferenced = crashed mid-publish
+            if gen.generation_has_marker(s, gold_root, g, "_bootstrap"):
+                base_gen = g  # explicitly adopted external seed
+                break
+            raise RuntimeError(
+                f"gold table {gold_root}: current generation gen={g} "
+                "carries no _applied_* marker — it was published outside "
+                "this maintenance pipeline. Re-publish the seed with "
+                "marker='_bootstrap' to adopt it as the base (or roll "
+                "back to a marked generation); refusing to silently "
+                "rebase the aggregate on empty."
+            )
         if marker in applied:
             if gen.current_generation(s, gold_root) != g:
                 gen.rollback(s, gold_root, g)  # crash-after-marker repair

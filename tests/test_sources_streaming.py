@@ -846,6 +846,69 @@ def test_stream_corpus_ingest_bloom_tier_identical_store(spark, tmp_path):
     assert after == before
 
 
+def test_bloom_tier_covers_store_predating_bloom(spark, tmp_path):
+    """Round-6 review finding: enabling the bloom tier over a store
+    built WITHOUT it used to bootstrap correctly once but persist only
+    the new batch's bits — every later delivery then read duplicates
+    of the pre-bloom content as bloom-negative = 'proven novel' and
+    admitted them. The coverage check must detect the gap, rebuild the
+    bit set into the reserved _bloom/batch_id=-1 dir with a _covers
+    manifest, and keep the admitted set identical to the exact tier —
+    including after bit dirs are lost."""
+    store = str(tmp_path / "store")
+
+    # two deliveries land WITHOUT the bloom tier
+    ingest.ingest_corpus_batch(
+        _doc_rows(spark, [(1, "alpha text"), (2, "beta text")]), 0, store
+    )
+    ingest.ingest_corpus_batch(_doc_rows(spark, [(11, "gamma text")]), 1, store)
+
+    # first bloom-tier delivery: dup of pre-bloom content must be
+    # rejected (bootstrap), novel row admitted
+    ingest.ingest_corpus_batch(
+        _doc_rows(spark, [(30, "alpha text"), (31, "delta text")]),
+        2, store, bloom_m=512,
+    )
+    assert {r.doc_id for r in spark.read.parquet(store).collect()} == {1, 2, 11, 31}
+    bloom_ids = {r.batch_id for r in spark.read.parquet(f"{store}/_bloom").collect()}
+    assert -1 in bloom_ids  # the bootstrap bit set landed
+    covers = spark.read.parquet(f"{store}/_bloom/_covers").collect()
+    assert {r.covered_batch_id for r in covers} == {0, 1}
+
+    # SECOND bloom delivery — the round-6 bug: _bloom now exists but
+    # (pre-fix) omitted batches 0/1, so these dups bloomed negative
+    # and were admitted. With coverage they must be rejected.
+    ingest.ingest_corpus_batch(
+        _doc_rows(spark, [(40, "beta text"), (41, "gamma text"), (42, "eps text")]),
+        3, store, bloom_m=512,
+    )
+    assert {r.doc_id for r in spark.read.parquet(store).collect()} == {1, 2, 11, 31, 42}
+
+    # a LOST bit dir reopens the gap; the next delivery must re-detect
+    # and rebuild instead of trusting the remaining dirs
+    import shutil
+
+    shutil.rmtree(f"{store}/_bloom/batch_id=2")
+    ingest.ingest_corpus_batch(
+        _doc_rows(spark, [(50, "delta text")]), 4, store, bloom_m=512
+    )
+    assert {r.doc_id for r in spark.read.parquet(store).collect()} == {1, 2, 11, 31, 42}
+    covers = spark.read.parquet(f"{store}/_bloom/_covers").collect()
+    assert {r.covered_batch_id for r in covers} == {0, 1, 2, 3}
+
+    # a surviving manifest over a LOST bootstrap dir is not coverage:
+    # the -1 bits are gone, so the gap must be re-detected too
+    shutil.rmtree(f"{store}/_bloom/batch_id=-1")
+    shutil.rmtree(f"{store}/_bloom/batch_id=3")  # make 3 manifest-only
+    ingest.ingest_corpus_batch(
+        _doc_rows(spark, [(60, "eps text"), (61, "zeta text")]),
+        5, store, bloom_m=512,
+    )
+    assert {r.doc_id for r in spark.read.parquet(store).collect()} == {
+        1, 2, 11, 31, 42, 61,
+    }
+
+
 def test_stream_distinct_sketch_bit_identical_to_batch(spark, tmp_path):
     """The streamed HLL register store, merged across delivery dirs,
     is BIT-IDENTICAL to sketching the union of all deliveries in one
@@ -972,3 +1035,66 @@ def test_stream_maintain_aggregate_materialized_view(spark, tmp_path):
     assert gen.current_generation(spark, gold) == cur  # no new generation
     assert {(r.grp, r.n_rows, r.total)
             for r in gen.read_current(spark, gold).collect()} == final
+
+
+def test_maintain_aggregate_external_seed(spark, tmp_path):
+    """Round-6 review finding: a gold table seeded by a plain
+    generations.publish() (no _applied_* marker) used to be silently
+    skipped as 'crashed' — the view restarted from an EMPTY aggregate
+    with wrong totals and no error. Now: an unmarked pointer-referenced
+    generation raises unless it carries the explicit _bootstrap marker,
+    in which case it is adopted as the base. A genuinely crashed
+    publish (unmarked dir, pointer untouched) is still skipped."""
+    import pytest
+
+    from crypto_data_pipeline_spark.sources import generations as gen
+    from crypto_data_pipeline_spark.streaming.ingest import maintain_aggregate_batch
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.LongType()),
+            T.StructField("prev_grp", T.StringType()),
+            T.StructField("prev_val", T.LongType()),
+        ]
+    )
+    seed = spark.createDataFrame(
+        [("a", 2, 15), ("b", 1, 7)], "grp string, n_rows long, total long"
+    )
+    delivery = spark.createDataFrame([("U", "a", 5, None, None)], schema)
+
+    # unmarked external seed -> loud failure, no empty-rebase
+    gold1 = str(tmp_path / "gold_unmarked")
+    gen.publish(seed, gold1)
+    with pytest.raises(RuntimeError, match="_bootstrap"):
+        maintain_aggregate_batch(
+            delivery, 0, gold1, "grp", "val", "prev_grp", "prev_val"
+        )
+    assert gen.current_generation(spark, gold1) == 0  # untouched
+
+    # explicit _bootstrap marker -> adopted as the base
+    gold2 = str(tmp_path / "gold_marked")
+    gen.publish(seed, gold2, marker="_bootstrap")
+    maintain_aggregate_batch(
+        delivery, 0, gold2, "grp", "val", "prev_grp", "prev_val"
+    )
+    got = {(r.grp, r.n_rows, r.total)
+           for r in gen.read_current(spark, gold2).collect()}
+    assert got == {("a", 3, 20), ("b", 1, 7)}
+
+    # crashed publish (dir exists, pointer never flipped) is still
+    # skipped: the marked base below it wins
+    import shutil
+
+    crashed_src = str(tmp_path / "crash_src")
+    gen.publish(seed, crashed_src)
+    cur = gen.current_generation(spark, gold2)
+    shutil.copytree(f"{crashed_src}/gen=0", f"{gold2}/gen={cur + 1}")
+    maintain_aggregate_batch(
+        spark.createDataFrame([("U", "b", 1, None, None)], schema),
+        1, gold2, "grp", "val", "prev_grp", "prev_val",
+    )
+    got = {(r.grp, r.n_rows, r.total)
+           for r in gen.read_current(spark, gold2).collect()}
+    assert got == {("a", 3, 20), ("b", 2, 8)}
