@@ -249,7 +249,13 @@ def jaccard_verified_pairs(
     Jaccard is computed over the hashed shingle sets (id, hs) — set
     semantics are identical up to (negligible) 64-bit hash collisions.
     Pass a `sets` frame already pruned to the candidate ids (see
-    minhash_dedup_pairs) — both pair sides broadcast it."""
+    minhash_dedup_pairs) — both pair sides broadcast it. The hint is
+    deliberate and BOUNDED, unlike an entity-proportional frame: the
+    broadcast side is capped by the LSH bucket cap (max_bucket rows
+    per band bucket) and, in the production staged pipeline, by
+    exact-dedup running first — the candidate-id set is the near-dup
+    frontier, not the corpus. Callers feeding unpruned sets at scale
+    should drop to the plain join and let AQE measure."""
     out = (
         candidates.join(
             F.broadcast(sets.withColumnRenamed("id", "id_a").withColumnRenamed("hs", "hs_a")), "id_a"

@@ -20,11 +20,18 @@ grouping price_increases by ``h.price_usd`` (sql/analysis_queries.sql:69)
 Scale notes:
   * The window stages all partition by entity → one Exchange reused.
   * The recovery join is equi on entity with two range residuals;
-    Catalyst plans broadcast-hash when the drops side is small (it is:
-    islands with >= 3 drops are rare relative to history). We hint
-    broadcast explicitly since the drops side is provably the smaller.
-  * At 100 TB the history side never shuffles for the join (broadcast),
-    and the residual range predicates evaluate inside codegen.
+    the strategy is left to AQE, which measures the drops side at
+    runtime: small (the sf fixtures — islands with >= 3 drops are
+    rare relative to history) → broadcast-hash with the history side
+    unshuffled; entity-proportional at 100M entities → sort-merge
+    instead of a forced-broadcast driver OOM. No hint: "drops is
+    smaller than history" does not bound it below the broadcast
+    threshold, and hints override thresholds unconditionally.
+  * Same reasoning for the final market-cap join: caps has one row
+    per entity, so it too is measured, not hinted. (Genuinely fixed-
+    size dimension tables keep their hints in sources/tables.py:
+    BROADCAST_DIMS.)
+  * The residual range predicates evaluate inside codegen either way.
 """
 
 from __future__ import annotations
@@ -88,7 +95,7 @@ def price_increases(drops: DataFrame, history: DataFrame) -> DataFrame:
         F.col(PRICE).alias("h_price"),
     )
     joined = h.join(
-        F.broadcast(drops),
+        drops,
         (F.col("h_entity") == F.col(ENTITY))
         & (F.col("h_date") > F.col("end_date"))
         & (F.col("h_price") > F.col("lowest_price")),
@@ -139,7 +146,7 @@ def recovery_report(history: DataFrame, caps: DataFrame) -> DataFrame:
     report = (
         incr.groupBy(ENTITY)
         .agg(F.round(F.avg(gain) + F.lit(1e-9), 2).alias("avg_price_increase_pct"))
-        .join(F.broadcast(caps), ENTITY, "left")
+        .join(caps, ENTITY, "left")
         .orderBy(F.col("avg_price_increase_pct").desc())
     )
     return report

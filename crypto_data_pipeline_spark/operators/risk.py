@@ -44,9 +44,11 @@ def risk_levels(df: DataFrame, entity: str = ENTITY, date: str = DATE) -> DataFr
 
 def with_risk_level(df: DataFrame, entity: str = ENTITY, date: str = DATE) -> DataFrame:
     """J3: left join the month-level labels back onto the daily frame
-    (EDA.ipynb:1371). The label side is tiny (one row per entity-month)
-    → broadcast."""
-    return df.join(F.broadcast(risk_levels(df, entity, date)), [entity, "year_month"], "left")
+    (EDA.ipynb:1371). The label side is one row per entity-month —
+    smaller than the daily frame but ENTITY-PROPORTIONAL, so the
+    strategy is left to AQE (broadcast at fixture scale, sort-merge
+    when 100M entities would OOM a forced build side)."""
+    return df.join(risk_levels(df, entity, date), [entity, "year_month"], "left")
 
 
 def risk_levels_pandas(df: DataFrame, entity: str = ENTITY, date: str = DATE) -> DataFrame:

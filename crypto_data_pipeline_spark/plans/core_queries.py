@@ -1645,8 +1645,11 @@ def price_anomaly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     day / zero variance) on BOTH engines — NULLs break the gate's
     sorted-tuple compare."""
     h = _history(spark, sf_dir)
+    # med/mad/acf are one row per entity — smaller than the daily frame
+    # but entity-proportional, so no broadcast hints: AQE measures them
+    # (broadcast at fixture scale, sort-merge at 100M entities)
     med = h.groupBy(ENTITY).agg(F.expr(f"percentile({PRICE}, 0.5)").alias("med"))
-    dev = h.join(F.broadcast(med), ENTITY).withColumn(
+    dev = h.join(med, ENTITY).withColumn(
         "ad", F.abs(F.col(PRICE) - F.col("med"))
     )
     mad = dev.groupBy(ENTITY).agg(F.expr("percentile(ad, 0.5)").alias("mad"))
@@ -1657,8 +1660,8 @@ def price_anomaly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.corr(PRICE, "pl").alias("acf1"))
     )
     return (
-        dev.join(F.broadcast(mad), ENTITY)
-        .join(F.broadcast(acf), ENTITY)
+        dev.join(mad, ENTITY)
+        .join(acf, ENTITY)
         .groupBy(ENTITY)
         .agg(
             F.count(F.lit(1)).alias("n_days"),

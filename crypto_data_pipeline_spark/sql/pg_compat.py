@@ -325,7 +325,9 @@ def register_reference_views(spark: SparkSession, sf_dir: str) -> None:
             F.lit("{}"),
         ).alias("response_data"),
     )
-    view = hist.join(F.broadcast(payload), "entity_id", "left").select(
+    # payload is one row per entity — entity-proportional, so the join
+    # strategy is AQE's call, not a forced broadcast
+    view = hist.join(payload, "entity_id", "left").select(
         F.col("entity_id").alias("coin_id"),
         F.col("fetch_date"),
         F.col("price").alias("price_usd"),

@@ -313,6 +313,42 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, tmp_path):
             spark.conf.set(k, v)
 
 
+def test_recovery_join_strategy_is_measured_not_hinted(spark, sf_dir):
+    """The flagship's recovery and market-cap joins must leave the
+    strategy to AQE: drops/caps scale with ENTITY COUNT, so a forced
+    F.broadcast would OOM the driver at 100M entities where sort-merge
+    is the right call. Contract: (a) at fixture scale the final
+    adaptive plan still picks BroadcastHashJoin on its own (statistics,
+    not hints — same plan the hint used to force, zero cost to drop
+    it); (b) with broadcast disabled the SAME code plans sort-merge,
+    which a hint would have overridden unconditionally."""
+    from crypto_data_pipeline_spark.operators import islands
+
+    def final_plan(df) -> str:
+        df._jdf.queryExecution().toRdd().count()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    report = SPECS["drop_recovery"].fn(spark, sf_dir)
+    plan = final_plan(report)
+    assert "BroadcastHashJoin" in plan, plan  # AQE's measured choice
+
+    rows = [(e, d, 100.0 - d if d < 5 else 90.0 + d) for e in range(4)
+            for d in range(12)]
+    hist = spark.createDataFrame(rows, "entity_id long, fetch_date int, price double")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        drops = islands.consecutive_drops(
+            islands.drop_sequences(islands.daily_changes(hist))
+        )
+        joined = islands.price_increases(drops, hist)
+        plan = final_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_funnel_ordered_steps_single_exchange(spark, sf_dir):
     """The ordered funnel's two running-min windows and its final
     groupBy must all share the user_id partitioning: one shuffle for
