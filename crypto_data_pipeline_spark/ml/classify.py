@@ -39,7 +39,11 @@ from crypto_data_pipeline_spark.operators.text import tokens
 
 
 def nb_train(
-    train: DataFrame, label: str = "lang", text: str = "text", doc_id: str = "doc_id"
+    train: DataFrame,
+    label: str = "lang",
+    text: str = "text",
+    doc_id: str = "doc_id",
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the model as two DataFrames: a per-class prior frame
     ``(label, n_class_tokens, log_prior, log_unseen)`` and the
@@ -49,24 +53,47 @@ def nb_train(
     never saw — ln(1 / (n_class_tokens + V)) — carried on the prior
     frame so inference needs no outer join against the full grid.
 
-    Every token-side statistic (vocab size, per-class token totals,
-    the grid itself) derives from ONE ``groupBy(term, label)``
-    aggregation, so the corpus explode is shuffled exactly once and
-    AQE reuses that exchange across the branches; the doc-count priors
-    come from a label-column-only scan that parquet prunes to a single
-    column."""
+    Train statistics are TWO aggregations total: one grouping-sets
+    pass over the (term, class) count frame folds the per-class token
+    totals and the global vocabulary size (its ``()`` grouping) into a
+    single shuffle, and one grouping-sets pass over the label-only
+    scan (parquet prunes to one column) folds the per-class doc counts
+    and the total doc count. The grid is a projection of the same
+    (term, class) frame — no further aggregation.
+
+    ``materialize`` (default) makes fitting an ACTION, the train/serve
+    split every ML API draws: both model frames are eagerly
+    local-checkpointed, so the corpus-side lineage runs exactly once
+    and every downstream consumer (the scoring join, a streaming
+    foreachBatch loop, a holdout eval reusing the model thrice) reads
+    the materialized model-sized blocks instead of re-deriving the
+    training aggregation per use. The frames are model-sized by
+    contract — vocab × classes rows, broadcastable — so materializing
+    them costs megabytes. Pass False to keep the fully-lazy lineage
+    (plan-inspection tests, engines without a block manager)."""
     terms = train.select(
         F.col(label).alias("label"), F.explode(tokens(text)).alias("term")
     )
     pair = terms.groupBy("term", "label").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = pair.agg(F.countDistinct("term").alias("vsize"))
-    class_tokens = pair.groupBy("label").agg(F.sum("tf").alias("n_class_tokens"))
-    docs_per = train.groupBy(F.col(label).alias("label")).agg(
-        F.count(F.lit(1)).alias("n_docs")
+    cstats = (
+        pair.groupingSets([["label"], []], "label")
+        .agg(
+            F.sum("tf").alias("n_class_tokens"),
+            F.countDistinct("term").alias("_n_terms"),
+            F.grouping("label").alias("_g"),
+        )
     )
-    n_train = docs_per.agg(F.sum("n_docs").alias("n_train"))
+    per_class = cstats.where(F.col("_g") == 0).select("label", "n_class_tokens")
+    vocab = cstats.where(F.col("_g") == 1).select(F.col("_n_terms").alias("vsize"))
+    dstats = (
+        train.select(F.col(label).alias("label"))
+        .groupingSets([["label"], []], "label")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.grouping("label").alias("_g"))
+    )
+    docs_per = dstats.where(F.col("_g") == 0).select("label", "n_docs")
+    n_train = dstats.where(F.col("_g") == 1).select(F.col("n_docs").alias("n_train"))
     classes = (
-        docs_per.join(class_tokens, "label")
+        docs_per.join(per_class, "label")
         .crossJoin(F.broadcast(vocab))
         .crossJoin(F.broadcast(n_train))
         .select(
@@ -79,6 +106,8 @@ def nb_train(
             ),
         )
     )
+    if materialize:
+        classes = classes.localCheckpoint(eager=True)
     grid = (
         pair.join(F.broadcast(classes.select("label", "n_class_tokens", "vsize")), "label")
         .select(
@@ -89,6 +118,8 @@ def nb_train(
             ),
         )
     )
+    if materialize:
+        grid = grid.localCheckpoint(eager=True)
     return classes, grid
 
 
@@ -125,14 +156,21 @@ def nb_predict(
 
 
 def nb_lang_holdout(
-    docs: DataFrame, label: str = "lang", text: str = "text", split_mod: int = 5
+    docs: DataFrame,
+    label: str = "lang",
+    text: str = "text",
+    split_mod: int = 5,
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Train on docs with ``doc_id % split_mod != 0``, predict the
     holdout, and return ``(doc_id, actual, predicted, score, hit)`` —
-    the deterministic end-to-end eval the catalog query exposes."""
+    the deterministic end-to-end eval the catalog query exposes. Pass
+    a pre-fitted ``model`` (the ``nb_train`` pair) to serve from it
+    instead of refitting — the registered query caches the fit per
+    (session, corpus) exactly like the ANN indexes do."""
     train = docs.where(F.col("doc_id") % split_mod != 0)
     test = docs.where(F.col("doc_id") % split_mod == 0)
-    classes, grid = nb_train(train, label=label, text=text)
+    classes, grid = model if model is not None else nb_train(train, label=label, text=text)
     preds = nb_predict(test, classes, grid, text=text)
     return (
         test.select("doc_id", F.col(label).alias("actual"))

@@ -1405,6 +1405,10 @@ def _release_curation(staged: tuple):
     return q
 _IVF_FIXED_CACHE: dict[tuple[str, str], "similarity.IvfIndex"] = {}
 _LSH_CACHE: dict[tuple[str, str], "similarity.LshIndex"] = {}
+# fitted NB model (classes, grid) per (applicationId, sf_dir); frames
+# are localCheckpointed, so eviction's unpersist is a harmless no-op —
+# their blocks are freed by the ContextCleaner once unreferenced
+_NB_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _cache_put(cache: dict, key: tuple[str, str], value, frame_of) -> None:
@@ -3046,10 +3050,25 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     fastText-style supervised filter of CCNet-class pipelines, with the
     fitted model itself a broadcastable (term, class) DataFrame. Train
     on doc_id % 5 != 0, score the holdout, argmax with a label-asc tie
-    break; scores 6-dp rounded (tie-up nudge) on both engines."""
-    from crypto_data_pipeline_spark.ml.classify import nb_lang_holdout
+    break; scores 6-dp rounded (tie-up nudge) on both engines.
 
-    return nb_lang_holdout(_docs(spark, sf_dir))
+    Train/serve split (round-7 plan consolidation): the fit is two
+    grouping-sets aggregations materialized via localCheckpoint
+    (ml/classify.py:nb_train) and cached per (session, corpus) like
+    the ANN indexes, so the serve plan is 3 shuffles (score agg,
+    argmax window, holdout join) instead of re-deriving the training
+    statistics once per model consumer — the 11-shuffle shape the
+    round-6 audit flagged. bench.py reports the one-time fit as a
+    cold_build_seconds row."""
+    from crypto_data_pipeline_spark.ml.classify import nb_lang_holdout, nb_train
+
+    docs = _docs(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    model = _NB_MODEL_CACHE.get(key)
+    if model is None:
+        model = nb_train(docs.where(F.col("doc_id") % 5 != 0))
+        _cache_put(_NB_MODEL_CACHE, key, model, lambda m: m[0])
+    return nb_lang_holdout(docs, model=model)
 
 
 @register(
