@@ -31,21 +31,61 @@ def _spark(app: str):
     return get_spark(app)
 
 
+def expand_date_range(start_iso: str, end_iso: str) -> list[str]:
+    """Inclusive daily expansion of [start, end] (ISO inputs) into the
+    dd-mm-yyyy strings the fetch source takes — the reference
+    bulk-process's ``rrule(DAILY, dtstart=start, until=end)``
+    (/root/reference/crypto_app/cli.py:135-170), including its
+    start-must-not-exceed-end validation."""
+    import datetime as dt
+
+    start = dt.date.fromisoformat(start_iso)
+    end = dt.date.fromisoformat(end_iso)
+    if start > end:
+        raise ValueError("Start date must be before end date")
+    return [
+        (start + dt.timedelta(days=i)).strftime("%d-%m-%Y")
+        for i in range((end - start).days + 1)
+    ]
+
+
 def cmd_get_history(args: argparse.Namespace) -> int:
     """Fetch (coins x dates) through the API source and upsert into a
-    keyed parquet table — the cron daily-fetch body, one command."""
+    keyed parquet table — the cron daily-fetch body, one command.
+    Dates come either as an explicit ``--dates`` list or as a
+    ``--start-date/--end-date`` daily range (the reference's
+    bulk-process flags); ``--concurrent`` additionally fans the fetch
+    out over date chunks (``--max-workers`` per coin)."""
     from pyspark.sql import functions as F
 
     from crypto_data_pipeline_spark.sources.http_datasource import CoinHistoryDataSource
     from crypto_data_pipeline_spark.sources.upsert import upsert_parquet
+
+    if bool(args.dates) == bool(args.start_date or args.end_date):
+        print("get-history needs exactly one of --dates or --start-date/--end-date",
+              file=sys.stderr)
+        return 2
+    if args.dates:
+        dates = args.dates
+    else:
+        if not (args.start_date and args.end_date):
+            print("--start-date and --end-date must be given together", file=sys.stderr)
+            return 2
+        try:
+            dates = ",".join(expand_date_range(args.start_date, args.end_date))
+        except ValueError as exc:
+            print(f"Error: {exc}", file=sys.stderr)
+            return 2
 
     spark = _spark("cli-get-history")
     spark.dataSource.register(CoinHistoryDataSource)
     fetched = (
         spark.read.format("coin_history_api")
         .option("coins", args.coins)
-        .option("dates", args.dates)
+        .option("dates", dates)
         .option("transport", args.transport)
+        .option("concurrent", str(bool(args.concurrent)).lower())
+        .option("max_workers", str(args.max_workers))
         .load()
         .withColumn("created_at", F.current_timestamp())
         # one fetch: the frame is consumed twice below (merge + count);
@@ -123,10 +163,26 @@ def cmd_purge_quarantine(args: argparse.Namespace) -> int:
 
 def cmd_run_sql(args: argparse.Namespace) -> int:
     """Execute a PostgreSQL-dialect SQL file (e.g. the reference's
-    analysis_queries.sql) through the pg_compat transpiler + views."""
-    from crypto_data_pipeline_spark.sql import run_reference_sql
+    analysis_queries.sql) through the pg_compat transpiler + views.
+    With ``--name``, extract just the ``-- BEGIN <name>``/``-- END
+    <name>``-marked query (the reference's run_analysis_query,
+    db.py:301-348) — and like the reference, that path works ONLY
+    with markers; a file without them is an error, not a fallback to
+    whole-file execution."""
+    from crypto_data_pipeline_spark.sql import (
+        run_named_reference_query,
+        run_reference_sql,
+    )
 
     spark = _spark("cli-run-sql")
+    if args.name:
+        try:
+            df = run_named_reference_query(spark, args.sf_dir, args.name, args.file)
+        except KeyError as exc:
+            print(f"Error: {exc.args[0]}", file=sys.stderr)
+            return 2
+        df.show(args.limit, truncate=False)
+        return 0
     for i, df in enumerate(run_reference_sql(spark, args.sf_dir, args.file), 1):
         print(f"-- statement {i}")
         df.show(args.limit, truncate=False)
@@ -188,7 +244,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     g = sub.add_parser("get-history", help="fetch price history and upsert to a keyed table")
     g.add_argument("--coins", required=True, help="comma-separated coin ids")
-    g.add_argument("--dates", required=True, help="comma-separated dd-mm-yyyy dates")
+    g.add_argument("--dates", default=None, help="comma-separated dd-mm-yyyy dates")
+    g.add_argument("--start-date", default=None, metavar="YYYY-MM-DD",
+                   help="first day of an inclusive daily range (with --end-date)")
+    g.add_argument("--end-date", default=None, metavar="YYYY-MM-DD",
+                   help="last day of the range")
+    g.add_argument("--concurrent", dest="concurrent", action="store_true",
+                   help="fan the fetch out over date chunks too")
+    g.add_argument("--sequential", dest="concurrent", action="store_false",
+                   help="one fetch partition per coin (default)")
+    g.set_defaults(concurrent=False)
+    g.add_argument("--max-workers", type=int, default=8,
+                   help="date chunks per coin in --concurrent mode")
     g.add_argument("--store", default=None, help="parquet table path (omit to print)")
     g.add_argument("--transport", default="fake", choices=["fake", "real", "down"])
     g.set_defaults(fn=cmd_get_history)
@@ -223,6 +290,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     rs = sub.add_parser("run-sql", help="execute a PostgreSQL-dialect SQL file via pg_compat")
     rs.add_argument("--file", required=True)
+    rs.add_argument("--name", default=None,
+                    help="run only the '-- BEGIN <name>'/'-- END <name>'-marked query")
     rs.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     rs.add_argument("--limit", type=int, default=20)
     rs.set_defaults(fn=cmd_run_sql)

@@ -77,6 +77,13 @@ class CoinHistoryDataSource(DataSource):
     - ``dates``: comma-separated dd-mm-yyyy dates fetched per coin
     - ``transport``: ``fake`` (default, hermetic) or ``real`` (urllib)
     - ``api_key`` / ``max_retries``: forwarded to the client
+    - ``concurrent`` (+ ``max_workers``, default 8): also fan out over
+      DATES — each coin's date list splits into up to max_workers
+      round-robin chunks, one input partition each, mirroring the
+      reference bulk-process --concurrent thread pool
+      (/root/reference/crypto_app/cli.py:135-170) with Spark tasks as
+      the workers. Default remains one partition per coin (a task
+      retry refetches only its own slice either way).
     """
 
     @classmethod
@@ -100,13 +107,24 @@ class CoinHistoryReader(DataSourceReader):
         self.transport = options.get("transport", "fake")
         self.api_key = options.get("api_key") or None
         self.max_retries = int(options.get("max_retries", "3"))
+        self.concurrent = options.get("concurrent", "false").lower() == "true"
+        self.max_workers = int(options.get("max_workers", "8"))
         if not self.coins or not self.dates:
             raise ValueError("coin_history_api requires non-empty 'coins' and 'dates' options")
 
     def partitions(self) -> list[InputPartition]:
         # one partition per coin: fetch parallelism == number of coins,
-        # and a task retry refetches only its own coin's dates
-        return [InputPartition(c) for c in self.coins]
+        # and a task retry refetches only its own coin's dates.
+        # concurrent mode additionally splits each coin's dates into up
+        # to max_workers round-robin chunks — the reference's
+        # bulk-process thread pool, expressed as input partitions.
+        if not self.concurrent:
+            return [InputPartition((c, tuple(self.dates))) for c in self.coins]
+        k = max(1, min(self.max_workers, len(self.dates)))
+        chunks = [tuple(self.dates[i::k]) for i in range(k)]
+        return [
+            InputPartition((c, ch)) for c in self.coins for ch in chunks if ch
+        ]
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         from crypto_data_pipeline_spark.sources.http_client import HistoryApiClient
@@ -119,8 +137,8 @@ class CoinHistoryReader(DataSourceReader):
             kwargs["transport"] = down_transport
             kwargs["sleep"] = lambda s: None
         client = HistoryApiClient(**kwargs)
-        coin = partition.value
-        for date in self.dates:
+        coin, dates = partition.value
+        for date in dates:
             try:
                 payload = client.get_history(coin, date)
             except Exception:

@@ -345,3 +345,40 @@ def run_reference_sql(
     with open(path) as f:
         sql = f.read()
     return [spark.sql(stmt) for stmt in split_statements(transpile_pg(sql))]
+
+
+def extract_named_query(sql_text: str, name: str) -> str:
+    """Slice one named query out of a SQL file using the reference's
+    ``-- BEGIN <name>`` / ``-- END <name>`` markers — a verbatim mirror
+    of ``run_analysis_query`` (/root/reference/crypto_app/db.py:301-348),
+    including its works-only-with-markers behavior: the extraction
+    starts AFTER the line holding the BEGIN marker and stops at the
+    first END marker; a file without the markers (the reference's own
+    shipped analysis_queries.sql has none) raises KeyError, it does
+    not fall back to whole-file execution."""
+    start = sql_text.find(f"-- BEGIN {name}")
+    if start == -1:
+        raise KeyError(f"query not found: {name}")
+    start = sql_text.find("\n", start) + 1
+    end = sql_text.find(f"-- END {name}", start)
+    if end == -1:
+        raise KeyError(f"end marker not found for query: {name}")
+    return sql_text[start:end].strip()
+
+
+def run_named_reference_query(
+    spark: SparkSession, sf_dir: str, name: str, path: str = REFERENCE_SQL_PATH
+) -> DataFrame:
+    """``run_analysis_query(name)`` on the Spark engine: extract the
+    marked query, transpile the PostgreSQL dialect, run it against the
+    reference-schema views. Statements inside the marked block beyond
+    the first are rejected — the marker contract is one query."""
+    with open(path) as f:
+        sql = f.read()
+    stmts = split_statements(transpile_pg(extract_named_query(sql, name)))
+    if len(stmts) != 1:
+        raise ValueError(
+            f"marked block {name!r} holds {len(stmts)} statements; expected 1"
+        )
+    register_reference_views(spark, sf_dir)
+    return spark.sql(stmts[0])

@@ -93,6 +93,105 @@ def test_run_sql_command(capsys):
     assert "avg_price_usd" in out and "current_market_cap_usd" in out
 
 
+def test_get_history_date_range_expansion(spark, capsys, tmp_path):
+    """--start-date/--end-date expands to every day of the inclusive
+    range (the reference bulk-process rrule(DAILY) semantics,
+    crypto_app/cli.py:135-170), works with --concurrent, rejects a
+    reversed range, and refuses --dates alongside a range."""
+    store = str(tmp_path / "silver")
+    assert main([
+        "get-history", "--coins", "bitcoin",
+        "--start-date", "2025-01-30", "--end-date", "2025-02-02",
+        "--concurrent", "--max-workers", "2",
+        "--store", store,
+    ]) == 0
+    back = spark.read.parquet(store)
+    assert {str(r.fetch_date) for r in back.collect()} == {
+        "2025-01-30", "2025-01-31", "2025-02-01", "2025-02-02",
+    }
+    rows = {str(r.fetch_date): r.price_usd for r in back.collect()}
+    assert rows["2025-01-31"] == fake_price("bitcoin", "31-01-2025")
+
+    assert main([
+        "get-history", "--coins", "bitcoin",
+        "--start-date", "2025-02-02", "--end-date", "2025-01-30",
+    ]) == 2
+    assert "Start date must be before end date" in capsys.readouterr().err
+
+    assert main([
+        "get-history", "--coins", "bitcoin",
+        "--dates", "01-01-2025",
+        "--start-date", "2025-01-01", "--end-date", "2025-01-02",
+    ]) == 2
+    assert "exactly one of" in capsys.readouterr().err
+
+    assert main(["get-history", "--coins", "bitcoin"]) == 2
+
+
+def test_concurrent_fetch_partitions_fan_out_over_dates():
+    """Concurrent mode splits each coin's dates into max_workers
+    round-robin chunks that together cover every (coin, date) exactly
+    once; sequential mode stays one partition per coin."""
+    from crypto_data_pipeline_spark.sources.http_datasource import CoinHistoryReader
+
+    opts = {"coins": "a,b", "dates": "d1,d2,d3,d4,d5"}
+    seq = CoinHistoryReader(dict(opts)).partitions()
+    assert [(p.value[0], len(p.value[1])) for p in seq] == [("a", 5), ("b", 5)]
+
+    conc = CoinHistoryReader(
+        dict(opts, concurrent="true", max_workers="2")
+    ).partitions()
+    assert len(conc) == 4  # 2 coins x 2 chunks
+    cover = {}
+    for p in conc:
+        coin, dates = p.value
+        for d in dates:
+            assert (coin, d) not in cover
+            cover[(coin, d)] = True
+    assert len(cover) == 10
+
+
+def test_run_sql_named_query_extraction(capsys, tmp_path):
+    """--name mirrors the reference's run_analysis_query marker slicing
+    (db.py:301-348): a marked file runs just that query; the
+    reference's own analysis_queries.sql has NO markers, so --name
+    against it fails exactly like the reference's 'Query not found'
+    path instead of falling back to whole-file execution."""
+    ref_sql = open("/root/reference/sql/analysis_queries.sql").read()
+    # the reference's Query 1, from its first SELECT to its terminating
+    # semicolon (the preamble comments contain stray ';' characters)
+    body = ref_sql[ref_sql.index("SELECT"):]
+    stmt1 = body[: body.index(";") + 1]
+    marked = tmp_path / "marked.sql"
+    marked.write_text(
+        "-- some preamble comment\n"
+        "-- BEGIN monthly_avg\n" + stmt1 + "\n-- END monthly_avg\n"
+    )
+    assert main([
+        "run-sql", "--file", str(marked), "--name", "monthly_avg",
+        "--sf-dir", "/root/testdata/sf0.001", "--limit", "3",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "avg_price_usd" in out and "-- statement" not in out
+
+    # the shipped reference file has no markers -> works-only-with-
+    # markers behavior: clean failure, not whole-file fallback
+    assert main([
+        "run-sql", "--file", "/root/reference/sql/analysis_queries.sql",
+        "--name", "monthly_avg", "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 2
+    assert "query not found" in capsys.readouterr().err
+
+    # BEGIN without END is the reference's other error path
+    broken = tmp_path / "broken.sql"
+    broken.write_text("-- BEGIN q\nSELECT 1\n")
+    assert main([
+        "run-sql", "--file", str(broken), "--name", "q",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 2
+    assert "end marker not found" in capsys.readouterr().err
+
+
 def test_ingest_corpus_command(spark, capsys, tmp_path):
     """CLI drain of a bronze doc dir into the dedup store; a second
     drain with the same checkpoint ingests nothing new."""
