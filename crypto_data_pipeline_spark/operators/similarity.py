@@ -1301,7 +1301,18 @@ def rp_topk(
     raw-dimension scan and a deterministic (dist, vec_id) tie-break,
     so even this approximate-retrieval path is value-checkable. The
     projected query set is the broadcast side; the corpus streams
-    through its projection unshuffled; top-k is WindowGroupLimit."""
+    through its projection unshuffled; top-k is WindowGroupLimit.
+
+    Id-space contract: queries are assumed DRAWN FROM THE CORPUS ID
+    SPACE (as in embedding_rp_topk and its oracle, and the rest of
+    this module's registered neighbor queries) — the
+    ``vec_id != query_id`` predicate below is self-match exclusion
+    under that assumption. For queries with their own id namespace it
+    would both drop an unrelated corpus vector that happens to share
+    the id and keep a true self-match filed under a different id;
+    such callers should pre-offset their query ids out of the corpus
+    range (or not, if self-matches are wanted) rather than rely on
+    this predicate."""
     c = with_rp_codes(corpus, out_dim, seed)
     q = with_rp_codes(
         queries.withColumnRenamed("query_id", "vec_id"), out_dim, seed

@@ -105,18 +105,35 @@ def hll_registers(
     )
 
 
+# Flajolet, Fusy, Gandouet, Meunier 2007 §4: the asymptotic
+# alpha_m = 0.7213/(1+1.079/m) holds for m >= 128; below that the
+# paper prescribes measured constants (the asymptotic form overshoots
+# by up to ~5% at m=16). Mirrored into every DuckDB oracle via
+# hll_alpha so the two engines cannot diverge.
+_HLL_SMALL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant alpha_m for an m-register HLL."""
+    return _HLL_SMALL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
 def hll_estimate(regs: DataFrame, m: int = 256, group: tuple[str, ...] = ()) -> DataFrame:
     """Cardinality estimate per group from a register table: the
-    standard bias-corrected harmonic mean, with the small-range
+    standard bias-corrected harmonic mean (small-m alpha table below
+    128 registers, asymptotic alpha above), with the small-range
     linear-counting correction (est <= 2.5m and empty registers
-    present -> m*ln(m/V)).
+    present -> m*ln(m/V)). No large-range correction: the portable
+    hash space is 31 bits, so estimates approaching 2^27 need a hash
+    upgrade, not a correction term — calibrated use at scale is
+    m >= 256 over cardinalities <= ~10^8 per group.
 
     The harmonic sum is EXACT cross-engine despite being floating
     point: every term 2^-r (r <= 31-log2(m)+1) is a power of two, and
     the full sum fits a 53-bit mantissa (lsb 2^-24, total < 2^8 for
     m=256), so addition is associative here and no engine ordering can
     change a bit. Only the final ln/division are rounded (6 dp)."""
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha = hll_alpha(m)
     per = regs.groupBy(*group).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_s"),
         F.count(F.lit(1)).cast("double").alias("_nz"),

@@ -4064,14 +4064,17 @@ def _hll_setops_oracle() -> str:
         portable_minhash_params,
     )
 
+    from crypto_data_pipeline_spark.operators.sketch import hll_alpha
+
     (a, b) = portable_minhash_params(1, _HLL_SEED)[0]
     m = _HLL_M
+    alpha = hll_alpha(m)
     wbits1 = 31 - (m.bit_length() - 1) + 1
     est = (
-        f"CASE WHEN ((0.7213 / (1.0 + 1.079 / {m}) * {m}) * {m}) / (s + ({m} - nz))"
+        f"CASE WHEN ((CAST({alpha!r} AS DOUBLE) * {m}) * {m}) / (s + ({m} - nz))"
         f" <= 2.5 * {m} AND ({m} - nz) > 0"
         f" THEN {m} * ln({m} / ({m} - nz))"
-        f" ELSE ((0.7213 / (1.0 + 1.079 / {m}) * {m}) * {m}) / (s + ({m} - nz)) END"
+        f" ELSE ((CAST({alpha!r} AS DOUBLE) * {m}) * {m}) / (s + ({m} - nz)) END"
     )
     return f"""
 WITH hashed AS (
@@ -4193,15 +4196,18 @@ def _hll_rollup_oracle() -> str:
         portable_minhash_params,
     )
 
+    from crypto_data_pipeline_spark.operators.sketch import hll_alpha
+
     (a, b) = portable_minhash_params(1, _HLL_SEED)[0]
     m = _HLL_M
+    alpha = hll_alpha(m)
     wbits1 = 31 - (m.bit_length() - 1) + 1
     def est(t: str) -> str:
         return (
-            f"CASE WHEN ((0.7213 / (1.0 + 1.079 / {m}) * {m}) * {m}) / ({t}.s + ({m} - {t}.nz))"
+            f"CASE WHEN ((CAST({alpha!r} AS DOUBLE) * {m}) * {m}) / ({t}.s + ({m} - {t}.nz))"
             f" <= 2.5 * {m} AND ({m} - {t}.nz) > 0"
             f" THEN {m} * ln({m} / ({m} - {t}.nz))"
-            f" ELSE ((0.7213 / (1.0 + 1.079 / {m}) * {m}) * {m}) / ({t}.s + ({m} - {t}.nz)) END"
+            f" ELSE ((CAST({alpha!r} AS DOUBLE) * {m}) * {m}) / ({t}.s + ({m} - {t}.nz)) END"
         )
 
     return f"""
@@ -4344,8 +4350,11 @@ def _hll_oracle() -> str:
         portable_minhash_params,
     )
 
+    from crypto_data_pipeline_spark.operators.sketch import hll_alpha
+
     (a, b) = portable_minhash_params(1, _HLL_SEED)[0]
     m = _HLL_M
+    alpha = hll_alpha(m)
     wbits1 = 31 - (m.bit_length() - 1) + 1  # rho for w = 0
     return f"""
 WITH hashed AS (
@@ -4366,11 +4375,11 @@ per AS (
 ),
 est AS (
   SELECT event_type,
-         CASE WHEN ((0.7213 / (1.0 + 1.079 / {m}) * {m}) * {m}) / (s + ({m} - nz))
+         CASE WHEN ((CAST({alpha!r} AS DOUBLE) * {m}) * {m}) / (s + ({m} - nz))
                    <= 2.5 * {m}
               AND ({m} - nz) > 0
               THEN {m} * ln({m} / ({m} - nz))
-              ELSE ((0.7213 / (1.0 + 1.079 / {m}) * {m}) * {m}) / (s + ({m} - nz))
+              ELSE ((CAST({alpha!r} AS DOUBLE) * {m}) * {m}) / (s + ({m} - nz))
          END AS e
   FROM per
 ),

@@ -78,11 +78,16 @@ def _hh_fn(capacity: int):
         if len(batch):
             summary = _mg_merge(summary, batch["k"], capacity)
         state.update((list(summary.index), [int(c) for c in summary.values]))
+        # one NULL-key sentinel per emission: an EMPTY summary (MG
+        # decrements can clear every counter) must still land a row,
+        # or latest_summaries would resurrect the shard's previous
+        # non-empty summary — "untouched this batch" and "emitted
+        # empty" were indistinguishable in the store before this
         yield pd.DataFrame(
             {
                 "shard": shard,
-                "k": summary.index,
-                "mg_count": summary.values.astype("int64"),
+                "k": list(summary.index) + [None],
+                "mg_count": [int(c) for c in summary.values] + [0],
             }
         )
 
@@ -156,9 +161,14 @@ def stream_heavy_hitters(
 def latest_summaries(spark: SparkSession, out_root: str) -> DataFrame:
     """The live candidate set: each shard's MOST RECENT emission (a
     shard absent from later batches kept its last summary — update
-    semantics). One window over the kilobyte-sized summary store."""
-    from pyspark.sql import Window
-
+    semantics). The per-emission NULL-key sentinel row advances a
+    shard's latest pointer even when its summary emptied, then drops
+    out of the result. One aggregation over the kilobyte-sized
+    summary store."""
     all_rows = spark.read.parquet(out_root)
     latest = all_rows.groupBy("shard").agg(F.max("batch_id").alias("batch_id"))
-    return all_rows.join(F.broadcast(latest), ["shard", "batch_id"]).drop("batch_id")
+    return (
+        all_rows.join(F.broadcast(latest), ["shard", "batch_id"])
+        .where(F.col("k").isNotNull())
+        .drop("batch_id")
+    )

@@ -97,3 +97,41 @@ def test_streaming_guarantee_across_restarts(spark, tmp_path):
     # bounded by N_shard/(cap+1) < n/(cap+1)
     alpha = next(r for r in rows if r["k"] == "alpha")
     assert alpha["mg_count"] > 60 - n / (cap + 1)
+
+
+def test_emptied_summary_overwrites_instead_of_resurrecting(spark, tmp_path):
+    """Round-6 review finding: a shard whose second delivery DECREMENTS
+    its summary to empty used to land zero rows, so latest_summaries
+    resurrected the first delivery's stale counts. The sentinel row
+    must advance the shard's latest pointer: after the emptying
+    delivery the live candidate set is empty, and the sentinel itself
+    never surfaces."""
+    import pandas as pd
+
+    from crypto_data_pipeline_spark.operators.sketch import _mg_merge
+
+    bronze = str(tmp_path / "bronze")
+    out = str(tmp_path / "hh")
+    ckpt = str(tmp_path / "ckpt")
+    cap, shards = 2, 1
+
+    d1 = ["hot", "hot"]
+    d2 = ["a", "a", "b", "b", "c", "c"]
+    # pin the premise: merging d2 into d1's summary really empties it
+    ref = _mg_merge(_mg_merge(pd.Series(dtype="int64"), pd.Series(d1), cap),
+                    pd.Series(d2), cap)
+    assert len(ref) == 0
+
+    _tokens(spark, d1).write.parquet(bronze)
+    q = hh.stream_heavy_hitters(spark, bronze, out, ckpt, SCHEMA, "t",
+                                n_shards=shards, capacity=cap)
+    q.awaitTermination()
+    assert {(r["k"], r["mg_count"]) for r in hh.latest_summaries(spark, out).collect()} == {
+        ("hot", 2)
+    }
+
+    _tokens(spark, d2).write.mode("append").parquet(bronze)
+    q = hh.stream_heavy_hitters(spark, bronze, out, ckpt, SCHEMA, "t",
+                                n_shards=shards, capacity=cap)
+    q.awaitTermination()
+    assert hh.latest_summaries(spark, out).count() == 0
