@@ -108,4 +108,12 @@ def maintain_group_aggregate(
         (F.coalesce(F.col(cnt_col), zero) + F.coalesce(F.col("_dc"), zero)).alias(cnt_col),
         (F.coalesce(F.col(sum_col), zero) + F.coalesce(F.col("_dv"), zero)).alias(sum_col),
     )
-    return merged.where(F.col(cnt_col) != 0)
+    # Drop a group only when BOTH stats are zero. For an in-order feed
+    # count==0 implies sum==0 (no live rows), so this is identical to
+    # the plain count filter there — but under BACKFILL (whole
+    # deliveries applied out of order) a cross-delivery value update
+    # can transiently leave count==0 with sum!=0; dropping that row
+    # would lose the sum mass forever and break the any-order
+    # convergence the delta algebra otherwise guarantees
+    # (tests/test_sources_streaming.py property test).
+    return merged.where((F.col(cnt_col) != 0) | (F.col(sum_col) != 0))

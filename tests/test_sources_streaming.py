@@ -1037,6 +1037,107 @@ def test_stream_maintain_aggregate_materialized_view(spark, tmp_path):
             for r in gen.read_current(spark, gold).collect()} == final
 
 
+def test_backfill_delivery_order_property(spark, tmp_path):
+    """Late-data / backfill property over ≥20 delivery orders: the two
+    continuously-maintained stores must converge to the batch recompute
+    of every PREFIX regardless of the order whole deliveries arrive in.
+
+    Corpus ingest: all 6 permutations of 3 deliveries — after each
+    prefix, the store's distinct normalized-content set equals the
+    distinct content of the deliveries seen so far (survivor IDs are
+    first-arrival-wins by design; content is order-free).
+
+    IVM gold: identity + 14 random permutations of 4 CDC deliveries
+    (including cross-delivery value updates, the case whose transient
+    count==0/sum!=0 state used to be dropped) — after each prefix, the
+    maintained aggregate equals the pure additive fold of the prefix's
+    envelopes."""
+    import itertools
+    import random
+
+    from crypto_data_pipeline_spark.operators.dedup import normalized
+    from crypto_data_pipeline_spark.sources import generations as gen
+    from crypto_data_pipeline_spark.streaming.ingest import maintain_aggregate_batch
+
+    # --- corpus ingest: content-set parity under any delivery order
+    deliveries = [
+        [(1, "alpha text"), (2, "beta text")],
+        [(10, "beta text"), (11, "gamma text")],
+        [(20, " ALPHA   TEXT"), (21, "delta text")],
+    ]
+
+    def content_set(df):
+        return {
+            r[0]
+            for r in df.select(F.md5(normalized("text"))).distinct().collect()
+        }
+
+    for oi, order in enumerate(itertools.permutations(range(3))):
+        store = str(tmp_path / f"corpus_{oi}")
+        for prefix_len, di in enumerate(order, start=1):
+            ingest.ingest_corpus_batch(
+                _doc_rows(spark, deliveries[di]), prefix_len - 1, store
+            )
+            expect = content_set(
+                _doc_rows(
+                    spark,
+                    [row for j in order[:prefix_len] for row in deliveries[j]],
+                )
+            )
+            got = content_set(spark.read.parquet(store))
+            assert got == expect, (order, prefix_len)
+
+    # --- IVM gold: additive-fold parity under any delivery order
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.LongType()),
+            T.StructField("prev_grp", T.StringType()),
+            T.StructField("prev_val", T.LongType()),
+        ]
+    )
+    cdc = [
+        [("U", "a", 10, None, None), ("U", "b", 7, None, None)],
+        [("U", "a", 12, "a", 10), ("U", "c", 5, None, None)],
+        [("D", None, None, "b", 7), ("U", "c", 9, "c", 5)],
+        [("U", "b", 4, None, None), ("U", "d", 2, None, None)],
+    ]
+
+    def fold(envelopes):
+        stats: dict[str, list[int]] = {}
+        for op, grp, val, pg, pv in envelopes:
+            if op != "D":
+                s = stats.setdefault(grp, [0, 0])
+                s[0] += 1
+                s[1] += val
+            if pg is not None:
+                s = stats.setdefault(pg, [0, 0])
+                s[0] -= 1
+                s[1] -= pv
+        return {g: (c, t) for g, (c, t) in stats.items() if c != 0 or t != 0}
+
+    rng = random.Random(7)
+    orders = [tuple(range(4))] + [
+        tuple(rng.sample(range(4), 4)) for _ in range(14)
+    ]
+    for oi, order in enumerate(orders):
+        gold = str(tmp_path / f"gold_{oi}")
+        for prefix_len, di in enumerate(order, start=1):
+            maintain_aggregate_batch(
+                spark.createDataFrame(cdc[di], schema), prefix_len - 1,
+                gold, "grp", "val", "prev_grp", "prev_val",
+            )
+            got = {
+                r.grp: (r.n_rows, r.total)
+                for r in gen.read_current(spark, gold).collect()
+            }
+            expect = fold(
+                [env for j in order[:prefix_len] for env in cdc[j]]
+            )
+            assert got == expect, (order, prefix_len)
+
+
 def test_maintain_aggregate_external_seed(spark, tmp_path):
     """Round-6 review finding: a gold table seeded by a plain
     generations.publish() (no _applied_* marker) used to be silently
