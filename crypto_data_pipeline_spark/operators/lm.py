@@ -1,0 +1,161 @@
+"""N-gram language-model perplexity filter — the CCNet quality pillar.
+
+CCNet (Wenzek et al. 2020) curates Common Crawl with three gates:
+language-ID, dedup, and a per-language LM whose perplexity splits each
+language's corpus into head/middle/tail buckets (train on the head,
+drop or downweight the tail). The reference repo has no curation
+surface (crypto analytics); this supplies the third pillar next to the
+engine's existing lang-id (`ml/classify.py`) and dedup tiers.
+
+Spark-first design — deliberately NOT a KenLM shell-out: an add-one
+bigram model is nothing but counting, so train is ONE grouping-sets
+aggregation over the exploded bigram stream and the fitted model is a
+pair of broadcastable DataFrames, which keeps the whole path inside
+whole-stage codegen and value-checkable against an ANSI-SQL oracle —
+the same trade the NB classifier documents. (KenLM's modified
+Kneser-Ney would score better absolutely; bucket ASSIGNMENT — the
+thing the pipeline consumes — needs only a monotone per-language
+ranking, which add-one cross-entropy provides deterministically.)
+
+Model: per language, P(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V_lang),
+with V_lang = |distinct continuation tokens| (the add-one denominator;
+an unseen context scores 1/V_lang). Doc score = exp(mean negative log
+prob over the doc's adjacent-token bigrams), 6-dp rounded with the
+repo's tie-up nudge. Docs with fewer than 2 tokens have no bigrams and
+land in the sentinel 'unscored' bucket (ppl = -1.0) instead of a NULL
+the differential gate cannot sort.
+
+Distributed shape at 100 TB:
+- Train: one corpus explode, one grouping-sets shuffle keyed on
+  (lang, w1, w2) — map-side partial aggregation collapses each task to
+  model-sized rows; grid/context/vocab levels ride the SAME pass
+  (grouping sets), not three aggregations.
+- Score: one corpus explode, the model joined in BROADCAST (grid is
+  lang-vocab^2-bounded — megabytes where the corpus is terabytes), one
+  doc-key aggregation, one per-language ntile window over doc-sized
+  rows. The corpus is never shuffled except by its own doc key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from crypto_data_pipeline_spark.operators.text import tokens
+
+_BUCKETS = {1: "head", 2: "middle", 3: "tail"}
+
+
+def _bigrams(df: DataFrame, text: str) -> DataFrame:
+    """Adjacent-token bigram rows (w1, w2) appended to ``df``'s other
+    columns via one explode — no self-join, no positional window."""
+    return (
+        df.withColumn("_t", tokens(text))
+        .withColumn(
+            "_bg",
+            F.expr(
+                "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            ),
+        )
+        .withColumn("_p", F.explode("_bg"))
+        .select(*df.columns, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+
+
+def bigram_lm_train(
+    docs: DataFrame, lang: str = "lang", text: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Fit one add-one bigram LM per language. Returns
+    ``grid (lang, w1, w2, c12)`` and ``ctx (lang, w1, c1, vsize)`` —
+    both model-sized, both broadcastable; ``vsize`` (the language's
+    distinct-continuation count) is carried denormalized on every ctx
+    row so scoring needs no third join. All three statistic levels
+    come out of ONE grouping-sets pass over the bigram stream."""
+    bg = _bigrams(docs.select(F.col(lang).alias("lang"), text), text).select(
+        "lang", "w1", "w2"
+    )
+    stats = (
+        bg.groupingSets([["lang", "w1", "w2"], ["lang", "w1"], ["lang"]],
+                        "lang", "w1", "w2")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.countDistinct("w2").alias("_nd"),
+            F.grouping("w1").alias("_g1"),
+            F.grouping("w2").alias("_g2"),
+        )
+    )
+    grid = stats.where((F.col("_g1") == 0) & (F.col("_g2") == 0)).select(
+        "lang", "w1", "w2", F.col("_c").alias("c12")
+    )
+    vocab = stats.where(F.col("_g1") == 1).select(
+        "lang", F.col("_nd").alias("vsize")
+    )
+    ctx = (
+        stats.where((F.col("_g1") == 0) & (F.col("_g2") == 1))
+        .select("lang", "w1", F.col("_c").alias("c1"))
+        .join(F.broadcast(vocab), "lang")
+    )
+    return grid, ctx
+
+
+def bigram_lm_perplexity(
+    docs: DataFrame,
+    grid: DataFrame,
+    ctx: DataFrame,
+    lang: str = "lang",
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Score every document with its language's LM:
+    ``(doc_id, lang, n_bigrams, ppl)``; ppl = -1.0 sentinel for docs
+    with no bigram. Unseen context -> c1 = 0 (probability 1/V)."""
+    scored = (
+        _bigrams(docs.select(doc_id, F.col(lang).alias("lang"), text), text)
+        .join(F.broadcast(ctx), ["lang", "w1"], "left")
+        .join(F.broadcast(grid), ["lang", "w1", "w2"], "left")
+        .withColumn(
+            "_logp",
+            F.log(
+                (F.coalesce("c12", F.lit(0)) + F.lit(1.0))
+                / (F.coalesce("c1", F.lit(0)) + F.col("vsize"))
+            ),
+        )
+    )
+    return scored.groupBy(doc_id, "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.exp(-F.avg("_logp")) + F.lit(1e-9), 6).alias("ppl"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame, lang: str = "lang", text: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """The CCNet split: train per-language LMs on the corpus, score
+    every doc, and ntile each language's ppl ranking into
+    head/middle/tail thirds (ties broken by doc_id, so the buckets are
+    deterministic on both engines). Docs too short to score bucket as
+    'unscored' with the -1.0 sentinel. Returns
+    ``(doc_id, lang, n_bigrams, ppl, bucket)``."""
+    grid, ctx = bigram_lm_train(docs, lang=lang, text=text)
+    ppl = bigram_lm_perplexity(docs, grid, ctx, lang=lang, text=text, doc_id=doc_id)
+    base = docs.select(doc_id, F.col(lang).alias("lang")).join(
+        ppl.drop("lang"), doc_id, "left"
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("ppl").asc(), F.col(doc_id).asc())
+    scored = base.where(F.col("ppl").isNotNull()).withColumn(
+        "bucket",
+        F.element_at(
+            F.create_map(
+                *[x for k, v in _BUCKETS.items() for x in (F.lit(k), F.lit(v))]
+            ),
+            F.ntile(3).over(w),
+        ),
+    )
+    unscored = base.where(F.col("ppl").isNull()).select(
+        doc_id,
+        "lang",
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(-1.0).alias("ppl"),
+        F.lit("unscored").alias("bucket"),
+    )
+    return scored.unionByName(unscored)

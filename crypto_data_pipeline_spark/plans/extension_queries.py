@@ -3072,6 +3072,61 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_perplexity_buckets",
+    extra=True,
+    survey_ids=("EXT-text", "EXT-sample"),
+    oracle=f"""
+WITH toks AS (SELECT doc_id, lang, {TOKENS_SQL} AS t FROM documents),
+bg AS (
+  SELECT doc_id, lang, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+),
+grid AS (SELECT lang, w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+ctx  AS (SELECT lang, w1, count(*) AS c1 FROM bg GROUP BY 1, 2),
+voc  AS (SELECT lang, count(DISTINCT w2) AS vsize FROM bg GROUP BY 1),
+sc AS (
+  SELECT b.doc_id, b.lang,
+         ln((coalesce(g.c12, 0) + 1.0) / (coalesce(c.c1, 0) + v.vsize)) AS logp
+  FROM bg b
+  LEFT JOIN grid g USING (lang, w1, w2)
+  LEFT JOIN ctx c USING (lang, w1)
+  JOIN voc v USING (lang)
+),
+ppl AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(exp(-avg(logp)) + 1e-9, 6) AS ppl
+  FROM sc GROUP BY 1, 2
+),
+base AS (
+  SELECT d.doc_id, d.lang, p.n_bigrams, p.ppl
+  FROM documents d LEFT JOIN ppl p ON p.doc_id = d.doc_id
+)
+SELECT doc_id, lang, n_bigrams, ppl,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM base WHERE ppl IS NOT NULL
+UNION ALL
+SELECT doc_id, lang, CAST(0 AS BIGINT) AS n_bigrams, -1.0 AS ppl,
+       'unscored' AS bucket
+FROM base WHERE ppl IS NULL
+""",
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's third curation pillar (Wenzek et al. 2020) next to the
+    engine's lang-id and dedup tiers: per-language add-one bigram LMs
+    trained in ONE grouping-sets pass, every document scored by its
+    language's model via two broadcast joins (the fitted grid is
+    lang-vocab^2-bounded — megabytes vs terabytes of corpus), and each
+    language ntile'd into head/middle/tail perplexity thirds with a
+    deterministic (ppl, doc_id) tie-break so the lossy filter itself
+    hash-checks (`operators/lm.py`). Sub-2-token docs land in the
+    'unscored' sentinel bucket instead of a NULL the gate can't sort."""
+    from crypto_data_pipeline_spark.operators.lm import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir))
+
+
+@register(
     "vocab_coverage",
     extra=True,
     survey_ids=("EXT-text",),

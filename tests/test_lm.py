@@ -1,0 +1,74 @@
+"""Bigram LM perplexity filter (operators/lm.py): hand-computed
+probabilities on a tiny corpus, per-language model isolation, the
+sentinel bucket for unscorable docs, and the plan contract (model
+broadcast, corpus never shuffled except by its own keys)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_spark.operators import lm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Corpus 'a b a b' + 'a b': grid/ctx counts and the scored
+    cross-entropy must equal the arithmetic done by hand."""
+    docs = _docs(spark, [(1, "en", "a b a b"), (2, "en", "a b")])
+    grid, ctx = lm.bigram_lm_train(docs)
+    g = {(r.w1, r.w2): r.c12 for r in grid.collect()}
+    # bigrams: doc1 -> (a,b),(b,a),(a,b); doc2 -> (a,b)
+    assert g == {("a", "b"): 3, ("b", "a"): 1}
+    c = {r.w1: (r.c1, r.vsize) for r in ctx.collect()}
+    assert c == {"a": (3, 2), "b": (1, 2)}  # vsize: continuations {a, b}
+
+    ppl = {
+        r.doc_id: (r.n_bigrams, r.ppl)
+        for r in lm.bigram_lm_perplexity(docs, grid, ctx).collect()
+    }
+    # P(b|a) = (3+1)/(3+2) = 0.8 ; P(a|b) = (1+1)/(1+2) = 2/3
+    p_ab, p_ba = 0.8, 2.0 / 3.0
+    h1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    assert ppl[1] == (3, round(math.exp(h1) + 1e-9, 6))
+    assert ppl[2] == (1, round(1 / p_ab + 1e-9, 6))
+
+
+def test_language_models_are_isolated_and_sentinel_bucket(spark):
+    """A bigram seen often in one language must not raise its
+    probability in another (per-language grids); docs without a bigram
+    land in 'unscored' with the -1.0 sentinel; scored docs ntile into
+    head/middle/tail per language."""
+    rows = (
+        [(i, "en", "x y x y x y") for i in range(6)]
+        + [(10, "fr", "x y")]   # same bigram, different language
+        + [(11, "fr", "q r")]
+        + [(12, "fr", "q r")]
+        + [(20, "en", "solo")]  # 1 token -> unscorable
+    )
+    out = {r.doc_id: r for r in lm.perplexity_buckets(_docs(spark, rows)).collect()}
+    assert out[20].bucket == "unscored" and out[20].ppl == -1.0
+    # fr's model: bigrams (x,y)x1, (q,r)x2, vsize = {y, r} = 2
+    # doc10: P(y|x) = (1+1)/(1+2) -> ppl = 1.5
+    assert out[10].ppl == round(1.5 + 1e-9, 6)
+    # en's (x,y) count is 18 vs fr's 1 — isolation shows in the score
+    assert out[0].ppl < out[10].ppl
+    buckets = {r.bucket for r in out.values() if r.lang == "en" and r.doc_id < 6}
+    assert buckets == {"head", "middle", "tail"}
+
+
+def test_lm_plan_contract(spark, sf_dir):
+    """Scale shape: the fitted model rides in as broadcasts, no
+    row-at-a-time Python appears, and no cartesian product sneaks into
+    the scoring join."""
+    from crypto_data_pipeline_spark.plans.registry import load_with_extras
+
+    df = load_with_extras()["lm_perplexity_buckets"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the model joins broadcast
