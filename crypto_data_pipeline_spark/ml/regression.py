@@ -10,7 +10,18 @@ LinearRegression with (regParam, elasticNetParam) = (0,0) / (1,0) /
 (0.1,1); GBTRegressor(seed=42) standing in for XGBoost. The
 chronological split is a row_number cut (no random shuffling —
 leakage-safe for time series), and the model "ranking" is the same
-orderBy(rmse).limit(1) (O4)."""
+orderBy(rmse).limit(1) (O4).
+
+ACCEPTED TRADE-OFF (judged and kept): GBTRegressor is the SURVEY-
+sanctioned analog for `XGBRegressor(n_estimators=100)` — same model
+family, same ensemble size, same seed discipline — but XGBoost's
+exact split finding, shrinkage schedule and regularization terms are
+NOT reproduced bit-for-bit (xgboost is not in the environment, and
+reimplementing its tree builder would be a port, not a Spark-first
+design). What IS value-pinned: MLlib's own GBT arithmetic against a
+closed-form DuckDB oracle at 6 dp (`gbt_closed_form`), the full
+linear family coefficients/intercepts/RMSE (`linear_ridge_closed_
+form`), and the ranking semantics (`model_comparison_sanity`)."""
 
 from __future__ import annotations
 
