@@ -3071,11 +3071,7 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_lang_holdout(docs, model=model)
 
 
-@register(
-    "lm_perplexity_buckets",
-    extra=True,
-    survey_ids=("EXT-text", "EXT-sample"),
-    oracle=f"""
+_LM_BUCKETS_SQL = f"""
 WITH toks AS (SELECT doc_id, lang, {TOKENS_SQL} AS t FROM documents),
 bg AS (
   SELECT doc_id, lang, t[i + 1] AS w1, t[i + 2] AS w2
@@ -3109,7 +3105,14 @@ UNION ALL
 SELECT doc_id, lang, CAST(0 AS BIGINT) AS n_bigrams, -1.0 AS ppl,
        'unscored' AS bucket
 FROM base WHERE ppl IS NULL
-""",
+"""
+
+
+@register(
+    "lm_perplexity_buckets",
+    extra=True,
+    survey_ids=("EXT-text", "EXT-sample"),
+    oracle=_LM_BUCKETS_SQL,
 )
 def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's third curation pillar (Wenzek et al. 2020) next to the
@@ -3124,6 +3127,109 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_spark.operators.lm import perplexity_buckets
 
     return perplexity_buckets(_docs(spark, sf_dir))
+
+
+# source-level curation thresholds — one definition feeds BOTH the
+# Spark expressions and the oracle SQL, so they cannot drift
+_SRC_DROP_DUP, _SRC_DROP_KEEP = 0.5, 0.3
+_SRC_REVIEW_DUP, _SRC_REVIEW_KEEP, _SRC_REVIEW_TAIL = 0.2, 0.6, 0.5
+
+
+@register(
+    "source_curation_report",
+    extra=True,
+    survey_ids=("EXT-text", "EXT-dedup", "EXT-sample"),
+    oracle=f"""
+WITH qf AS (
+  {_QUALITY_FILTER_ORACLE}
+),
+lmq AS (
+  {_LM_BUCKETS_SQL}
+),
+per_doc AS (
+  SELECT d.source, d.doc_id, md5({NORM_SQL}) AS ch, q.keep,
+         CAST(l.bucket = 'tail' AS INT) AS is_tail
+  FROM documents d
+  JOIN qf q USING (doc_id)
+  JOIN lmq l ON l.doc_id = d.doc_id
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT ch) AS BIGINT) AS n_distinct,
+         round(1.0 - CAST(count(DISTINCT ch) AS DOUBLE) / count(*) + 1e-9, 6) AS dup_ratio,
+         round(avg(CAST(keep AS DOUBLE)) + 1e-9, 6) AS keep_ratio,
+         round(avg(CAST(is_tail AS DOUBLE)) + 1e-9, 6) AS tail_share
+  FROM per_doc GROUP BY 1
+)
+SELECT source, n_docs, n_distinct, dup_ratio, keep_ratio, tail_share,
+       CASE WHEN dup_ratio > {_SRC_DROP_DUP} OR keep_ratio < {_SRC_DROP_KEEP}
+            THEN 'drop'
+            WHEN dup_ratio > {_SRC_REVIEW_DUP} OR keep_ratio < {_SRC_REVIEW_KEEP}
+                 OR tail_share > {_SRC_REVIEW_TAIL}
+            THEN 'review'
+            ELSE 'keep' END AS decision
+FROM agg
+""",
+)
+def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source-level curation (the RefinedWeb move: curate the
+    SOURCE before the document — a crawl domain that is mostly
+    duplicates or spam is cheaper to drop wholesale than to score doc
+    by doc). Per source: exact-duplicate ratio (md5 of normalized
+    content), Gopher-rule keep ratio, LM perplexity tail share, and a
+    keep/review/drop decision from thresholds defined once for both
+    engines. Scale shape: the rule battery and content hash are
+    zero-shuffle expressions on the scan; the LM bucket join is the
+    one doc-keyed shuffle; the report itself is |sources| rows."""
+    from crypto_data_pipeline_spark.operators.lm import perplexity_buckets
+
+    docs = _docs(spark, sf_dir)
+    base = text.with_quality_filter(text.with_text_stats(docs)).select(
+        "source",
+        "doc_id",
+        F.md5(text.normalized("text")).alias("ch"),
+        "keep",
+    )
+    lmb = perplexity_buckets(docs).select(
+        "doc_id", (F.col("bucket") == "tail").cast("int").alias("is_tail")
+    )
+    agg = (
+        base.join(lmb, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("ch").cast("long").alias("n_distinct"),
+            F.round(F.avg(F.col("keep").cast("double")) + F.lit(1e-9), 6).alias("keep_ratio"),
+            F.round(F.avg(F.col("is_tail").cast("double")) + F.lit(1e-9), 6).alias("tail_share"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_docs")
+                + F.lit(1e-9),
+                6,
+            ),
+        )
+    )
+    decision = (
+        F.when(
+            (F.col("dup_ratio") > _SRC_DROP_DUP)
+            | (F.col("keep_ratio") < _SRC_DROP_KEEP),
+            "drop",
+        )
+        .when(
+            (F.col("dup_ratio") > _SRC_REVIEW_DUP)
+            | (F.col("keep_ratio") < _SRC_REVIEW_KEEP)
+            | (F.col("tail_share") > _SRC_REVIEW_TAIL),
+            "review",
+        )
+        .otherwise("keep")
+    )
+    return agg.select(
+        "source", "n_docs", "n_distinct", "dup_ratio", "keep_ratio",
+        "tail_share", decision.alias("decision"),
+    )
 
 
 @register(

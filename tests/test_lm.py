@@ -61,6 +61,43 @@ def test_language_models_are_isolated_and_sentinel_bucket(spark):
     assert buckets == {"head", "middle", "tail"}
 
 
+def test_source_curation_decisions(spark, tmp_path):
+    """The per-source decision rule fires on constructed pathologies:
+    a clone-farm source (dup_ratio) drops, a spam source (keep_ratio)
+    drops, and a healthy source keeps. Exercises the branches the
+    synthetic fixture corpus (all-keep) never reaches."""
+    from crypto_data_pipeline_spark.plans.registry import load_with_extras
+
+    healthy = (
+        "the cat sat on the mat with a dog and the bird flew over the "
+        "green tree near the old red house by the long quiet river"
+    )
+    rows = (
+        # srcA: 10 verbatim clones of one doc -> dup_ratio 0.9 -> drop
+        [(i, healthy + " again today", "en", "srcA", 1) for i in range(10)]
+        # srcB: too-short spam -> keep_ratio 0 -> drop
+        + [(20 + i, "x y", "en", "srcB", 1) for i in range(6)]
+        # srcC: six distinct healthy docs -> keep
+        + [(40 + i, healthy + f" variant {i} appears here", "en", "srcC", 1)
+           for i in range(6)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {
+        r.source: r
+        for r in load_with_extras()["source_curation_report"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out["srcA"].decision == "drop" and out["srcA"].dup_ratio == 0.9
+    assert out["srcB"].decision == "drop" and out["srcB"].keep_ratio == 0.0
+    assert out["srcC"].decision == "keep"
+    assert out["srcC"].n_docs == 6 and out["srcC"].n_distinct == 6
+
+
 def test_lm_plan_contract(spark, sf_dir):
     """Scale shape: the fitted model rides in as broadcasts, no
     row-at-a-time Python appears, and no cartesian product sneaks into
