@@ -78,6 +78,7 @@ def main() -> None:
     AMORTIZED = {
         "embedding_ann_ivf", "embedding_ann_lsh", "corpus_curation_pipeline",
         "nb_lang_classifier",  # round 7: fit cached per (session, corpus)
+        "lm_perplexity_buckets",  # round 7: same split for the bigram LM
     }
     cold: dict[str, float] = {}
     for spec in specs:
@@ -141,6 +142,7 @@ def main() -> None:
     post_baseline = AMORTIZED | {
         "nb_lang_classifier", "embedding_pq_topk",
         "heavy_hitter_tokens", "distinct_users_hll_portable",
+        "lm_perplexity_buckets",  # round 7
     }
     comparable = round(
         sum(t for q, t in timings.items() if q not in post_baseline), 3

@@ -63,38 +63,53 @@ def _bigrams(df: DataFrame, text: str) -> DataFrame:
 
 
 def bigram_lm_train(
-    docs: DataFrame, lang: str = "lang", text: str = "text"
+    docs: DataFrame,
+    lang: str = "lang",
+    text: str = "text",
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit one add-one bigram LM per language. Returns
     ``grid (lang, w1, w2, c12)`` and ``ctx (lang, w1, c1, vsize)`` —
     both model-sized, both broadcastable; ``vsize`` (the language's
     distinct-continuation count) is carried denormalized on every ctx
-    row so scoring needs no third join. All three statistic levels
-    come out of ONE grouping-sets pass over the bigram stream."""
+    row so scoring needs no third join.
+
+    The corpus-sized bigram stream is shuffled ONCE (the grid count);
+    context counts and vocabulary sizes then come from a grouping-sets
+    pass over the MODEL-SIZED grid — c(w1) = Σ_w2 c(w1,w2) and
+    V = |distinct w2| hold exactly, so the derivation costs grid-sized
+    rows, not another (let alone an Expanded 3×) pass over the raw
+    stream.
+
+    ``materialize`` (default) eagerly local-checkpoints both model
+    frames — fitting is an ACTION, the same train/serve split
+    `ml/classify.py:nb_train` documents. Without it, every broadcast
+    of grid/ctx in the scoring plan re-derives the corpus-sized
+    training scan (measured at the K=1000 probe: the 5 M-doc train
+    pass re-ran inside the score job)."""
     bg = _bigrams(docs.select(F.col(lang).alias("lang"), text), text).select(
         "lang", "w1", "w2"
     )
+    grid = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     stats = (
-        bg.groupingSets([["lang", "w1", "w2"], ["lang", "w1"], ["lang"]],
-                        "lang", "w1", "w2")
+        grid.groupingSets([["lang", "w1"], ["lang"]], "lang", "w1")
         .agg(
-            F.count(F.lit(1)).alias("_c"),
+            F.sum("c12").alias("_c"),
             F.countDistinct("w2").alias("_nd"),
             F.grouping("w1").alias("_g1"),
-            F.grouping("w2").alias("_g2"),
         )
-    )
-    grid = stats.where((F.col("_g1") == 0) & (F.col("_g2") == 0)).select(
-        "lang", "w1", "w2", F.col("_c").alias("c12")
     )
     vocab = stats.where(F.col("_g1") == 1).select(
         "lang", F.col("_nd").alias("vsize")
     )
     ctx = (
-        stats.where((F.col("_g1") == 0) & (F.col("_g2") == 1))
+        stats.where(F.col("_g1") == 0)
         .select("lang", "w1", F.col("_c").alias("c1"))
         .join(F.broadcast(vocab), "lang")
     )
+    if materialize:
+        grid = grid.localCheckpoint(eager=True)
+        ctx = ctx.localCheckpoint(eager=True)
     return grid, ctx
 
 
@@ -128,15 +143,22 @@ def bigram_lm_perplexity(
 
 
 def perplexity_buckets(
-    docs: DataFrame, lang: str = "lang", text: str = "text", doc_id: str = "doc_id"
+    docs: DataFrame,
+    lang: str = "lang",
+    text: str = "text",
+    doc_id: str = "doc_id",
+    model: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The CCNet split: train per-language LMs on the corpus, score
     every doc, and ntile each language's ppl ranking into
     head/middle/tail thirds (ties broken by doc_id, so the buckets are
     deterministic on both engines). Docs too short to score bucket as
     'unscored' with the -1.0 sentinel. Returns
-    ``(doc_id, lang, n_bigrams, ppl, bucket)``."""
-    grid, ctx = bigram_lm_train(docs, lang=lang, text=text)
+    ``(doc_id, lang, n_bigrams, ppl, bucket)``. Pass a pre-fitted
+    ``model`` (the ``bigram_lm_train`` pair) to serve from it."""
+    grid, ctx = model if model is not None else bigram_lm_train(
+        docs, lang=lang, text=text
+    )
     ppl = bigram_lm_perplexity(docs, grid, ctx, lang=lang, text=text, doc_id=doc_id)
     base = docs.select(doc_id, F.col(lang).alias("lang")).join(
         ppl.drop("lang"), doc_id, "left"

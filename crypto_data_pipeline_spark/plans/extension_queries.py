@@ -1409,6 +1409,20 @@ _LSH_CACHE: dict[tuple[str, str], "similarity.LshIndex"] = {}
 # are localCheckpointed, so eviction's unpersist is a harmless no-op —
 # their blocks are freed by the ContextCleaner once unreferenced
 _NB_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
+# fitted bigram LM (grid, ctx), same contract; shared by the
+# perplexity-bucket query and the source curation report
+_LM_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _lm_model(spark: SparkSession, sf_dir: str) -> tuple:
+    from crypto_data_pipeline_spark.operators.lm import bigram_lm_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    model = _LM_MODEL_CACHE.get(key)
+    if model is None:
+        model = bigram_lm_train(_docs(spark, sf_dir))
+        _cache_put(_LM_MODEL_CACHE, key, model, lambda m: m[0])
+    return model
 
 
 def _cache_put(cache: dict, key: tuple[str, str], value, frame_of) -> None:
@@ -3111,6 +3125,7 @@ FROM base WHERE ppl IS NULL
 @register(
     "lm_perplexity_buckets",
     extra=True,
+    bench=True,
     survey_ids=("EXT-text", "EXT-sample"),
     oracle=_LM_BUCKETS_SQL,
 )
@@ -3123,10 +3138,14 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     language ntile'd into head/middle/tail perplexity thirds with a
     deterministic (ppl, doc_id) tie-break so the lossy filter itself
     hash-checks (`operators/lm.py`). Sub-2-token docs land in the
-    'unscored' sentinel bucket instead of a NULL the gate can't sort."""
+    'unscored' sentinel bucket instead of a NULL the gate can't sort.
+    The fit is materialized (localCheckpoint) and cached per
+    (session, corpus) — the same train/serve split as the NB
+    classifier and the ANN indexes; bench.py reports the fit as a
+    cold_build_seconds row."""
     from crypto_data_pipeline_spark.operators.lm import perplexity_buckets
 
-    return perplexity_buckets(_docs(spark, sf_dir))
+    return perplexity_buckets(_docs(spark, sf_dir), model=_lm_model(spark, sf_dir))
 
 
 # source-level curation thresholds — one definition feeds BOTH the
@@ -3191,7 +3210,7 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(text.normalized("text")).alias("ch"),
         "keep",
     )
-    lmb = perplexity_buckets(docs).select(
+    lmb = perplexity_buckets(docs, model=_lm_model(spark, sf_dir)).select(
         "doc_id", (F.col("bucket") == "tail").cast("int").alias("is_tail")
     )
     agg = (
