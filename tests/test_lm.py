@@ -61,6 +61,71 @@ def test_language_models_are_isolated_and_sentinel_bucket(spark):
     assert buckets == {"head", "middle", "tail"}
 
 
+def test_lm_matches_python_reference_on_random_corpora(spark):
+    """Seeded random corpora replayed against a literal Python model
+    (same coverage idea as hypothesis, one session — the
+    test_cdc_properties pattern): bigram counts, add-one probabilities,
+    6-dp perplexities AND the per-language ntile bucket assignment must
+    all agree, including unscorable docs and languages whose corpus has
+    no bigram at all."""
+    import random
+    import re
+    from collections import Counter, defaultdict
+
+    def py_model(rows):
+        grids, ctxs, vocs = {}, {}, defaultdict(set)
+        per_doc = {}
+        for did, lang, t in rows:
+            ts = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+            pairs = list(zip(ts[:-1], ts[1:]))
+            per_doc[did] = (lang, pairs)
+            grids.setdefault(lang, Counter()).update(pairs)
+            ctxs.setdefault(lang, Counter()).update(w1 for w1, _ in pairs)
+            vocs[lang].update(w2 for _, w2 in pairs)
+        out = {}
+        for did, (lang, pairs) in per_doc.items():
+            if not pairs:
+                out[did] = [lang, 0, -1.0, "unscored"]
+                continue
+            lp = [
+                math.log(
+                    (grids[lang][p] + 1) / (ctxs[lang][p[0]] + len(vocs[lang]))
+                )
+                for p in pairs
+            ]
+            ppl = round(math.exp(-sum(lp) / len(lp)) + 1e-9, 6)
+            out[did] = [lang, len(pairs), ppl, None]
+        for lang in {r[1] for r in rows}:
+            scored = sorted(
+                (d for d in out if out[d][0] == lang and out[d][3] is None),
+                key=lambda d: (out[d][2], d),
+            )
+            n, k = len(scored), 3
+            sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+            i = 0
+            for bucket, sz in zip(("head", "middle", "tail"), sizes):
+                for d in scored[i:i + sz]:
+                    out[d][3] = bucket
+                i += sz
+        return {d: tuple(v) for d, v in out.items()}
+
+    rng = random.Random(13)
+    alphabet = ["aa", "bb", "cc", "dd", "ee"]
+    for case in range(15):
+        rows = []
+        for did in range(rng.randint(3, 12)):
+            lang = rng.choice(["en", "fr"])
+            n = rng.randint(1, 8)
+            rows.append(
+                (did, lang, " ".join(rng.choice(alphabet) for _ in range(n)))
+            )
+        got = {
+            r.doc_id: (r.lang, r.n_bigrams, r.ppl, r.bucket)
+            for r in lm.perplexity_buckets(_docs(spark, rows)).collect()
+        }
+        assert got == py_model(rows), (case, rows)
+
+
 def test_source_curation_decisions(spark, tmp_path):
     """The per-source decision rule fires on constructed pathologies:
     a clone-farm source (dup_ratio) drops, a spam source (keep_ratio)
