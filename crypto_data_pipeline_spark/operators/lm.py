@@ -160,11 +160,8 @@ def perplexity_buckets(
         docs, lang=lang, text=text
     )
     ppl = bigram_lm_perplexity(docs, grid, ctx, lang=lang, text=text, doc_id=doc_id)
-    base = docs.select(doc_id, F.col(lang).alias("lang")).join(
-        ppl.drop("lang"), doc_id, "left"
-    )
     w = Window.partitionBy("lang").orderBy(F.col("ppl").asc(), F.col(doc_id).asc())
-    scored = base.where(F.col("ppl").isNotNull()).withColumn(
+    scored = ppl.withColumn(
         "bucket",
         F.element_at(
             F.create_map(
@@ -173,11 +170,18 @@ def perplexity_buckets(
             F.ntile(3).over(w),
         ),
     )
-    unscored = base.where(F.col("ppl").isNull()).select(
-        doc_id,
-        "lang",
-        F.lit(0).cast("long").alias("n_bigrams"),
-        F.lit(-1.0).alias("ppl"),
-        F.lit("unscored").alias("bucket"),
+    # unscorable docs are identifiable ON THE SCAN (fewer than 2
+    # tokens; size(NULL) = -1 covers null text), so no join back
+    # against the scored output is needed — a doc with >= 2 tokens
+    # always emits >= 1 bigram and therefore always scores
+    unscored = (
+        docs.where(F.size(tokens(text)) < 2)
+        .select(
+            doc_id,
+            F.col(lang).alias("lang"),
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(-1.0).alias("ppl"),
+            F.lit("unscored").alias("bucket"),
+        )
     )
     return scored.unionByName(unscored)
