@@ -185,3 +185,51 @@ def perplexity_buckets(
         )
     )
     return scored.unionByName(unscored)
+
+
+def perplexity_buckets_approx(
+    docs: DataFrame,
+    lang: str = "lang",
+    text: str = "text",
+    doc_id: str = "doc_id",
+    model: tuple[DataFrame, DataFrame] | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The ZERO-GLOBAL-SORT form of `perplexity_buckets` for corpora
+    where even a per-language doc-sized sort is unwelcome: tercile
+    BOUNDARIES come from one `approx_percentile` aggregation (a
+    mergeable per-partition sketch — no ordering shuffle at all), and
+    bucket assignment is a scan-side comparison against the broadcast
+    |langs|x2 boundary table. Same output schema. Trade-off: boundary
+    docs may land one bucket off the exact tercile split (bounded by
+    the sketch's 1/accuracy rank error), and the sketch is
+    Spark-internal, so this variant has no cross-engine oracle — the
+    exact ntile form stays the gate-checked default and the agreement
+    between the two is pinned by test instead
+    (tests/test_lm.py::test_approx_buckets_agree_with_exact)."""
+    grid, ctx = model if model is not None else bigram_lm_train(
+        docs, lang=lang, text=text
+    )
+    ppl = bigram_lm_perplexity(docs, grid, ctx, lang=lang, text=text, doc_id=doc_id)
+    bounds = ppl.groupBy("lang").agg(
+        F.percentile_approx("ppl", [1.0 / 3.0, 2.0 / 3.0], accuracy).alias("_b")
+    )
+    scored = ppl.join(F.broadcast(bounds), "lang").withColumn(
+        "bucket",
+        F.when(F.col("ppl") <= F.col("_b")[0], "head")
+        .when(F.col("ppl") <= F.col("_b")[1], "middle")
+        .otherwise("tail"),
+    ).drop("_b")
+    unscored = (
+        docs.where(F.size(tokens(text)) < 2)
+        .select(
+            doc_id,
+            F.col(lang).alias("lang"),
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(-1.0).alias("ppl"),
+            F.lit("unscored").alias("bucket"),
+        )
+    )
+    return scored.select(doc_id, "lang", "n_bigrams", "ppl", "bucket").unionByName(
+        unscored
+    )

@@ -145,6 +145,12 @@ def test_source_curation_decisions(spark, tmp_path):
         # srcC: six distinct healthy docs -> keep
         + [(40 + i, healthy + f" variant {i} appears here", "en", "srcC", 1)
            for i in range(6)]
+        # srcD: 7 clones among 19 distinct (dup_ratio 0.24) -> review.
+        # Own language label: the LM terciles are per-language, so this
+        # source must not perturb srcC's en ranking.
+        + [(60 + i, healthy + " cloned copy", "fr", "srcD", 1) for i in range(7)]
+        + [(70 + i, healthy + f" fresh item {i} here", "fr", "srcD", 1)
+           for i in range(18)]
     )
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -161,6 +167,34 @@ def test_source_curation_decisions(spark, tmp_path):
     assert out["srcB"].decision == "drop" and out["srcB"].keep_ratio == 0.0
     assert out["srcC"].decision == "keep"
     assert out["srcC"].n_docs == 6 and out["srcC"].n_distinct == 6
+    assert out["srcD"].decision == "review" and out["srcD"].dup_ratio == 0.24
+
+
+def test_approx_buckets_agree_with_exact(spark, sf_dir):
+    """The zero-global-sort variant must (a) plan NO sort/ntile window
+    over the scored docs, and (b) assign the same bucket as the exact
+    tercile split for nearly every document — disagreement is confined
+    to boundary ranks (the sketch's documented rank-error), never a
+    wholesale shift."""
+    from crypto_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r.doc_id: r.bucket for r in lm.perplexity_buckets(docs).collect()
+    }
+    approx_df = lm.perplexity_buckets_approx(docs)
+    approx = {r.doc_id: r.bucket for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    agree = sum(1 for d in exact if exact[d] == approx[d])
+    assert agree / len(exact) >= 0.95, (agree, len(exact))
+    # every disagreement is a neighbor-bucket slip, never head<->tail
+    order = {"head": 0, "middle": 1, "tail": 2, "unscored": -1}
+    for d in exact:
+        assert abs(order[exact[d]] - order[approx[d]]) <= 1, d
+
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile(" not in plan.lower()  # ('percentile_approx' is fine)
+    assert "rangepartitioning" not in plan.lower()  # no global sort
 
 
 def test_lm_plan_contract(spark, sf_dir):
