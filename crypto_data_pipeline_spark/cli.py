@@ -178,8 +178,8 @@ def cmd_run_sql(args: argparse.Namespace) -> int:
     if args.name:
         try:
             df = run_named_reference_query(spark, args.sf_dir, args.name, args.file)
-        except KeyError as exc:
-            print(f"Error: {exc.args[0]}", file=sys.stderr)
+        except (KeyError, ValueError) as exc:  # missing marker / multi-stmt block
+            print(f"Error: {exc.args[0] if exc.args else exc}", file=sys.stderr)
             return 2
         df.show(args.limit, truncate=False)
         return 0

@@ -149,7 +149,11 @@ def prior_bench_shuffle_bytes(
 
     # newest round first; within a round the driver artifact wins, the
     # committed BENCH_LOCAL record is the fallback when the driver's
-    # stdout tail clipped even the shuffle map
+    # stdout tail clipped even the shuffle map. The CURRENT round's own
+    # local record (round number above every driver artifact) is NOT a
+    # prior: diffing a re-run against the record the previous run just
+    # wrote would let a regression ratchet itself into the baseline
+    # mid-round (found in round-7 review).
     by_round: dict[int, dict[str, str]] = {}
     try:
         names = os.listdir(repo_root)
@@ -160,7 +164,12 @@ def prior_bench_shuffle_bytes(
         if m:
             kind = "local" if m.group(1) else "driver"
             by_round.setdefault(int(m.group(2)), {})[kind] = fn
+    max_driver = max(
+        (r for r, kinds in by_round.items() if "driver" in kinds), default=-1
+    )
     for rnd in sorted(by_round, reverse=True):
+        if rnd > max_driver and "driver" not in by_round[rnd]:
+            continue  # this (or a future) round's own local record
         for kind in ("driver", "local"):
             fn = by_round[rnd].get(kind)
             if fn is None:

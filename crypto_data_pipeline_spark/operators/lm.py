@@ -45,6 +45,31 @@ from crypto_data_pipeline_spark.operators.text import tokens
 _BUCKETS = {1: "head", 2: "middle", 3: "tail"}
 
 
+def _unscored_docs(
+    docs: DataFrame, ctx: DataFrame, lang: str, text: str, doc_id: str
+) -> DataFrame:
+    """Docs that CANNOT score, as sentinel rows: fewer than 2 tokens
+    (``coalesce(size, -1)`` — under ANSI, size(NULL text) is NULL, not
+    the -1 legacy mode returns; found in round-7 review), a NULL
+    language, or a language absent from the fitted model (broadcast
+    anti-join against the |langs|-row frame). Exactly the complement
+    of the scorable set, so the union in the callers is disjoint and
+    complete."""
+    trained = ctx.select(F.col("lang").alias("_tl"), F.lit(1).alias("_trained")).distinct()
+    short = F.coalesce(F.size(tokens(text)), F.lit(-1)) < 2
+    return (
+        docs.join(F.broadcast(trained), F.col(lang) == F.col("_tl"), "left")
+        .where(short | F.col("_trained").isNull())
+        .select(
+            doc_id,
+            F.col(lang).alias("lang"),
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(-1.0).alias("ppl"),
+            F.lit("unscored").alias("bucket"),
+        )
+    )
+
+
 def _bigrams(df: DataFrame, text: str) -> DataFrame:
     """Adjacent-token bigram rows (w1, w2) appended to ``df``'s other
     columns via one explode — no self-join, no positional window."""
@@ -122,11 +147,20 @@ def bigram_lm_perplexity(
     doc_id: str = "doc_id",
 ) -> DataFrame:
     """Score every document with its language's LM:
-    ``(doc_id, lang, n_bigrams, ppl)``; ppl = -1.0 sentinel for docs
-    with no bigram. Unseen context -> c1 = 0 (probability 1/V)."""
+    ``(doc_id, lang, n_bigrams, ppl)``. Unseen context -> c1 = 0
+    (probability 1/V): vsize comes from a per-LANGUAGE lookup (the
+    distinct (lang, vsize) rows of ctx), not from the left-joined ctx
+    row — an unseen (lang, w1) misses that join, and riding vsize on
+    it alone would NULL the log prob instead of smoothing it (found in
+    round-7 review, verified by execution). Docs of a language the
+    model never saw drop out here (inner vocab join, mirroring the
+    oracle's ``JOIN voc USING (lang)``); ``perplexity_buckets`` files
+    them as 'unscored'."""
+    vocab = ctx.select("lang", "vsize").distinct()
     scored = (
         _bigrams(docs.select(doc_id, F.col(lang).alias("lang"), text), text)
-        .join(F.broadcast(ctx), ["lang", "w1"], "left")
+        .join(F.broadcast(vocab), "lang")
+        .join(F.broadcast(ctx.drop("vsize")), ["lang", "w1"], "left")
         .join(F.broadcast(grid), ["lang", "w1", "w2"], "left")
         .withColumn(
             "_logp",
@@ -170,21 +204,11 @@ def perplexity_buckets(
             F.ntile(3).over(w),
         ),
     )
-    # unscorable docs are identifiable ON THE SCAN (fewer than 2
-    # tokens; size(NULL) = -1 covers null text), so no join back
-    # against the scored output is needed — a doc with >= 2 tokens
-    # always emits >= 1 bigram and therefore always scores
-    unscored = (
-        docs.where(F.size(tokens(text)) < 2)
-        .select(
-            doc_id,
-            F.col(lang).alias("lang"),
-            F.lit(0).cast("long").alias("n_bigrams"),
-            F.lit(-1.0).alias("ppl"),
-            F.lit("unscored").alias("bucket"),
-        )
-    )
-    return scored.unionByName(unscored)
+    # unscorable docs are identifiable ON THE SCAN plus one broadcast
+    # anti-join (short / NULL-text / untrained-language), so no join
+    # back against the scored output is needed — a trained-language
+    # doc with >= 2 tokens always emits >= 1 bigram and always scores
+    return scored.unionByName(_unscored_docs(docs, ctx, lang, text, doc_id))
 
 
 def perplexity_buckets_approx(
@@ -220,16 +244,6 @@ def perplexity_buckets_approx(
         .when(F.col("ppl") <= F.col("_b")[1], "middle")
         .otherwise("tail"),
     ).drop("_b")
-    unscored = (
-        docs.where(F.size(tokens(text)) < 2)
-        .select(
-            doc_id,
-            F.col(lang).alias("lang"),
-            F.lit(0).cast("long").alias("n_bigrams"),
-            F.lit(-1.0).alias("ppl"),
-            F.lit("unscored").alias("bucket"),
-        )
-    )
     return scored.select(doc_id, "lang", "n_bigrams", "ppl", "bucket").unionByName(
-        unscored
+        _unscored_docs(docs, ctx, lang, text, doc_id)
     )

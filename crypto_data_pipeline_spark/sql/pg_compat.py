@@ -356,14 +356,24 @@ def extract_named_query(sql_text: str, name: str) -> str:
     first END marker; a file without the markers (the reference's own
     shipped analysis_queries.sql has none) raises KeyError, it does
     not fall back to whole-file execution."""
-    start = sql_text.find(f"-- BEGIN {name}")
-    if start == -1:
+    import re
+
+    # whole-line marker match: a plain substring find would let
+    # name='monthly_avg' silently extract '-- BEGIN monthly_avg_extended'
+    # (one deliberate deviation from the reference's find(), which has
+    # that prefix-collision bug)
+    begin = re.search(
+        rf"^-- BEGIN {re.escape(name)}[ \t]*\r?$", sql_text, re.MULTILINE
+    )
+    if begin is None:
         raise KeyError(f"query not found: {name}")
-    start = sql_text.find("\n", start) + 1
-    end = sql_text.find(f"-- END {name}", start)
-    if end == -1:
+    start = sql_text.find("\n", begin.start()) + 1
+    end = re.compile(
+        rf"^-- END {re.escape(name)}[ \t]*\r?$", re.MULTILINE
+    ).search(sql_text, start)
+    if end is None:
         raise KeyError(f"end marker not found for query: {name}")
-    return sql_text[start:end].strip()
+    return sql_text[start:end.start()].strip()
 
 
 def run_named_reference_query(

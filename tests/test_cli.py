@@ -191,6 +191,30 @@ def test_run_sql_named_query_extraction(capsys, tmp_path):
     ]) == 2
     assert "end marker not found" in capsys.readouterr().err
 
+    # marker names match whole lines: a requested name that is a
+    # PREFIX of a marked name must be 'not found', never silently run
+    # the longer query (round-7 review finding)
+    prefixed = tmp_path / "prefixed.sql"
+    prefixed.write_text(
+        "-- BEGIN monthly_avg_extended\nSELECT 1 AS one;\n"
+        "-- END monthly_avg_extended\n"
+    )
+    assert main([
+        "run-sql", "--file", str(prefixed), "--name", "monthly_avg",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 2
+    assert "query not found" in capsys.readouterr().err
+
+    # a marked block holding several statements is a clean error too,
+    # not an unhandled traceback
+    multi = tmp_path / "multi.sql"
+    multi.write_text("-- BEGIN q\nSELECT 1 AS a;\nSELECT 2 AS b;\n-- END q\n")
+    assert main([
+        "run-sql", "--file", str(multi), "--name", "q",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 2
+    assert "2 statements" in capsys.readouterr().err
+
 
 def test_ingest_corpus_command(spark, capsys, tmp_path):
     """CLI drain of a bronze doc dir into the dedup store; a second

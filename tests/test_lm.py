@@ -61,6 +61,37 @@ def test_language_models_are_isolated_and_sentinel_bucket(spark):
     assert buckets == {"head", "middle", "tail"}
 
 
+def test_serve_path_unseen_context_and_unscorable_docs(spark):
+    """Round-7 review findings, both verified-by-execution: (a) a
+    served doc whose context word the model never saw must score with
+    the documented 1/V smoothing, not a NULL that sorts into 'head';
+    (b) NULL-text docs (ANSI size(NULL) is NULL, not -1) and docs of a
+    language the model never saw must surface as 'unscored', never
+    vanish from the output."""
+    train = _docs(spark, [(1, "en", "a b a b")])
+    grid, ctx = lm.bigram_lm_train(train)
+
+    # (a) unseen context 'z': P = 1/V = 1/2 per bigram -> ppl = 2.0
+    serve = _docs(spark, [(10, "en", "z q z q")])
+    got = lm.bigram_lm_perplexity(serve, grid, ctx).collect()
+    assert [(r.doc_id, r.n_bigrams, r.ppl) for r in got] == [
+        (10, 3, round(2.0 + 1e-9, 6))
+    ]
+
+    # (b) NULL text, single token, and untrained language all bucket
+    # as 'unscored' in BOTH bucket variants — nothing disappears
+    serve2 = _docs(
+        spark,
+        [(20, "en", "a b a"), (21, "en", None), (22, "en", "solo"),
+         (23, "xx", "a b a b")],
+    )
+    for fn in (lm.perplexity_buckets, lm.perplexity_buckets_approx):
+        out = {r.doc_id: r.bucket for r in fn(serve2, model=(grid, ctx)).collect()}
+        assert set(out) == {20, 21, 22, 23}, fn.__name__
+        assert out[21] == out[22] == out[23] == "unscored", fn.__name__
+        assert out[20] != "unscored", fn.__name__
+
+
 def test_lm_matches_python_reference_on_random_corpora(spark):
     """Seeded random corpora replayed against a literal Python model
     (same coverage idea as hypothesis, one session — the

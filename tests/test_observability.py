@@ -161,3 +161,13 @@ def test_prior_bench_truncated_tail_and_local_fallback(tmp_path):
     )
     name, got = prior_bench_shuffle_bytes(str(tmp_path), sf=0.1)
     assert name == "BENCH_LOCAL_r07.json" and got == {"q1": 111}
+
+    # (c) the CURRENT round's own local record (no driver artifact for
+    # that round yet) is NOT a prior — a re-run must still diff against
+    # the last DRIVER-recorded round, or a regression could ratchet
+    # itself into the baseline mid-round
+    (tmp_path / "BENCH_LOCAL_r08.json").write_text(
+        json.dumps({"shuffle_bytes_written": {"q1": 999999}, "sf": 0.1})
+    )
+    name, got = prior_bench_shuffle_bytes(str(tmp_path), sf=0.1)
+    assert name == "BENCH_LOCAL_r07.json" and got == {"q1": 111}
