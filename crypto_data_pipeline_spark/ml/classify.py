@@ -132,11 +132,19 @@ def nb_predict(
 ) -> DataFrame:
     """Score every document against every class and keep the argmax:
     ``(doc_id, predicted, score)``. Terms absent from the training
-    vocabulary of a class fall back to that class's ``log_unseen``."""
+    vocabulary of a class fall back to that class's ``log_unseen``.
+
+    Join strategy: the |classes|-row frame keeps its broadcast hint;
+    the likelihood grid is training-VOCABULARY-proportional (it grows
+    with the corpus), so its join is AQE's call — the
+    localCheckpointed grid measures small and broadcasts at any sane
+    vocabulary, and an over-threshold one degrades to a shuffled hash
+    join instead of OOMing the driver (round-8 fix, same pattern as
+    the bigram LM's grid/ctx joins)."""
     terms = docs.select(F.col(doc_id).alias("doc_id"), F.explode(tokens(text)).alias("term"))
     scored = (
         terms.crossJoin(F.broadcast(classes.select("label", "log_prior", "log_unseen")))
-        .join(F.broadcast(grid), ["term", "label"], "left")
+        .join(grid, ["term", "label"], "left")
         .groupBy("doc_id", "label")
         .agg(
             F.round(

@@ -29,11 +29,23 @@ Distributed shape at 100 TB:
 - Train: one corpus explode, one grouping-sets shuffle keyed on
   (lang, w1, w2) — map-side partial aggregation collapses each task to
   model-sized rows; grid/context/vocab levels ride the SAME pass
-  (grouping sets), not three aggregations.
-- Score: one corpus explode, the model joined in BROADCAST (grid is
-  lang-vocab^2-bounded — megabytes where the corpus is terabytes), one
-  doc-key aggregation, one per-language ntile window over doc-sized
-  rows. The corpus is never shuffled except by its own doc key.
+  (grouping sets), not three aggregations. The grid is NOT fixed-size:
+  distinct bigrams grow with corpus vocabulary (Heaps' law — a real
+  web crawl's unpruned bigram grid is tens of GB), so train exposes a
+  ``min_count`` pruning knob, the same move every production n-gram
+  model makes (Google's public 1T-token n-gram corpus ships count>=40).
+  Pruned bigrams fall through to the add-one smoothing path that
+  already handles unseen pairs; context counts and vocabulary sizes
+  are derived from the FULL grid before pruning, so the probability
+  denominators stay exact.
+- Score: one corpus explode, the model joined in; the join STRATEGY is
+  AQE's call, not a hint — the |langs|-row vocab frame is explicitly
+  broadcast, but grid/ctx carry no hint, so a pruned megabyte-scale
+  model broadcasts (measured, localCheckpoint gives AQE real sizes)
+  while an over-threshold model falls back to a shuffled join instead
+  of OOMing the driver. Then one doc-key aggregation and one
+  per-language ntile window over doc-sized rows. The corpus is never
+  shuffled except by its own keys.
 """
 
 from __future__ import annotations
@@ -92,12 +104,30 @@ def bigram_lm_train(
     lang: str = "lang",
     text: str = "text",
     materialize: bool = True,
+    min_count: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit one add-one bigram LM per language. Returns
     ``grid (lang, w1, w2, c12)`` and ``ctx (lang, w1, c1, vsize)`` —
-    both model-sized, both broadcastable; ``vsize`` (the language's
-    distinct-continuation count) is carried denormalized on every ctx
-    row so scoring needs no third join.
+    both model-sized; ``vsize`` (the language's distinct-continuation
+    count) is carried denormalized on every ctx row so scoring needs
+    no third join.
+
+    ``min_count`` prunes the model — the knob that keeps the shipped
+    frames bounded on corpora whose vocabulary grows with size
+    (Heaps' law; an unpruned web-crawl bigram grid is tens of GB).
+    Rule: grid keeps rows with ``c12 >= min_count``; ctx keeps rows
+    with ``c1 >= min_count`` (since c12 <= c1, a dropped context's
+    bigrams were all dropped too); ``vsize`` stays EXACT from the full
+    training counts. A pruned (or unseen) bigram then scores
+    ``(coalesce(c12,0)+1) / (coalesce(c1,0)+V)`` — the same smoothing
+    path either way, so pruning composes with scoring without a
+    special case, and the scored probability is a deterministic
+    function of (min_count, corpus). ``min_count=1`` (default) is
+    exact back-compat: no row is dropped. A language whose EVERY
+    context count falls under the threshold leaves the model entirely
+    (no surviving ctx row carries its vsize); its documents then take
+    the untrained-language path — dropped by the scoring join, filed
+    as 'unscored' by ``perplexity_buckets``.
 
     The corpus-sized bigram stream is shuffled ONCE (the grid count);
     context counts and vocabulary sizes then come from a grouping-sets
@@ -132,6 +162,9 @@ def bigram_lm_train(
         .select("lang", "w1", F.col("_c").alias("c1"))
         .join(F.broadcast(vocab), "lang")
     )
+    if min_count > 1:
+        grid = grid.where(F.col("c12") >= min_count)
+        ctx = ctx.where(F.col("c1") >= min_count)
     if materialize:
         grid = grid.localCheckpoint(eager=True)
         ctx = ctx.localCheckpoint(eager=True)
@@ -155,13 +188,22 @@ def bigram_lm_perplexity(
     round-7 review, verified by execution). Docs of a language the
     model never saw drop out here (inner vocab join, mirroring the
     oracle's ``JOIN voc USING (lang)``); ``perplexity_buckets`` files
-    them as 'unscored'."""
+    them as 'unscored'.
+
+    Join strategy: only the |langs|-row vocab frame carries a
+    broadcast hint. grid and ctx are corpus-VOCABULARY-proportional
+    (Heaps' law — they grow with the corpus unless pruned), so their
+    joins are left to AQE: a pruned model measures small and
+    broadcasts; an over-threshold model falls back to a shuffled hash
+    join instead of OOMing the driver the way an unconditional
+    ``F.broadcast`` hint would (round-8 fix; the same medicine as the
+    islands/risk/pg_compat hint removals)."""
     vocab = ctx.select("lang", "vsize").distinct()
     scored = (
         _bigrams(docs.select(doc_id, F.col(lang).alias("lang"), text), text)
         .join(F.broadcast(vocab), "lang")
-        .join(F.broadcast(ctx.drop("vsize")), ["lang", "w1"], "left")
-        .join(F.broadcast(grid), ["lang", "w1", "w2"], "left")
+        .join(ctx.drop("vsize"), ["lang", "w1"], "left")
+        .join(grid, ["lang", "w1", "w2"], "left")
         .withColumn(
             "_logp",
             F.log(

@@ -856,6 +856,12 @@ def repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     survey_ids=("P1", "P4", "A1", "A6", "F2"),
     bench=True,
+    # demoted to extra in round 8 to seat lm_perplexity_buckets in the
+    # driver gate: every id here keeps a driver-facing row elsewhere
+    # (P1/P4 filtered_projection, A1 monthly_avg_price, A6
+    # top_users_by_value/data_quality_report, F2 monthly_avg_price);
+    # stays bench-flagged and locally oracle-tested
+    extra=True,
     oracle="""
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,

@@ -457,6 +457,11 @@ JOIN surv b ON b.doc_id = p.id_b
     "dedup_staged_pipeline",
     survey_ids=("EXT-dedup",),
     oracle=_staged_dedup_oracle(),
+    # demoted to extra in round 8 to seat source_curation_report in
+    # the driver gate: EXT-dedup keeps five driver-facing rows (exact,
+    # minhash, simhash, clusters, curation report) and this query is a
+    # composition of two of them; stays locally oracle-tested
+    extra=True,
 )
 def dedup_staged_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup-first, near-dup-second — the production ordering for
@@ -3124,7 +3129,8 @@ FROM base WHERE ppl IS NULL
 
 @register(
     "lm_perplexity_buckets",
-    extra=True,
+    # seated in the driver gate in round 8 (the round-7 flagship; the
+    # rotation pattern of rounds 5-7)
     bench=True,
     survey_ids=("EXT-text", "EXT-sample"),
     oracle=_LM_BUCKETS_SQL,
@@ -3156,7 +3162,7 @@ _SRC_REVIEW_DUP, _SRC_REVIEW_KEEP, _SRC_REVIEW_TAIL = 0.2, 0.6, 0.5
 
 @register(
     "source_curation_report",
-    extra=True,
+    # seated in the driver gate in round 8 alongside lm_perplexity_buckets
     survey_ids=("EXT-text", "EXT-dedup", "EXT-sample"),
     oracle=f"""
 WITH qf AS (

@@ -157,6 +157,114 @@ def test_lm_matches_python_reference_on_random_corpora(spark):
         assert got == py_model(rows), (case, rows)
 
 
+def test_min_count_pruning_matches_python_reference(spark):
+    """The pruning rule, pinned against a literal Python model on
+    seeded random corpora: grid keeps c12 >= min_count, ctx keeps
+    c1 >= min_count, vsize stays exact from the FULL counts, and a
+    pruned bigram/context scores through the add-one smoothing path
+    ((coalesce(c12,0)+1)/(coalesce(c1,0)+V)). min_count=1 must be
+    byte-identical to the unpruned model (exact back-compat)."""
+    import random
+    import re
+    from collections import Counter, defaultdict
+
+    def py_ppl(rows, min_count):
+        grids, ctxs, vocs = {}, {}, defaultdict(set)
+        per_doc = {}
+        for did, lang, t in rows:
+            ts = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+            pairs = list(zip(ts[:-1], ts[1:]))
+            per_doc[did] = (lang, pairs)
+            grids.setdefault(lang, Counter()).update(pairs)
+            ctxs.setdefault(lang, Counter()).update(w1 for w1, _ in pairs)
+            vocs[lang].update(w2 for _, w2 in pairs)
+        out = {}
+        for did, (lang, pairs) in per_doc.items():
+            if not pairs:
+                continue
+            # a language whose every context count falls under
+            # min_count leaves the model entirely (no ctx row carries
+            # its vsize) — its docs are 'untrained-language' and drop
+            # out of bigram_lm_perplexity (perplexity_buckets files
+            # them as 'unscored')
+            if max(ctxs[lang].values()) < min_count:
+                continue
+            lp = []
+            for p in pairs:
+                c12 = grids[lang][p] if grids[lang][p] >= min_count else 0
+                c1 = ctxs[lang][p[0]] if ctxs[lang][p[0]] >= min_count else 0
+                lp.append(math.log((c12 + 1) / (c1 + len(vocs[lang]))))
+            out[did] = (len(pairs), round(math.exp(-sum(lp) / len(lp)) + 1e-9, 6))
+        return out
+
+    rng = random.Random(29)
+    alphabet = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for case in range(10):
+        rows = [
+            (
+                did,
+                rng.choice(["en", "fr"]),
+                " ".join(rng.choice(alphabet) for _ in range(rng.randint(2, 10))),
+            )
+            for did in range(rng.randint(4, 10))
+        ]
+        docs = _docs(spark, rows)
+        for mc in (1, 2, 3):
+            grid, ctx = lm.bigram_lm_train(docs, min_count=mc)
+            got = {
+                r.doc_id: (r.n_bigrams, r.ppl)
+                for r in lm.bigram_lm_perplexity(docs, grid, ctx).collect()
+            }
+            assert got == py_ppl(rows, mc), (case, mc, rows)
+        # min_count=1 back-compat: model frames identical to unpruned
+        g1, c1 = lm.bigram_lm_train(docs, min_count=1)
+        g0, c0 = lm.bigram_lm_train(docs)
+        assert sorted(map(tuple, g1.collect())) == sorted(map(tuple, g0.collect()))
+        assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c0.collect()))
+
+
+def test_min_count_prunes_rows_and_keeps_vsize_exact(spark):
+    """Structural check of the pruning rule on a hand-built corpus:
+    the rare bigram leaves the grid, the rare context leaves ctx, and
+    every surviving ctx row still carries the FULL vocabulary size."""
+    # en: (a,b)x3, (b,a)x3, (a,c)x2, (c,a)x1  -> c1: a=5, b=3, c=1
+    docs = _docs(spark, [(1, "en", "a b a b a c a b"), (2, "en", "b a c")])
+    grid, ctx = lm.bigram_lm_train(docs, min_count=2)
+    g = {(r.w1, r.w2): r.c12 for r in grid.collect()}
+    assert g == {("a", "b"): 3, ("b", "a"): 3, ("a", "c"): 2}  # (c,a) pruned
+    c = {r.w1: (r.c1, r.vsize) for r in ctx.collect()}
+    # context c (c1=1) pruned; vsize stays the FULL {a,b,c} = 3
+    assert c == {"a": (5, 3), "b": (3, 3)}
+
+
+def test_lm_join_strategy_is_measured_not_hinted(spark):
+    """The fitted grid/ctx are corpus-vocabulary-proportional, so the
+    scoring joins must leave the strategy to AQE (round-8 fix; the
+    round-7 code force-broadcast them). Contract: (a) at fixture
+    scale AQE still picks BroadcastHashJoin for the model joins on its
+    own; (b) with broadcast disabled the SAME code plans a shuffled
+    join — which the old hint would have overridden unconditionally,
+    OOMing the driver on a real web-scale vocabulary."""
+    rows = [(i, "en", "a b c d e f g h") for i in range(50)]
+    docs = _docs(spark, rows)
+    grid, ctx = lm.bigram_lm_train(docs)
+
+    def final_plan(df) -> str:
+        df._jdf.queryExecution().toRdd().count()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    plan = final_plan(lm.bigram_lm_perplexity(docs, grid, ctx))
+    assert "BroadcastHashJoin" in plan, plan  # AQE's measured choice
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = final_plan(lm.bigram_lm_perplexity(docs, grid, ctx))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_source_curation_decisions(spark, tmp_path):
     """The per-source decision rule fires on constructed pathologies:
     a clone-farm source (dup_ratio) drops, a spam source (keep_ratio)
