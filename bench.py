@@ -167,6 +167,12 @@ def main() -> None:
         "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        # every per-query second below is a median of 3 timed runs —
+        # stated IN the artifact so round-over-round comparisons know
+        # they are comparing medians, not single samples (rounds 5-7
+        # each spent effort re-explaining wall-clock drift the shuffle
+        # -byte gate had already exonerated)
+        "timing": "median_of_3",
         "baseline_comparable_seconds": comparable,
         "queries": timings,
         "cold_build_seconds": cold,
@@ -203,7 +209,8 @@ def main() -> None:
     compact = {
         k: full_record[k]
         for k in (
-            "metric", "value", "unit", "baseline_comparable_seconds",
+            "metric", "value", "unit", "timing",
+            "baseline_comparable_seconds",
             "sf", "queries", "cold_build_seconds",
             "shuffle_regressions_vs", "shuffle_regressions",
         )

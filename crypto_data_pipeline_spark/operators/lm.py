@@ -253,6 +253,75 @@ def perplexity_buckets(
     return scored.unionByName(_unscored_docs(docs, ctx, lang, text, doc_id))
 
 
+def _bucket_by_bounds(ppl: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Assign head/middle/tail by comparing each scored row against
+    the |langs|x2 boundary table ``(lang, _b array<double>)`` — a
+    broadcast join + scan-side CASE, no sort anywhere. Shared by the
+    zero-global-sort batch variant and the streaming serve (which
+    ships the SAME frozen table to every micro-batch)."""
+    return (
+        ppl.join(F.broadcast(bounds), "lang")
+        .withColumn(
+            "bucket",
+            F.when(F.col("ppl") <= F.col("_b")[0], "head")
+            .when(F.col("ppl") <= F.col("_b")[1], "middle")
+            .otherwise("tail"),
+        )
+        .drop("_b")
+    )
+
+
+def perplexity_boundaries(
+    docs: DataFrame,
+    lang: str = "lang",
+    text: str = "text",
+    doc_id: str = "doc_id",
+    model: tuple[DataFrame, DataFrame] | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The FROZEN serving artifact: per-language tercile boundaries
+    ``(lang, _b array<double>)`` from one approx_percentile pass over
+    the scored corpus. A serving tier fits the model once, freezes
+    these boundaries alongside it, and then scores unbounded streams
+    against both without ever re-sorting anything. Compute them on the
+    SAME corpus the model was trained on: every trained language has
+    at least one scorable training doc, so the boundary table covers
+    every language the model can score (the inner join in
+    `_bucket_by_bounds` is then total over scorable docs)."""
+    grid, ctx = model if model is not None else bigram_lm_train(
+        docs, lang=lang, text=text
+    )
+    ppl = bigram_lm_perplexity(docs, grid, ctx, lang=lang, text=text, doc_id=doc_id)
+    return ppl.groupBy("lang").agg(
+        F.percentile_approx("ppl", [1.0 / 3.0, 2.0 / 3.0], accuracy).alias("_b")
+    )
+
+
+def perplexity_buckets_frozen(
+    docs: DataFrame,
+    bounds: DataFrame,
+    lang: str = "lang",
+    text: str = "text",
+    doc_id: str = "doc_id",
+    model: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Score ``docs`` against a pre-fitted model and assign buckets
+    from a FROZEN boundary table (`perplexity_boundaries`) — the batch
+    twin of the streaming serve, and the form whose output is
+    independent of what else is in the batch (no ntile over
+    co-arriving docs), which is what makes stream output == batch
+    output under any delivery split. Unscorable docs land in the
+    'unscored' sentinel exactly like `perplexity_buckets`."""
+    grid, ctx = model if model is not None else bigram_lm_train(
+        docs, lang=lang, text=text
+    )
+    ppl = bigram_lm_perplexity(docs, grid, ctx, lang=lang, text=text, doc_id=doc_id)
+    scored = _bucket_by_bounds(ppl, bounds).select(
+        doc_id, "lang", "n_bigrams", "ppl", "bucket"
+    )
+    return scored.unionByName(_unscored_docs(docs, ctx, lang, text, doc_id))
+
+
 def perplexity_buckets_approx(
     docs: DataFrame,
     lang: str = "lang",
@@ -280,12 +349,7 @@ def perplexity_buckets_approx(
     bounds = ppl.groupBy("lang").agg(
         F.percentile_approx("ppl", [1.0 / 3.0, 2.0 / 3.0], accuracy).alias("_b")
     )
-    scored = ppl.join(F.broadcast(bounds), "lang").withColumn(
-        "bucket",
-        F.when(F.col("ppl") <= F.col("_b")[0], "head")
-        .when(F.col("ppl") <= F.col("_b")[1], "middle")
-        .otherwise("tail"),
-    ).drop("_b")
+    scored = _bucket_by_bounds(ppl, bounds)
     return scored.select(doc_id, "lang", "n_bigrams", "ppl", "bucket").unionByName(
         _unscored_docs(docs, ctx, lang, text, doc_id)
     )

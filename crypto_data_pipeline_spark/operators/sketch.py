@@ -86,6 +86,19 @@ def hll_registers(
     (31 - log2(m))-bit word + 1, computed via integer bit length
     (length of the binary string — no floating log anywhere), so every
     register value is bit-identical in DuckDB."""
+    j, rho = _hll_j_rho(key, m, seed)
+    return (
+        df.where(key.isNotNull())
+        .select(*group, j.alias("j"), rho.alias("rho"))
+        .groupBy(*group, "j")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def _hll_j_rho(key: Column, m: int, seed: int) -> tuple[Column, Column]:
+    """The portable register-index / rank expressions shared by the
+    raw-scan build (`hll_registers`) and the fused exact+sketch build
+    (`hll_registers_with_exact`)."""
     p = m.bit_length() - 1
     if m != 1 << p:
         raise ValueError(f"m must be a power of two, got {m}")
@@ -97,11 +110,63 @@ def hll_registers(
     rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits + 1) - F.length(F.bin(w))
     )
-    return (
+    return (h % F.lit(m)), rho.cast("int")
+
+
+def hll_distinct_with_exact(
+    df: DataFrame,
+    key: Column,
+    m: int = 256,
+    seed: int = 29,
+    group: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sketch estimate NEXT TO its ground truth, per group:
+    ``(*group, n_exact, hll_estimate)`` — the error-documentation
+    frame, as ONE LINEAR pipeline with no self-join and no branch.
+
+    The exact count inherently shuffles every distinct (group, key)
+    pair — that cost is the point of comparison, not overhead. What IS
+    optimizable is everything around it (round-8 consolidation; the
+    previous shape paid 4 exchanges — a raw-scan register build, a
+    register merge, a two-shuffle COUNT(DISTINCT), then a join):
+
+      1. dedupe (group, key) — the one unavoidable big shuffle;
+         registers are duplicate-insensitive, so they can ride this;
+      2. per (group, j): max(rho) AND count(*) of distinct keys in
+         the register's bucket — the register table plus a partition
+         of the exact count, one model-sized shuffle;
+      3. per group: the harmonic sum over finalized registers AND
+         sum of per-register key counts (= the exact distinct count)
+         in the SAME aggregation — estimate and truth emerge as two
+         columns of one row, so no join closes the plan.
+
+    A branched formulation (registers here, exact count there, join)
+    re-plans the shared aggregation once per branch after column
+    pruning — measured at 4 exchanges; this linear form is 3.
+
+    Standalone sketch maintenance should keep using `hll_registers`
+    on the raw scan: its shuffle is bounded by |groups|*m keys at any
+    input size, which is the property that matters when there is no
+    exact twin to compute."""
+    j, rho = _hll_j_rho(F.col("_k"), m, seed)
+    deduped = (
         df.where(key.isNotNull())
-        .select(*group, (h % F.lit(m)).alias("j"), rho.cast("int").alias("rho"))
-        .groupBy(*group, "j")
-        .agg(F.max("rho").alias("r"))
+        .select(*group, key.alias("_k"))
+        .groupBy(*group, "_k")
+        .agg(F.lit(1).alias("_one"))
+        .select(*group, j.alias("j"), rho.alias("rho"))
+    )
+    regs = deduped.groupBy(*group, "j").agg(
+        F.max("rho").alias("r"),
+        F.count(F.lit(1)).cast("long").alias("_nk"),
+    )
+    per = regs.groupBy(*group).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_s"),
+        F.count(F.lit(1)).cast("double").alias("_nz"),
+        F.sum("_nk").cast("long").alias("n_exact"),
+    )
+    return per.select(
+        *group, "n_exact", F.round(_hll_est_col(m), 6).alias("hll_estimate")
     )
 
 
@@ -133,16 +198,25 @@ def hll_estimate(regs: DataFrame, m: int = 256, group: tuple[str, ...] = ()) -> 
     the full sum fits a 53-bit mantissa (lsb 2^-24, total < 2^8 for
     m=256), so addition is associative here and no engine ordering can
     change a bit. Only the final ln/division are rounded (6 dp)."""
-    alpha = hll_alpha(m)
     per = regs.groupBy(*group).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("_s"),
         F.count(F.lit(1)).cast("double").alias("_nz"),
     )
+    return per.select(*group, F.round(_hll_est_col(m), 6).alias("hll_estimate"))
+
+
+def _hll_est_col(m: int) -> Column:
+    """The bias-corrected estimate over aggregated ``_s`` (harmonic
+    sum of present registers) and ``_nz`` (present-register count)
+    columns — shared by `hll_estimate` and `hll_distinct_with_exact`
+    so the two query shapes cannot drift."""
+    alpha = hll_alpha(m)
     v = F.lit(float(m)) - F.col("_nz")
     s = F.col("_s") + v  # absent registers hold 0 -> each contributes 2^0
     raw = F.lit(alpha * m * m) / s
-    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)).otherwise(raw)
-    return per.select(*group, F.round(est, 6).alias("hll_estimate"))
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
 
 
 def cms_point_estimates(
@@ -263,7 +337,12 @@ def heavy_hitters_exact(
             f"{threshold_num}/{threshold_den}: need (capacity+1)*num > den"
         )
     keyed = df.select(key.alias("k")).where(F.col("k").isNotNull())
-    cands = _misra_gries_candidates(keyed, capacity).distinct()
+    # NO .distinct() on the candidates: each task's summary is already
+    # key-unique, cross-task duplicates are deduped for free when the
+    # broadcast hash relation builds, and a distinct here would spend a
+    # whole extra shuffle on a frame that is about to be collected to
+    # the driver anyway (round-8 plan consolidation: 3 shuffles -> 2)
+    cands = _misra_gries_candidates(keyed, capacity)
     total = keyed.select(F.count(F.lit(1)).alias("_n"))
     return (
         keyed.join(F.broadcast(cands), "k", "left_semi")

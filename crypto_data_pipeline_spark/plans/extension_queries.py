@@ -4600,23 +4600,22 @@ def distinct_users_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ESTIMATES bit-reproducible in DuckDB — both correction
     branches (linear counting at sf<=0.01, raw harmonic at sf0.1) are
     exercised by the test SFs. Exact counts sit alongside, so the row
-    also documents the sketch's actual relative error."""
-    from crypto_data_pipeline_spark.operators.sketch import (
-        hll_estimate,
-        hll_registers,
-    )
+    also documents the sketch's actual relative error — and since the
+    exact branch must dedupe the key stream anyway, the registers ride
+    that SAME deduped frame, with estimate and truth emerging as two
+    columns of ONE final aggregation (`hll_distinct_with_exact`,
+    round-8 consolidation: 4 exchanges -> 3, the join gone; the
+    remaining big shuffle is the dedup the exactness column inherently
+    pays). Pure sketch maintenance without the exactness column stays
+    `hll_registers` on the raw scan — the |groups|*m-bounded
+    shuffle."""
+    from crypto_data_pipeline_spark.operators.sketch import hll_distinct_with_exact
 
     events = load_table(spark, sf_dir, "events")
-    regs = hll_registers(
+    both = hll_distinct_with_exact(
         events, F.col("user_id"), m=_HLL_M, seed=_HLL_SEED, group=("event_type",)
     )
-    est = hll_estimate(regs, m=_HLL_M, group=("event_type",))
-    exact = (
-        events.where(F.col("user_id").isNotNull())
-        .groupBy("event_type")
-        .agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
-    )
-    return est.join(exact, "event_type").select(
+    return both.select(
         "event_type",
         "n_exact",
         "hll_estimate",

@@ -63,6 +63,78 @@ def jdbc_options(
     return opts
 
 
+def jdbc_write_options(
+    url: str,
+    table: str,
+    *,
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    truncate: bool = False,
+    isolation_level: str = "READ_COMMITTED",
+    properties: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Assemble the option map for a JDBC write (pure — unit-testable
+    without a driver jar). ``batchsize`` defaults high for the same
+    reason ``fetchsize`` does on the read side (per-row round trips
+    throttle bulk loads); ``num_partitions`` CAPS the writer's
+    concurrent connections — a 1000-task frame would otherwise open
+    1000 sessions against the database, which is the scale failure
+    mode of JDBC sinks (coalesce, don't repartition: no shuffle just
+    to throttle connections); ``truncate=True`` makes overwrite issue
+    TRUNCATE instead of DROP+CREATE, preserving server-side DDL
+    (indexes, the reference's UNIQUE constraints)."""
+    opts: dict[str, str] = {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batch_size),
+        "isolationLevel": isolation_level,
+        "truncate": "true" if truncate else "false",
+        **(properties or {}),
+    }
+    if num_partitions is not None:
+        opts["numPartitions"] = str(num_partitions)
+    return opts
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    keys: list[str] | None = None,
+    order_by: list[str] = ("created_at",),
+    mode: str = "append",
+    **kwargs,
+) -> None:
+    """JDBC write-back — the reference's actual sink is PostgreSQL
+    (`/root/reference/load_data.py:66-102`,
+    `/root/reference/crypto_app/db.py:113-133`: SELECT-then-INSERT-or-
+    UPDATE per key). Spark's JDBC writer has no MERGE, so the upsert
+    semantics land the same way the parquet twins do
+    (`sources/upsert.py`): with ``keys``, the frame is window-deduped
+    last-write-wins per key FIRST (one shuffle), so a delivery that
+    carries replays cannot violate the server's UNIQUE(coin_id,
+    fetch_date) on append, and ``mode='overwrite'`` +
+    ``truncate=True`` is the idempotent full-refresh twin of the S8
+    aggregate sink. True server-side merge belongs server-side:
+    append to a staging table, then issue INSERT ... ON CONFLICT from
+    the staging table — this function is the transport, not a
+    row-at-a-time loop.
+
+    Untestable past the option-assembly boundary in this sandbox (no
+    JDBC driver jar or database in the container) — exercised to that
+    boundary by tests/test_pg_compat.py, semantics value-tested via
+    the parquet upsert twins (S7/S8 driver queries)."""
+    if keys:
+        from crypto_data_pipeline_spark.sources.upsert import latest_per_key
+
+        df = latest_per_key(df, list(keys), list(order_by))
+    writer = df.write.format("jdbc").mode(mode)
+    for k, v in jdbc_write_options(url, table, **kwargs).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

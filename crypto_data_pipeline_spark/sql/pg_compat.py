@@ -367,7 +367,12 @@ def extract_named_query(sql_text: str, name: str) -> str:
     )
     if begin is None:
         raise KeyError(f"query not found: {name}")
-    start = sql_text.find("\n", begin.start()) + 1
+    # a BEGIN marker on the file's final line with no trailing newline:
+    # find() returns -1 and `-1 + 1 = 0` would restart the END scan at
+    # the file head, silently extracting the wrong region in a
+    # malformed file — treat it as an empty block at EOF instead
+    nl = sql_text.find("\n", begin.start())
+    start = len(sql_text) if nl == -1 else nl + 1
     end = re.compile(
         rf"^-- END {re.escape(name)}[ \t]*\r?$", re.MULTILINE
     ).search(sql_text, start)

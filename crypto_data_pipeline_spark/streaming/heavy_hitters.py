@@ -102,13 +102,21 @@ def heavy_hitter_stream(
     applyInPandasWithState; the batch prune is
     `sketch._misra_gries_candidates`, same `_mg_merge` core). The only
     shuffle is the groupBy(shard) the stateful operator needs anyway —
-    n_shards bounded rows of state, kilobytes of emission per batch."""
+    n_shards bounded rows of state, kilobytes of emission per batch.
+
+    NULL keys are dropped here, at the operator's own input: the
+    emission protocol uses an in-band NULL-key sentinel row (see
+    `_hh_fn`), so a caller's genuine NULL key would alias the sentinel
+    and silently vanish from `latest_summaries`. A NULL is never a
+    meaningful heavy-hitter key; excluding it is the operator's
+    contract, not the caller's chore (round-8 fix — previously only
+    the `stream_heavy_hitters` wrapper filtered)."""
     from crypto_data_pipeline_spark.operators.sketch import term_hash
 
     # portable char-fold shard hash (not xxhash64): the single-delivery
     # summary is then a deterministic function of the key multiset that
     # a DuckDB oracle can reproduce shard-for-shard
-    sharded = keyed.select(
+    sharded = keyed.where(F.col("k").isNotNull()).select(
         F.pmod(term_hash(F.col("k").cast("string")), F.lit(n_shards))
         .cast("int")
         .alias("shard"),

@@ -397,6 +397,54 @@ def stream_classify(
     )
 
 
+def stream_lm_score(
+    spark: SparkSession,
+    bronze_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    schema,
+    model: tuple[DataFrame, DataFrame],
+    bounds: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "lang",
+) -> StreamingQuery:
+    """Streaming LM quality filter — the serve-online half of the
+    bigram LM's train/serve split, symmetric with `stream_classify`:
+    every arriving document delivery is scored against the
+    checkpointed (grid, ctx) model and bucketed against the FROZEN
+    per-language boundary table (`operators/lm.py:
+    perplexity_boundaries` — exactly the artifact the zero-global-sort
+    batch variant computes), landing
+    ``(doc_id, lang, n_bigrams, ppl, bucket)`` as immutable
+    ``batch_id=N`` directories.
+
+    Because buckets come from frozen boundaries, a document's row is
+    independent of what else shares its micro-batch — stream output
+    equals the batch twin (`perplexity_buckets_frozen`) under ANY
+    delivery split, which the test pins across >= 3 orders. The model
+    joins are AQE's choice (pruned model -> broadcast; oversized ->
+    shuffled), the boundary join is an explicitly-broadcast |langs|x2
+    frame, and the stream is never shuffled except by its own doc
+    key. Per-batch overwrite dirs make at-least-once replay
+    idempotent; availableNow = catch-up-and-stop."""
+    from crypto_data_pipeline_spark.operators.lm import perplexity_buckets_frozen
+
+    stream = spark.readStream.schema(schema).parquet(bronze_dir)
+
+    def score(batch: DataFrame, batch_id: int) -> None:
+        perplexity_buckets_frozen(
+            batch, bounds, lang=lang, text=text, doc_id=id_col, model=model
+        ).write.mode("overwrite").parquet(f"{out_root}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sketch_distinct_batch(
     batch: DataFrame,
     batch_id: int,
@@ -539,6 +587,26 @@ def maintain_aggregate_batch(
         prev_value_col=prev_value_col,
     )
     gen.publish(new, gold_root, marker=marker)
+
+
+def read_gold_aggregate(
+    spark: SparkSession, gold_root: str, cnt_col: str = "n_rows"
+) -> DataFrame:
+    """THE READ BOUNDARY for a maintained gold aggregate. The
+    maintained STATE deliberately retains count==0 / sum!=0 carrier
+    rows — under backfill (whole deliveries applied out of order) a
+    cross-delivery value update can transiently strand sum mass on a
+    group with no live rows, and dropping that row would break
+    any-order convergence (`sources/cdc.py:maintain_group_aggregate`).
+    But a carrier row is maintenance bookkeeping, not a fact: a
+    consumer reading the raw generation would see a phantom group with
+    n_rows=0 whose average divides by zero mid-convergence. This view
+    filters ``cnt_col != 0`` at read time, so consumers see only live
+    groups while the state underneath keeps converging (round-8 fix;
+    reader-contract half of the round-7 IVM commutativity work)."""
+    from crypto_data_pipeline_spark.sources import generations as gen
+
+    return gen.read_current(spark, gold_root).where(F.col(cnt_col) != 0)
 
 
 def stream_maintain_aggregate(

@@ -231,3 +231,72 @@ def test_aqe_splits_skewed_smj_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lm_serve_shuffled_fallback_splits_token_skew(spark):
+    """Round-8 stretch: when the LM model joins fall back to shuffled
+    (round-8 removed the broadcast hints so oversized models degrade
+    instead of OOMing), the corpus side shuffles on (lang, w1[, w2]).
+    Language skew alone DISPERSES over that key (the token columns
+    ride in the hash), but token-frequency skew — Zipf stop-words —
+    concentrates partitions for real. Contract: with a 90%-mass hot
+    bigram and broadcast disabled, AQE splits the skewed partitions
+    (SortMergeJoin(skew=true)) on BOTH model joins, and the output is
+    identical to the broadcast path's."""
+    from crypto_data_pipeline_spark.operators.lm import (
+        bigram_lm_perplexity,
+        bigram_lm_train,
+    )
+
+    hot = [(i, "en", "the cat " * 30) for i in range(9000)]
+    tail = [
+        (9000 + i, "en", f"tok{i % 500} blah{i % 37} xx{i % 91}")
+        for i in range(1000)
+    ]
+    docs = (
+        spark.createDataFrame(hot + tail, "doc_id long, lang string, text string")
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    grid, ctx = bigram_lm_train(docs)
+    want = {
+        (r.doc_id, r.n_bigrams, r.ppl)
+        for r in bigram_lm_perplexity(docs, grid, ctx).collect()
+    }
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    # thresholds scaled to the fixture (defaults are 256MB-class); at
+    # 100 TB the defaults are what's intended — same move as the bloom
+    # pruning test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        df = bigram_lm_perplexity(docs, grid, ctx)
+        got = {(r.doc_id, r.n_bigrams, r.ppl) for r in df.collect()}
+        plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert plan.count("SortMergeJoin(skew=true)") == 2, plan
+        assert got == want
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

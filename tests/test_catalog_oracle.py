@@ -120,6 +120,42 @@ def test_jdbc_option_assembly():
         jdbc_options("jdbc:x", "t", partition_column="d", num_partitions=8)
 
 
+def test_jdbc_write_options_and_upsert_dedupe(spark):
+    """The write-back half of S7 (round-8): option assembly caps the
+    connection fan-out and preserves server DDL on overwrite, and the
+    keyed path window-dedupes last-write-wins BEFORE the write so a
+    replayed delivery cannot violate the server's UNIQUE(coin_id,
+    fetch_date). The actual wire write is untestable here (no JDBC
+    driver jar in the sandbox) — assembly and dedupe are the tested
+    boundary, value semantics ride the parquet upsert twins."""
+    from crypto_data_pipeline_spark.sources.jdbc import jdbc_write_options
+    from crypto_data_pipeline_spark.sources.upsert import latest_per_key
+
+    opts = jdbc_write_options(
+        "jdbc:postgresql://host/db", "coin_history",
+        num_partitions=8, truncate=True, properties={"user": "rw"},
+    )
+    assert opts["numPartitions"] == "8"
+    assert opts["truncate"] == "true" and opts["batchsize"] == "10000"
+    assert opts["isolationLevel"] == "READ_COMMITTED" and opts["user"] == "rw"
+    bare = jdbc_write_options("jdbc:x", "t")
+    assert "numPartitions" not in bare and bare["truncate"] == "false"
+
+    # the dedupe write_jdbc applies with keys= : newest row per key
+    df = spark.createDataFrame(
+        [("btc", "2025-01-01", 1.0, 1), ("btc", "2025-01-01", 2.0, 2),
+         ("eth", "2025-01-01", 9.0, 1)],
+        "coin_id string, fetch_date string, price double, created_at long",
+    )
+    got = {
+        (r.coin_id, r.price)
+        for r in latest_per_key(
+            df, ["coin_id", "fetch_date"], ["created_at"]
+        ).collect()
+    }
+    assert got == {("btc", 2.0), ("eth", 9.0)}
+
+
 def test_approx_percentile_tracks_exact(spark, sf_dir):
     """The sketch path of value_percentiles: approx_percentile must land
     within 5% relative error of the exact interpolated percentile (the

@@ -205,6 +205,21 @@ def test_run_sql_named_query_extraction(capsys, tmp_path):
     ]) == 2
     assert "query not found" in capsys.readouterr().err
 
+    # a BEGIN marker as the file's LAST line with no trailing newline:
+    # find('\n') returns -1 and the old `-1 + 1 = 0` restarted the END
+    # scan at the file HEAD, so a malformed file could extract a wrong
+    # region instead of raising (round-8 ADVICE fix: EOF means an
+    # empty block — deterministic 'end marker not found')
+    eof_marker = tmp_path / "eof.sql"
+    eof_marker.write_text(
+        "-- BEGIN q\nSELECT 1 AS a;\n-- END q\n-- BEGIN q2"  # no trailing \n
+    )
+    assert main([
+        "run-sql", "--file", str(eof_marker), "--name", "q2",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ]) == 2
+    assert "end marker not found" in capsys.readouterr().err
+
     # a marked block holding several statements is a clean error too,
     # not an unhandled traceback
     multi = tmp_path / "multi.sql"

@@ -127,6 +127,43 @@ def test_portable_hll_matches_python_reference_and_merges(spark, sf_dir):
     assert {r["j"]: r["r"] for r in merged.collect()} == got
 
 
+def test_hll_distinct_with_exact_matches_separate_paths(spark):
+    """The fused exact+sketch pipeline (one dedup, estimate and truth
+    as two columns of one aggregation — round-8 plan consolidation)
+    must produce the SAME estimate as the raw-scan
+    hll_registers -> hll_estimate path (registers are
+    duplicate-insensitive) and the true per-group distinct counts —
+    including NULL-key exclusion and groups of very different
+    cardinality."""
+    from crypto_data_pipeline_spark.operators.sketch import (
+        hll_distinct_with_exact,
+        hll_estimate,
+        hll_registers,
+    )
+
+    rows = (
+        [("a", i % 7) for i in range(500)]      # heavy dup, 7 distinct
+        + [("b", 1000 + i) for i in range(300)]  # all distinct
+        + [("a", None), ("b", None)]             # NULL keys excluded
+    )
+    ev = spark.createDataFrame(rows, "g string, uid int").repartition(16)
+    m, seed = 64, 29
+
+    fused = {
+        r.g: (r.n_exact, r.hll_estimate)
+        for r in hll_distinct_with_exact(
+            ev, F.col("uid"), m=m, seed=seed, group=("g",)
+        ).collect()
+    }
+    regs_raw = hll_registers(ev, F.col("uid"), m=m, seed=seed, group=("g",))
+    est_raw = {
+        r.g: r.hll_estimate
+        for r in hll_estimate(regs_raw, m=m, group=("g",)).collect()
+    }
+    assert {g: n for g, (n, _) in fused.items()} == {"a": 7, "b": 300}
+    assert {g: e for g, (_, e) in fused.items()} == est_raw
+
+
 def test_heavy_hitters_exact_on_adversarial_tail(spark):
     """One dominant key + a long tail far wider than the MG capacity:
     the prune must keep the certified heavy hitters and the final

@@ -789,6 +789,84 @@ def test_stream_classify_matches_batch_twin(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {10, 11, 12}
 
 
+def test_stream_lm_score_matches_batch_across_delivery_orders(spark, tmp_path):
+    """Streaming LM serve (round-8): documents scored against the
+    checkpointed bigram model and bucketed against the FROZEN boundary
+    table must land EXACTLY the batch twin's rows — for every delivery
+    order, because frozen boundaries make each doc's row independent
+    of what shares its micro-batch. Covers scorable docs in two
+    languages, an unseen-context doc, a 1-token doc, a NULL text, and
+    an untrained language (the sentinel paths), plus checkpointed
+    re-run idempotence."""
+    from crypto_data_pipeline_spark.operators.lm import (
+        bigram_lm_train,
+        perplexity_boundaries,
+        perplexity_buckets_frozen,
+    )
+    from crypto_data_pipeline_spark.streaming.ingest import stream_lm_score
+
+    lm_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    train = spark.createDataFrame(
+        [(1, "en", "a b a b a c"), (2, "en", "a b c a"), (3, "en", "c c a b"),
+         (4, "fr", "x y x z"), (5, "fr", "x y y z x")],
+        lm_schema,
+    )
+    model = bigram_lm_train(train)
+    bounds = perplexity_boundaries(train, model=model).localCheckpoint(eager=True)
+
+    serve_rows = [
+        (10, "en", "a b a"), (11, "en", "c a b c"), (12, "en", "z q z"),
+        (13, "fr", "x y z"), (14, "en", "solo"), (15, "en", None),
+        (16, "xx", "a b a b"), (17, "fr", "y z x y"),
+    ]
+    serve = spark.createDataFrame(serve_rows, lm_schema)
+    want = {
+        (r.doc_id, r.lang, r.n_bigrams, r.ppl, r.bucket)
+        for r in perplexity_buckets_frozen(serve, bounds, model=model).collect()
+    }
+    assert {d for d, *_ in want} == {r[0] for r in serve_rows}  # nothing vanishes
+
+    orders = [
+        [serve_rows[:4], serve_rows[4:]],
+        [serve_rows[4:], serve_rows[:4]],
+        [serve_rows[::2], serve_rows[1::2]],
+    ]
+    for oi, parts in enumerate(orders):
+        bronze = str(tmp_path / f"bronze_{oi}")
+        out = str(tmp_path / f"scored_{oi}")
+        ckpt = str(tmp_path / f"ckpt_{oi}")
+        for part in parts:
+            spark.createDataFrame(part, lm_schema).write.mode("append").parquet(bronze)
+            q = stream_lm_score(
+                spark, bronze, out, ckpt, lm_schema, model, bounds
+            )
+            q.awaitTermination()
+        got = {
+            (r.doc_id, r.lang, r.n_bigrams, r.ppl, r.bucket)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == want, oi
+
+    # same checkpoint, nothing new -> no-op
+    q = stream_lm_score(
+        spark,
+        str(tmp_path / "bronze_0"), str(tmp_path / "scored_0"),
+        str(tmp_path / "ckpt_0"), lm_schema, model, bounds,
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.lang, r.n_bigrams, r.ppl, r.bucket)
+        for r in spark.read.parquet(str(tmp_path / "scored_0")).collect()
+    }
+    assert got == want
+
+
 def test_stream_corpus_ingest_bloom_tier_identical_store(spark, tmp_path):
     """The bloom-prefiltered ingest tier admits the IDENTICAL store as
     the exact tier across multiple deliveries, maintains one _bloom
@@ -1136,6 +1214,51 @@ def test_backfill_delivery_order_property(spark, tmp_path):
                 [env for j in order[:prefix_len] for env in cdc[j]]
             )
             assert got == expect, (order, prefix_len)
+
+
+def test_read_gold_aggregate_hides_carrier_rows(spark, tmp_path):
+    """Round-8 reader contract (ADVICE round 7): the maintained state
+    keeps count==0/sum!=0 carrier rows for out-of-order convergence,
+    but the read boundary must not expose them — a consumer would see
+    a phantom group with n_rows=0 and divide by zero computing its
+    average. Deliver a cross-delivery value update BEFORE the insert
+    it amends: mid-convergence the raw generation holds the carrier,
+    `read_gold_aggregate` hides it, and after the insert arrives both
+    agree on the live group."""
+    from crypto_data_pipeline_spark.sources import generations as gen
+    from crypto_data_pipeline_spark.streaming.ingest import (
+        maintain_aggregate_batch,
+        read_gold_aggregate,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("val", T.LongType()),
+            T.StructField("prev_grp", T.StringType()),
+            T.StructField("prev_val", T.LongType()),
+        ]
+    )
+    gold = str(tmp_path / "gold")
+    # delivery 1 (an UPDATE of a row whose INSERT is still in flight):
+    # +1/+12 to 'a' and -1/-10 from 'a' nets (0, +2) — a carrier row
+    maintain_aggregate_batch(
+        spark.createDataFrame([("U", "a", 12, "a", 10)], schema),
+        0, gold, "grp", "val", "prev_grp", "prev_val",
+    )
+    raw = {(r.grp, r.n_rows, r.total) for r in gen.read_current(spark, gold).collect()}
+    assert raw == {("a", 0, 2)}  # state keeps the carrier...
+    assert read_gold_aggregate(spark, gold).count() == 0  # ...readers don't see it
+
+    # delivery 0 (the out-of-order insert) arrives: group goes live
+    maintain_aggregate_batch(
+        spark.createDataFrame([("U", "a", 10, None, None)], schema),
+        1, gold, "grp", "val", "prev_grp", "prev_val",
+    )
+    live = {(r.grp, r.n_rows, r.total)
+            for r in read_gold_aggregate(spark, gold).collect()}
+    assert live == {("a", 1, 12)}
 
 
 def test_maintain_aggregate_external_seed(spark, tmp_path):

@@ -135,3 +135,44 @@ def test_emptied_summary_overwrites_instead_of_resurrecting(spark, tmp_path):
                                 n_shards=shards, capacity=cap)
     q.awaitTermination()
     assert hh.latest_summaries(spark, out).count() == 0
+
+
+def test_null_keys_cannot_alias_the_sentinel(spark, tmp_path):
+    """ADVICE round-7: the emission protocol's empty-summary marker is
+    an in-band NULL-key row, so a caller's genuine NULL key used to
+    alias it and silently vanish. heavy_hitter_stream now drops NULL
+    keys at its own input (round-8): a delivery carrying NULLs must
+    (a) not crash, (b) track the non-NULL keys exactly as if the
+    NULLs were never there, and (c) never surface a NULL key from
+    latest_summaries."""
+    # drive the GENERIC operator directly (the wrapper always filtered;
+    # the operator is where the fix lives) — same wiring as
+    # stream_heavy_hitters minus the caller-side NULL filter
+    def run(toks, tag):
+        bronze = str(tmp_path / f"bronze_{tag}")
+        out = str(tmp_path / f"hh_{tag}")
+        _tokens(spark, toks).coalesce(1).write.parquet(bronze)
+        stream = spark.readStream.schema(SCHEMA).parquet(bronze)
+        tracked = hh.heavy_hitter_stream(
+            stream.select(F.col("t").alias("k")), n_shards=2, capacity=8
+        )
+
+        def land(batch, batch_id):
+            batch.write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}")
+
+        q = (
+            tracked.writeStream.foreachBatch(land)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["k"]: r["mg_count"] for r in hh.latest_summaries(spark, out).collect()
+        }
+
+    toks = ["hot"] * 30 + [None] * 50 + ["warm"] * 10
+    got = run(toks, "nulls")
+    assert got == {"hot": 30, "warm": 10}
+    assert run([t for t in toks if t is not None], "clean") == got
