@@ -218,6 +218,45 @@ def bigram_lm_perplexity(
     )
 
 
+def save_lm_model(
+    path: str,
+    grid: DataFrame,
+    ctx: DataFrame,
+    bounds: DataFrame | None = None,
+) -> None:
+    """Land the fitted model AT REST — parquet dirs under ``path``
+    (``grid/``, ``ctx/``, optional ``bounds/``). Two reasons a 100 TB
+    deployment wants this rather than keeping the fit in-session:
+    (a) train-once/serve-many across sessions and clusters (the same
+    move the IVF index makes with its cell-partitioned dirs); (b) the
+    join planner. A localCheckpointed model carries lineage-derived
+    size estimates that can be wildly wrong (the round-8 vocab probe
+    measured a KB-scale ctx estimated in the TB range), and the
+    planner's safe answer to uncertainty is a shuffled join — a
+    parquet scan carries ACCURATE statistics, so a pruned
+    megabyte-scale model read from rest broadcasts instead
+    (tests/test_lm.py::test_model_at_rest_roundtrip_and_broadcast)."""
+    grid.write.mode("overwrite").parquet(f"{path}/grid")
+    ctx.write.mode("overwrite").parquet(f"{path}/ctx")
+    if bounds is not None:
+        bounds.write.mode("overwrite").parquet(f"{path}/bounds")
+
+
+def load_lm_model(
+    spark, path: str, with_bounds: bool = False
+) -> tuple[DataFrame, ...]:
+    """Reload a model landed by `save_lm_model`: ``(grid, ctx)`` or
+    ``(grid, ctx, bounds)``. Frames come back as plain parquet scans —
+    statistics-accurate, column-prunable, ready to hand to
+    `bigram_lm_perplexity` / `perplexity_buckets_frozen` /
+    `streaming.ingest.stream_lm_score`."""
+    grid = spark.read.parquet(f"{path}/grid")
+    ctx = spark.read.parquet(f"{path}/ctx")
+    if with_bounds:
+        return grid, ctx, spark.read.parquet(f"{path}/bounds")
+    return grid, ctx
+
+
 def perplexity_buckets(
     docs: DataFrame,
     lang: str = "lang",

@@ -1420,12 +1420,24 @@ _LM_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _lm_model(spark: SparkSession, sf_dir: str) -> tuple:
-    from crypto_data_pipeline_spark.operators.lm import bigram_lm_train
+    from crypto_data_pipeline_spark.operators.lm import (
+        bigram_lm_train,
+        load_lm_model,
+        save_lm_model,
+    )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     model = _LM_MODEL_CACHE.get(key)
     if model is None:
-        model = bigram_lm_train(_docs(spark, sf_dir))
+        import tempfile
+
+        # model AT REST, same reason as _nb_model: parquet-backed
+        # frames give the (hint-free, round-8) serve joins accurate
+        # statistics, so a model-sized grid broadcasts by measurement
+        # instead of depending on checkpoint-lineage guesses
+        model_dir = tempfile.mkdtemp(prefix="lm_model_")
+        save_lm_model(model_dir, *bigram_lm_train(_docs(spark, sf_dir)))
+        model = load_lm_model(spark, model_dir)
         _cache_put(_LM_MODEL_CACHE, key, model, lambda m: m[0])
     return model
 
@@ -3085,7 +3097,22 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     model = _NB_MODEL_CACHE.get(key)
     if model is None:
-        model = nb_train(docs.where(F.col("doc_id") % 5 != 0))
+        import tempfile
+
+        from crypto_data_pipeline_spark.ml.classify import (
+            load_nb_model,
+            save_nb_model,
+        )
+
+        # model AT REST (round-8): the serve joins carry no broadcast
+        # hint, and checkpoint-lineage size estimates are unreliable —
+        # the bench caught the grid join going shuffled (97 KB ->
+        # 1.8 MB shuffle bytes). A parquet-backed model measures its
+        # true megabytes, so the planner broadcasts it again; the
+        # write is model-sized and rides the cold-build row.
+        model_dir = tempfile.mkdtemp(prefix="nb_model_")
+        save_nb_model(model_dir, *nb_train(docs.where(F.col("doc_id") % 5 != 0)))
+        model = load_nb_model(spark, model_dir)
         _cache_put(_NB_MODEL_CACHE, key, model, lambda m: m[0])
     return nb_lang_holdout(docs, model=model)
 

@@ -265,6 +265,48 @@ def test_lm_join_strategy_is_measured_not_hinted(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
+def test_model_at_rest_roundtrip_and_broadcast(spark, tmp_path):
+    """save_lm_model/load_lm_model: a model reloaded from parquet must
+    score byte-identically to the in-session fit (grid/ctx/bounds all
+    round-trip), and — the planner half of the contract — a pruned
+    megabyte-scale model read from REST must BROADCAST in the scoring
+    plan, because a parquet scan carries accurate size statistics
+    where checkpoint lineage estimates can be wildly wrong."""
+    rows = [(i, "en", f"a b a c tok{i % 40} a b") for i in range(200)] + [
+        (500 + i, "fr", f"x y x z w{i % 11}") for i in range(60)
+    ]
+    docs = _docs(spark, rows)
+    grid, ctx = lm.bigram_lm_train(docs, min_count=2)
+    bounds = lm.perplexity_boundaries(docs, model=(grid, ctx))
+    want = {
+        (r.doc_id, r.n_bigrams, r.ppl, r.bucket)
+        for r in lm.perplexity_buckets_frozen(
+            docs, bounds, model=(grid, ctx)
+        ).collect()
+    }
+
+    lm.save_lm_model(str(tmp_path / "m"), grid, ctx, bounds)
+    g2, c2, b2 = lm.load_lm_model(spark, str(tmp_path / "m"), with_bounds=True)
+    assert sorted(map(tuple, g2.collect())) == sorted(map(tuple, grid.collect()))
+    assert sorted(map(tuple, c2.collect())) == sorted(map(tuple, ctx.collect()))
+
+    served = lm.perplexity_buckets_frozen(docs, b2, model=(g2, c2))
+    got = {
+        (r.doc_id, r.n_bigrams, r.ppl, r.bucket) for r in served.collect()
+    }
+    assert got == want
+
+    scored = lm.bigram_lm_perplexity(docs, g2, c2)
+    scored._jdf.queryExecution().toRdd().count()
+    plan = (
+        scored._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # all three model joins broadcast off the parquet statistics
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_source_curation_decisions(spark, tmp_path):
     """The per-source decision rule fires on constructed pathologies:
     a clone-farm source (dup_ratio) drops, a spam source (keep_ratio)

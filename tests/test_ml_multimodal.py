@@ -98,6 +98,82 @@ def test_naive_bayes_classifier_mechanics(spark):
     assert preds[12].score == want
 
 
+def test_nb_min_tf_pruning_matches_python_reference(spark):
+    """The NB grid's Heaps-law knob (round-8, symmetric with the LM's
+    min_count): grid keeps tf >= min_tf, n_class_tokens/vsize stay
+    exact, and a pruned (term, class) scores through log_unseen —
+    which IS the add-one value for tf=0, so the pruned score is a
+    deterministic function of (min_tf, corpus). Pinned against a
+    literal Python model; min_tf=1 must be byte-identical to the
+    unpruned grid."""
+    import math
+    import random
+    import re
+    from collections import Counter
+
+    from crypto_data_pipeline_spark.ml.classify import nb_predict, nb_train
+
+    def py_predict(train_rows, test_rows, min_tf):
+        tf = Counter()
+        n_class = Counter()
+        n_docs = Counter()
+        vocab = set()
+        for _, lab, t in train_rows:
+            ts = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+            for w in ts:
+                tf[(w, lab)] += 1
+                n_class[lab] += 1
+                vocab.add(w)
+            n_docs[lab] += 1
+        v = len(vocab)
+        n_train = sum(n_docs.values())
+        out = {}
+        for did, _, t in test_rows:
+            ts = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+            best = None
+            for lab in sorted(n_docs):
+                s = math.log(n_docs[lab] / n_train)
+                for w in ts:
+                    c = tf[(w, lab)] if tf[(w, lab)] >= min_tf else 0
+                    s += math.log((c + 1) / (n_class[lab] + v))
+                s = round(s + 1e-9, 6)
+                if best is None or s > best[1]:
+                    best = (lab, s)
+            out[did] = best
+        return out
+
+    rng = random.Random(31)
+    words = ["cat", "dog", "fish", "bird", "worm", "ant", "bee"]
+    for case in range(6):
+        train_rows = [
+            (i, rng.choice(["a", "b"]),
+             " ".join(rng.choice(words) for _ in range(rng.randint(2, 8))))
+            for i in range(rng.randint(4, 10))
+        ]
+        test_rows = [
+            (100 + i, None,
+             " ".join(rng.choice(words) for _ in range(rng.randint(1, 6))))
+            for i in range(4)
+        ]
+        train = spark.createDataFrame(
+            [(i, l, t) for i, l, t in train_rows],
+            "doc_id long, lang string, text string",
+        )
+        test = spark.createDataFrame(
+            [(i, t) for i, _, t in test_rows], "doc_id long, text string"
+        )
+        for mtf in (1, 2, 3):
+            classes, grid = nb_train(train, label="lang", min_tf=mtf)
+            got = {
+                r.doc_id: (r.predicted, r.score)
+                for r in nb_predict(test, classes, grid).collect()
+            }
+            assert got == py_predict(train_rows, test_rows, mtf), (case, mtf)
+        _, g1 = nb_train(train, label="lang", min_tf=1)
+        _, g0 = nb_train(train, label="lang")
+        assert sorted(map(tuple, g1.collect())) == sorted(map(tuple, g0.collect()))
+
+
 def test_fake_media_schema_and_features(spark):
     docs = spark.createDataFrame(
         [(1, "aab"), (2, "zz")], "doc_id long, text string"
