@@ -350,15 +350,32 @@ def perplexity_buckets_frozen(
     independent of what else is in the batch (no ntile over
     co-arriving docs), which is what makes stream output == batch
     output under any delivery split. Unscorable docs land in the
-    'unscored' sentinel exactly like `perplexity_buckets`."""
+    'unscored' sentinel exactly like `perplexity_buckets`.
+
+    The serving artifact is (model AND bounds) together: a language
+    present in the model but ABSENT from the boundary table cannot be
+    bucketed by this filter, so its documents file as 'unscored' too —
+    never silently dropped (round-8 self-review finding: the first cut
+    inner-joined bounds after the trained-language complement was
+    computed from ctx alone, so a trained-but-unbounded language's
+    docs vanished from the output). Implemented by shrinking the
+    'trained' set to the languages both frames know: ctx semi-joined
+    to bounds."""
     grid, ctx = model if model is not None else bigram_lm_train(
         docs, lang=lang, text=text
     )
-    ppl = bigram_lm_perplexity(docs, grid, ctx, lang=lang, text=text, doc_id=doc_id)
+    servable_ctx = ctx.join(
+        F.broadcast(bounds.select("lang").distinct()), "lang", "left_semi"
+    )
+    ppl = bigram_lm_perplexity(
+        docs, grid, servable_ctx, lang=lang, text=text, doc_id=doc_id
+    )
     scored = _bucket_by_bounds(ppl, bounds).select(
         doc_id, "lang", "n_bigrams", "ppl", "bucket"
     )
-    return scored.unionByName(_unscored_docs(docs, ctx, lang, text, doc_id))
+    return scored.unionByName(
+        _unscored_docs(docs, servable_ctx, lang, text, doc_id)
+    )
 
 
 def perplexity_buckets_approx(

@@ -152,8 +152,7 @@ def hll_distinct_with_exact(
     deduped = (
         df.where(key.isNotNull())
         .select(*group, key.alias("_k"))
-        .groupBy(*group, "_k")
-        .agg(F.lit(1).alias("_one"))
+        .distinct()
         .select(*group, j.alias("j"), rho.alias("rho"))
     )
     regs = deduped.groupBy(*group, "j").agg(

@@ -1411,12 +1411,17 @@ def _release_curation(staged: tuple):
 _IVF_FIXED_CACHE: dict[tuple[str, str], "similarity.IvfIndex"] = {}
 _LSH_CACHE: dict[tuple[str, str], "similarity.LshIndex"] = {}
 # fitted NB model (classes, grid) per (applicationId, sf_dir); frames
-# are localCheckpointed, so eviction's unpersist is a harmless no-op —
-# their blocks are freed by the ContextCleaner once unreferenced
+# are parquet scans of a model-at-rest temp dir since round 8 (the
+# unpersist at eviction is a harmless no-op on them) — the dir itself
+# is tracked in the *_MODEL_DIRS side map and rmtree'd at eviction so
+# a long-lived process iterating sf_dirs does not accumulate model
+# dirs in /tmp
 _NB_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
+_NB_MODEL_DIRS: dict[tuple[str, str], str] = {}
 # fitted bigram LM (grid, ctx), same contract; shared by the
 # perplexity-bucket query and the source curation report
 _LM_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
+_LM_MODEL_DIRS: dict[tuple[str, str], str] = {}
 
 
 def _lm_model(spark: SparkSession, sf_dir: str) -> tuple:
@@ -1438,21 +1443,36 @@ def _lm_model(spark: SparkSession, sf_dir: str) -> tuple:
         model_dir = tempfile.mkdtemp(prefix="lm_model_")
         save_lm_model(model_dir, *bigram_lm_train(_docs(spark, sf_dir)))
         model = load_lm_model(spark, model_dir)
-        _cache_put(_LM_MODEL_CACHE, key, model, lambda m: m[0])
+        _cache_put(
+            _LM_MODEL_CACHE, key, model, lambda m: m[0], dirs=_LM_MODEL_DIRS
+        )
+        _LM_MODEL_DIRS[key] = model_dir
     return model
 
 
-def _cache_put(cache: dict, key: tuple[str, str], value, frame_of) -> None:
-    """Insert, evicting (and unpersisting) every other entry: stale
-    keys — prior sessions' applicationIds or other sf_dirs — would
-    otherwise pin their persisted partitions for the process lifetime.
-    One live index per cache matches the access pattern (a session
-    works one sf_dir at a time)."""
+def _cache_put(
+    cache: dict,
+    key: tuple[str, str],
+    value,
+    frame_of,
+    dirs: dict | None = None,
+) -> None:
+    """Insert, evicting every other entry: stale keys — prior
+    sessions' applicationIds or other sf_dirs — would otherwise pin
+    their persisted partitions (or, for parquet-backed models, their
+    /tmp dirs) for the process lifetime. One live entry per cache
+    matches the access pattern (a session works one sf_dir at a
+    time). ``dirs`` is the cache's model-at-rest side map: an evicted
+    key's directory is removed along with it."""
     for k in [k for k in cache if k != key]:
         try:
             frame_of(cache.pop(k)).unpersist()
         except Exception:
             pass  # session already stopped; nothing to release
+        if dirs is not None and k in dirs:
+            import shutil
+
+            shutil.rmtree(dirs.pop(k), ignore_errors=True)
     cache[key] = value
 
 
@@ -3113,7 +3133,10 @@ def nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         model_dir = tempfile.mkdtemp(prefix="nb_model_")
         save_nb_model(model_dir, *nb_train(docs.where(F.col("doc_id") % 5 != 0)))
         model = load_nb_model(spark, model_dir)
-        _cache_put(_NB_MODEL_CACHE, key, model, lambda m: m[0])
+        _cache_put(
+            _NB_MODEL_CACHE, key, model, lambda m: m[0], dirs=_NB_MODEL_DIRS
+        )
+        _NB_MODEL_DIRS[key] = model_dir
     return nb_lang_holdout(docs, model=model)
 
 

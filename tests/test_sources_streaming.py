@@ -814,16 +814,24 @@ def test_stream_lm_score_matches_batch_across_delivery_orders(spark, tmp_path):
     )
     train = spark.createDataFrame(
         [(1, "en", "a b a b a c"), (2, "en", "a b c a"), (3, "en", "c c a b"),
-         (4, "fr", "x y x z"), (5, "fr", "x y y z x")],
+         (4, "fr", "x y x z"), (5, "fr", "x y y z x"),
+         (6, "de", "u v u v")],  # trained, then dropped from bounds below
         lm_schema,
     )
     model = bigram_lm_train(train)
-    bounds = perplexity_boundaries(train, model=model).localCheckpoint(eager=True)
+    # freeze boundaries WITHOUT de: a trained-but-unbounded language's
+    # docs must file as 'unscored', never vanish (round-8 self-review)
+    bounds = (
+        perplexity_boundaries(train, model=model)
+        .where(F.col("lang") != "de")
+        .localCheckpoint(eager=True)
+    )
 
     serve_rows = [
         (10, "en", "a b a"), (11, "en", "c a b c"), (12, "en", "z q z"),
         (13, "fr", "x y z"), (14, "en", "solo"), (15, "en", None),
         (16, "xx", "a b a b"), (17, "fr", "y z x y"),
+        (18, "de", "u v u"),  # in the model, not in the bounds
     ]
     serve = spark.createDataFrame(serve_rows, lm_schema)
     want = {
@@ -831,6 +839,7 @@ def test_stream_lm_score_matches_batch_across_delivery_orders(spark, tmp_path):
         for r in perplexity_buckets_frozen(serve, bounds, model=model).collect()
     }
     assert {d for d, *_ in want} == {r[0] for r in serve_rows}  # nothing vanishes
+    assert (18, "de", 0, -1.0, "unscored") in want
 
     orders = [
         [serve_rows[:4], serve_rows[4:]],

@@ -119,8 +119,14 @@ def probe(spark, k: int) -> dict:
         "lm_joins_mc2": lm_joins_pruned,
         "nb_joins": nb_joins,
     }
-    for df in (grid, ctx, grid_p, ctx_p, classes, nb_grid, docs):
-        df.unpersist()
+    # the frames are localCheckpoint-backed: unpersist() would be a
+    # no-op (they are not in the cache manager) — their blocks are
+    # reclaimed by the ContextCleaner once the RDDs are GC'd, so drop
+    # the references and nudge the collector before the next, bigger K
+    del grid, ctx, grid_p, ctx_p, classes, nb_grid, docs
+    import gc
+
+    gc.collect()
     return out
 
 
