@@ -218,6 +218,162 @@ def bigram_lm_perplexity(
     )
 
 
+KN_DISCOUNT = 0.75  # the standard absolute-discount constant
+
+
+def bigram_lm_kn_train(
+    docs: DataFrame,
+    lang: str = "lang",
+    text: str = "text",
+    materialize: bool = True,
+    min_count: int = 1,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fit one interpolated Kneser-Ney bigram LM per language — the
+    smoothing family CCNet's actual KenLM models use (Kneser & Ney
+    1995; Chen & Goodman 1999), next to the add-one model
+    (`bigram_lm_train`) whose monotone ranking the bucket queries
+    gate. KN's insight: the backoff weight of a continuation should be
+    its CONTEXT DIVERSITY (how many distinct left-neighbors it
+    follows), not its raw frequency — 'Francisco' is frequent but
+    follows only 'San', so it deserves little unseen-context mass.
+
+    Returns three model-sized frames:
+      ``grid (lang, w1, w2, c12)``          — bigram counts
+      ``ctx  (lang, w1, c1, n1p_w1, n1p_all, vsize)`` — context
+          totals + distinct-continuation counts, with the per-language
+          totals (distinct bigram count, vocabulary size) denormalized
+          on every row so scoring needs no fourth join
+      ``cont (lang, w2, n1p_w2)``           — |{w1 : c(w1,w2) > 0}|
+
+    Probability (D = 0.75):
+      seen context:  P(w2|w1) = max(c12 - D, 0)/c1
+                               + (D * n1p_w1 / c1) * Pcont(w2)
+      unseen context: P(w2|w1) = Pcont(w2)
+      Pcont(w2) = (n1p_w2 + 1) / (n1p_all + V)  — add-one smoothed so
+          a wholly-unseen continuation keeps positive mass (pure KN
+          leaves it zero, which a log cannot take; the documented
+          deviation, exact on both engines).
+
+    Everything is an integer-count ratio, so the model is
+    DuckDB-oracle-checkable like the add-one one. Train cost: ONE
+    corpus-sized shuffle (the grid count); ctx/cont/totals all derive
+    from the model-sized grid (a grouping-sets pass reusing the
+    grid-row count as the distinct-continuation count — grid rows are
+    unique per (lang,w1,w2) — plus one grid-sized aggregation for
+    cont). ``min_count`` prunes grid rows below the threshold with
+    ctx/cont/totals kept exact, same contract as `bigram_lm_train`."""
+    bg = _bigrams(docs.select(F.col(lang).alias("lang"), text), text).select(
+        "lang", "w1", "w2"
+    )
+    grid = bg.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    stats = (
+        grid.groupingSets([["lang", "w1"], ["lang"]], "lang", "w1")
+        .agg(
+            F.sum("c12").alias("_c"),
+            F.count(F.lit(1)).alias("_rows"),
+            F.countDistinct("w2").alias("_nd"),
+            F.grouping("w1").alias("_g1"),
+        )
+    )
+    totals = stats.where(F.col("_g1") == 1).select(
+        "lang",
+        F.col("_rows").alias("n1p_all"),
+        F.col("_nd").alias("vsize"),
+    )
+    ctx = (
+        stats.where(F.col("_g1") == 0)
+        .select(
+            "lang", "w1", F.col("_c").alias("c1"), F.col("_rows").alias("n1p_w1")
+        )
+        .join(F.broadcast(totals), "lang")
+    )
+    cont = grid.groupBy("lang", "w2").agg(F.count(F.lit(1)).alias("n1p_w2"))
+    if min_count > 1:
+        grid = grid.where(F.col("c12") >= min_count)
+        ctx = ctx.where(F.col("c1") >= min_count)
+    if materialize:
+        grid = grid.localCheckpoint(eager=True)
+        ctx = ctx.localCheckpoint(eager=True)
+        cont = cont.localCheckpoint(eager=True)
+    return grid, ctx, cont
+
+
+def bigram_lm_kn_perplexity(
+    docs: DataFrame,
+    grid: DataFrame,
+    ctx: DataFrame,
+    cont: DataFrame,
+    lang: str = "lang",
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Score every document with its language's KN model:
+    ``(doc_id, lang, n_bigrams, ppl)``, same output contract as the
+    add-one scorer. Join strategy mirrors it too: only the |langs|-row
+    totals frame is hint-broadcast; grid/ctx/cont are
+    vocabulary-proportional, so their joins are the planner's call
+    (broadcast when measured small — serve from parquet at rest for
+    accurate statistics — shuffled past the threshold)."""
+    totals = ctx.select("lang", "n1p_all", "vsize").distinct()
+    d = F.lit(KN_DISCOUNT)
+    pcont = (F.coalesce("n1p_w2", F.lit(0)) + F.lit(1.0)) / (
+        F.col("n1p_all") + F.col("vsize")
+    )
+    p_seen = (
+        F.greatest(F.coalesce("c12", F.lit(0)) - d, F.lit(0.0)) / F.col("c1")
+        + d * F.col("n1p_w1") / F.col("c1") * pcont
+    )
+    scored = (
+        _bigrams(docs.select(doc_id, F.col(lang).alias("lang"), text), text)
+        .join(F.broadcast(totals), "lang")
+        .join(ctx.select("lang", "w1", "c1", "n1p_w1"), ["lang", "w1"], "left")
+        .join(grid, ["lang", "w1", "w2"], "left")
+        .join(cont, ["lang", "w2"], "left")
+        .withColumn(
+            "_logp",
+            F.log(F.when(F.col("c1").isNotNull(), p_seen).otherwise(pcont)),
+        )
+    )
+    return scored.groupBy(doc_id, "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.exp(-F.avg("_logp")) + F.lit(1e-9), 6).alias("ppl"),
+    )
+
+
+def kn_perplexity_buckets(
+    docs: DataFrame,
+    lang: str = "lang",
+    text: str = "text",
+    doc_id: str = "doc_id",
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """The CCNet split under KN smoothing: same
+    head/middle/tail-per-language ntile with the (ppl, doc_id)
+    tie-break and the 'unscored' sentinel as `perplexity_buckets` —
+    only the probability model differs. The two bucket queries
+    disagree exactly where the smoothing families rank differently
+    (KN demotes frequent-but-predictable continuations), which is why
+    both ship: the add-one form is the gate-checked default, this is
+    the KenLM-faithful alternative."""
+    grid, ctx, cont = model if model is not None else bigram_lm_kn_train(
+        docs, lang=lang, text=text
+    )
+    ppl = bigram_lm_kn_perplexity(
+        docs, grid, ctx, cont, lang=lang, text=text, doc_id=doc_id
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("ppl").asc(), F.col(doc_id).asc())
+    scored = ppl.withColumn(
+        "bucket",
+        F.element_at(
+            F.create_map(
+                *[x for k, v in _BUCKETS.items() for x in (F.lit(k), F.lit(v))]
+            ),
+            F.ntile(3).over(w),
+        ),
+    )
+    return scored.unionByName(_unscored_docs(docs, ctx, lang, text, doc_id))
+
+
 def save_lm_model(
     path: str,
     grid: DataFrame,

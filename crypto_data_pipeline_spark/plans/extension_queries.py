@@ -3204,6 +3204,75 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(_docs(spark, sf_dir), model=_lm_model(spark, sf_dir))
 
 
+_LM_KN_BUCKETS_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, {{TOKENS_SQL}} AS t FROM documents),
+bg AS (
+  SELECT doc_id, lang, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+),
+grid AS (SELECT lang, w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+ctxk AS (SELECT lang, w1, sum(c12) AS c1, count(*) AS n1p_w1
+         FROM grid GROUP BY 1, 2),
+tot  AS (SELECT lang, count(*) AS n1p_all, count(DISTINCT w2) AS vsize
+         FROM grid GROUP BY 1),
+cont AS (SELECT lang, w2, count(*) AS n1p_w2 FROM grid GROUP BY 1, 2),
+sc AS (
+  SELECT b.doc_id, b.lang,
+         ln(CASE WHEN c.c1 IS NOT NULL
+                 THEN greatest(coalesce(g.c12, 0) - 0.75, 0.0) / c.c1
+                      + 0.75 * c.n1p_w1 / c.c1
+                        * ((coalesce(ct.n1p_w2, 0) + 1.0) / (t.n1p_all + t.vsize))
+                 ELSE (coalesce(ct.n1p_w2, 0) + 1.0) / (t.n1p_all + t.vsize)
+            END) AS logp
+  FROM bg b
+  LEFT JOIN grid g USING (lang, w1, w2)
+  LEFT JOIN ctxk c USING (lang, w1)
+  LEFT JOIN cont ct USING (lang, w2)
+  JOIN tot t USING (lang)
+),
+ppl AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(exp(-avg(logp)) + 1e-9, 6) AS ppl
+  FROM sc GROUP BY 1, 2
+),
+base AS (
+  SELECT d.doc_id, d.lang, p.n_bigrams, p.ppl
+  FROM documents d LEFT JOIN ppl p ON p.doc_id = d.doc_id
+)
+SELECT doc_id, lang, n_bigrams, ppl,
+       CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM base WHERE ppl IS NOT NULL
+UNION ALL
+SELECT doc_id, lang, CAST(0 AS BIGINT) AS n_bigrams, -1.0 AS ppl,
+       'unscored' AS bucket
+FROM base WHERE ppl IS NULL
+""".format(TOKENS_SQL=TOKENS_SQL)
+
+
+@register(
+    "lm_perplexity_buckets_kn",
+    extra=True,
+    survey_ids=("EXT-text", "EXT-sample"),
+    oracle=_LM_KN_BUCKETS_SQL,
+)
+def lm_perplexity_buckets_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KenLM-faithful sibling of `lm_perplexity_buckets`:
+    interpolated Kneser-Ney smoothing (absolute discount D=0.75,
+    continuation probabilities by context diversity — what CCNet's
+    actual models use) instead of add-one, same per-language
+    head/middle/tail split and 'unscored' sentinel
+    (`operators/lm.py:bigram_lm_kn_train/kn_perplexity_buckets`).
+    Every quantity is an integer-count ratio, so even this smoothing
+    family hash-checks against a plain-SQL DuckDB twin. Train is
+    still ONE corpus-sized shuffle — the KN statistics (context
+    diversity, continuation counts, distinct-bigram totals) all
+    derive from the model-sized grid."""
+    from crypto_data_pipeline_spark.operators.lm import kn_perplexity_buckets
+
+    return kn_perplexity_buckets(_docs(spark, sf_dir))
+
+
 # source-level curation thresholds — one definition feeds BOTH the
 # Spark expressions and the oracle SQL, so they cannot drift
 _SRC_DROP_DUP, _SRC_DROP_KEEP = 0.5, 0.3

@@ -157,6 +157,107 @@ def test_lm_matches_python_reference_on_random_corpora(spark):
         assert got == py_model(rows), (case, rows)
 
 
+def test_kn_matches_python_reference_on_random_corpora(spark):
+    """Interpolated Kneser-Ney (round-8): seeded random corpora
+    replayed against a literal Python model — discounted seen mass,
+    context-diversity backoff, add-one-smoothed continuation
+    probabilities, 6-dp perplexities AND the per-language ntile
+    buckets must all agree, including unscorable docs."""
+    import random
+    import re
+    from collections import Counter, defaultdict
+
+    D = 0.75
+
+    def py_model(rows):
+        grids = defaultdict(Counter)
+        per_doc = {}
+        for did, lg, t in rows:
+            ts = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+            pairs = list(zip(ts[:-1], ts[1:]))
+            per_doc[did] = (lg, pairs)
+            grids[lg].update(pairs)
+        stats = {}
+        for lg, g in grids.items():
+            c1, n1p_w1, n1p_w2 = Counter(), Counter(), Counter()
+            for (w1, w2), c in g.items():
+                c1[w1] += c
+                n1p_w1[w1] += 1
+                n1p_w2[w2] += 1
+            stats[lg] = (c1, n1p_w1, n1p_w2, len(g), len({w2 for _, w2 in g}))
+        out = {}
+        for did, (lg, pairs) in per_doc.items():
+            if not pairs or lg not in stats:
+                out[did] = [lg, 0, -1.0, "unscored"]
+                continue
+            c1, n1p_w1, n1p_w2, n1p_all, v = stats[lg]
+            g = grids[lg]
+            lp = []
+            for w1, w2 in pairs:
+                pcont = (n1p_w2[w2] + 1.0) / (n1p_all + v)
+                if w1 in c1:
+                    p = (
+                        max(g[(w1, w2)] - D, 0.0) / c1[w1]
+                        + D * n1p_w1[w1] / c1[w1] * pcont
+                    )
+                else:
+                    p = pcont
+                lp.append(math.log(p))
+            ppl = round(math.exp(-sum(lp) / len(lp)) + 1e-9, 6)
+            out[did] = [lg, len(pairs), ppl, None]
+        for lg in {r[1] for r in rows}:
+            scored = sorted(
+                (d for d in out if out[d][0] == lg and out[d][3] is None),
+                key=lambda d: (out[d][2], d),
+            )
+            n, k = len(scored), 3
+            sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+            i = 0
+            for bucket, sz in zip(("head", "middle", "tail"), sizes):
+                for d in scored[i:i + sz]:
+                    out[d][3] = bucket
+                i += sz
+        return {d: tuple(val) for d, val in out.items()}
+
+    rng = random.Random(41)
+    alphabet = ["aa", "bb", "cc", "dd", "ee"]
+    for case in range(10):
+        rows = []
+        for did in range(rng.randint(3, 12)):
+            lg = rng.choice(["en", "fr"])
+            n = rng.randint(1, 8)
+            rows.append(
+                (did, lg, " ".join(rng.choice(alphabet) for _ in range(n)))
+            )
+        got = {
+            r.doc_id: (r.lang, r.n_bigrams, r.ppl, r.bucket)
+            for r in lm.kn_perplexity_buckets(_docs(spark, rows)).collect()
+        }
+        assert got == py_model(rows), (case, rows)
+
+
+def test_kn_diversity_beats_raw_frequency(spark):
+    """The property KN exists for: a continuation that is frequent but
+    follows only ONE context ('francisco' after 'san') must get LESS
+    unseen-context mass than a rarer but diverse continuation. Scored
+    behind an unseen context, the diverse token wins."""
+    # 'zz' appears 6x but only after 'san'; 'qq' appears 3x after 3
+    # different contexts -> n1p('qq')=3 > n1p('zz')=1
+    train = _docs(
+        spark,
+        [(1, "en", "san zz san zz san zz san zz san zz san zz"),
+         (2, "en", "aa qq bb qq cc qq dd ee")],
+    )
+    grid, ctx, cont = lm.bigram_lm_kn_train(train)
+    serve = _docs(spark, [(10, "en", "unseen zz"), (11, "en", "unseen qq")])
+    got = {
+        r.doc_id: r.ppl
+        for r in lm.bigram_lm_kn_perplexity(serve, grid, ctx, cont).collect()
+    }
+    # lower perplexity = higher probability: the diverse 'qq' wins
+    assert got[11] < got[10], got
+
+
 def test_min_count_pruning_matches_python_reference(spark):
     """The pruning rule, pinned against a literal Python model on
     seeded random corpora: grid keeps c12 >= min_count, ctx keeps
