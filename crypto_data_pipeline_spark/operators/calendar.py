@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from crypto_data_pipeline_spark.operators.timeseries import DATE, ENTITY
 
 # Monday=0 .. Sunday=6, matching pandas dt.dayofweek
-SPANISH_DAY_NAMES = ["Lunes", "Martes", "Miercoles", "Jueves", "Viernes", "Sabado", "Domingo"]
+SPANISH_DAY_NAMES = ["Lunes", "Martes", "Miércoles", "Jueves", "Viernes", "Sábado", "Domingo"]
 
 US_HOLIDAYS = [
     "2024-01-01", "2024-01-15", "2024-02-19", "2024-05-27", "2024-06-19",
@@ -37,15 +37,22 @@ US_HOLIDAYS = [
     "2025-12-25",
 ]
 
+# Matches the ``holidays.China()`` calendar the reference applies
+# (transform_data.ipynb:560-561): statutory days plus substituted
+# weekday days-off, EXCLUDING weekend days that fall inside a golden
+# week (e.g. 2024-10-05/06 and 2025-02-01/02 are NOT holidays). Every
+# date inside the reference corpus span (2024-09 .. 2025-05) is pinned
+# row-level by tests/test_real_reference_data.py against the published
+# <coin>_prediction_data.csv is_china_holiday column.
 CN_HOLIDAYS = [
     "2024-01-01", "2024-02-10", "2024-02-11", "2024-02-12", "2024-02-13",
     "2024-02-14", "2024-02-15", "2024-02-16", "2024-02-17", "2024-04-04",
-    "2024-05-01", "2024-06-10", "2024-09-17", "2024-10-01", "2024-10-02",
-    "2024-10-03", "2024-10-04", "2024-10-05", "2024-10-06", "2024-10-07",
+    "2024-05-01", "2024-06-10", "2024-09-16", "2024-09-17", "2024-10-01",
+    "2024-10-02", "2024-10-03", "2024-10-04", "2024-10-07",
     "2025-01-01", "2025-01-28", "2025-01-29", "2025-01-30", "2025-01-31",
-    "2025-02-01", "2025-02-02", "2025-02-03", "2025-02-04", "2025-04-04",
-    "2025-05-01", "2025-06-02", "2025-10-01", "2025-10-02", "2025-10-03",
-    "2025-10-06", "2025-10-07", "2025-10-08",
+    "2025-02-03", "2025-02-04", "2025-04-04",
+    "2025-05-01", "2025-05-02", "2025-05-05", "2025-06-02", "2025-10-01",
+    "2025-10-02", "2025-10-03", "2025-10-06", "2025-10-07", "2025-10-08",
 ]
 
 

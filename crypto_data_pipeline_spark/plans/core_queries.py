@@ -647,8 +647,8 @@ WITH {HISTORY_CTE}
 SELECT entity_id, fetch_date,
        CAST(isodow(fetch_date) - 1 AS INT) AS day_of_week,
        CASE isodow(fetch_date)
-            WHEN 1 THEN 'Lunes' WHEN 2 THEN 'Martes' WHEN 3 THEN 'Miercoles'
-            WHEN 4 THEN 'Jueves' WHEN 5 THEN 'Viernes' WHEN 6 THEN 'Sabado'
+            WHEN 1 THEN 'Lunes' WHEN 2 THEN 'Martes' WHEN 3 THEN 'Miércoles'
+            WHEN 4 THEN 'Jueves' WHEN 5 THEN 'Viernes' WHEN 6 THEN 'Sábado'
             ELSE 'Domingo' END AS day_name,
        CASE WHEN isodow(fetch_date) IN (6, 7) THEN 1 ELSE 0 END AS is_weekend,
        CAST(weekofyear(fetch_date) AS INT) AS week_of_year,
@@ -2215,8 +2215,8 @@ feat AS (
               THEN round({_SKEW_G1}, 6) END AS price_skew_7d,
          CAST(isodow(fetch_date) - 1 AS INT) AS day_of_week,
          CASE isodow(fetch_date)
-              WHEN 1 THEN 'Lunes' WHEN 2 THEN 'Martes' WHEN 3 THEN 'Miercoles'
-              WHEN 4 THEN 'Jueves' WHEN 5 THEN 'Viernes' WHEN 6 THEN 'Sabado'
+              WHEN 1 THEN 'Lunes' WHEN 2 THEN 'Martes' WHEN 3 THEN 'Miércoles'
+              WHEN 4 THEN 'Jueves' WHEN 5 THEN 'Viernes' WHEN 6 THEN 'Sábado'
               ELSE 'Domingo' END AS day_name,
          CASE WHEN isodow(fetch_date) IN (6, 7) THEN 1 ELSE 0 END AS is_weekend,
          CAST(weekofyear(fetch_date) AS INT) AS week_of_year,

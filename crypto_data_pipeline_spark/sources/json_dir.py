@@ -70,6 +70,25 @@ def read_bronze_json(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
+def coin_history_silver(bronze: DataFrame) -> DataFrame:
+    """Bronze → the coin_history silver contract the analysis layer
+    consumes: (entity_id, fetch_date, price, market_cap_usd).
+
+    The reference lands prices in a ``NUMERIC(24, 8)`` column
+    (sql/create_tables.sql:7), so every downstream number — the README
+    golden tables AND data/processed_crypto_data.csv — is computed from
+    8-decimal-quantized prices, not the raw JSON doubles. ``F.round``
+    (HALF_UP, equal to NUMERIC half-away-from-zero on positive prices)
+    replicates that boundary; tests/test_real_reference_data.py pins
+    row-level parity on the real corpus through this path."""
+    return bronze.select(
+        F.col("coin_id").alias("entity_id"),
+        "fetch_date",
+        F.round("price_usd", 8).alias("price"),
+        "market_cap_usd",
+    )
+
+
 def write_bronze_json(df: DataFrame, root: str, mode: str = "append") -> None:
     """S3 sink: partitioned JSON layout (coin_id=<c>/fetch_date=<d>/...).
 
