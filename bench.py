@@ -125,6 +125,30 @@ def main() -> None:
         except Exception:
             shuffle_bytes[spec.name] = -1  # never fail the bench for a metric read
 
+    # ANN quality next to ANN speed: recall@k of each benched ANN query
+    # vs its exact brute-force twin on the SAME fixed queries/index —
+    # deterministic, so a probe-speed win can never silently buy a
+    # recall loss. The per-query result sets are ~50 rows (10 queries ×
+    # top-5), so the collect is driver-trivial.
+    recall_at_k: dict[str, float] = {}
+    by_name = {s.name: s for s in specs}
+    try:
+        truth: dict[int, set[int]] = {}
+        for r in (
+            by_name["embedding_topk_bruteforce"].fn(spark, sf_dir)
+            .select("query_id", "vec_id").collect()
+        ):
+            truth.setdefault(r.query_id, set()).add(r.vec_id)
+        total = sum(len(v) for v in truth.values())
+        for name in ("embedding_ann_ivf", "embedding_ann_lsh"):
+            got: dict[int, set[int]] = {}
+            for r in by_name[name].fn(spark, sf_dir).select("query_id", "vec_id").collect():
+                got.setdefault(r.query_id, set()).add(r.vec_id)
+            hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+            recall_at_k[name] = round(hits / total, 4)
+    except Exception:
+        pass  # never fail the bench for a quality metric read
+
     # Round-over-round shuffle-byte regression gate: bytes are the
     # deterministic plan signal (docs/BENCH_VARIANCE.md) — diff against
     # the newest driver-recorded BENCH_r*.json and flag >10% growth.
@@ -176,6 +200,7 @@ def main() -> None:
         "baseline_comparable_seconds": comparable,
         "queries": timings,
         "cold_build_seconds": cold,
+        "recall_at_k": recall_at_k,
         "shuffle_bytes_written": shuffle_bytes,
         "shuffle_regressions_vs": prior[0] if prior else None,
         "shuffle_regressions": regressions,
@@ -200,7 +225,10 @@ def main() -> None:
                  "build cost the steady-state rows amortize. "
                  "shuffle_regressions: queries whose shuffle bytes "
                  "grew >10% (+4KiB floor) vs the prior round's "
-                 "artifact — deterministic, immune to host noise.",
+                 "artifact — deterministic, immune to host noise. "
+                 "recall_at_k: each benched ANN query's recall@5 vs "
+                 "the exact brute-force twin on the same 10 fixed "
+                 "queries (round 9) — quality recorded beside speed.",
     }
     with open(os.path.join(repo_root, local_name), "w") as f:
         json.dump(full_record, f, indent=2)
@@ -211,7 +239,7 @@ def main() -> None:
         for k in (
             "metric", "value", "unit", "timing",
             "baseline_comparable_seconds",
-            "sf", "queries", "cold_build_seconds",
+            "sf", "queries", "cold_build_seconds", "recall_at_k",
             "shuffle_regressions_vs", "shuffle_regressions",
         )
     }

@@ -260,8 +260,16 @@ def bigram_lm_kn_train(
     from the model-sized grid (a grouping-sets pass reusing the
     grid-row count as the distinct-continuation count — grid rows are
     unique per (lang,w1,w2) — plus one grid-sized aggregation for
-    cont). ``min_count`` prunes grid rows below the threshold with
-    ctx/cont/totals kept exact, same contract as `bigram_lm_train`."""
+    cont). ``min_count`` prunes ROWS from all three shipped frames —
+    grid rows with ``c12 < min_count``, ctx rows with
+    ``c1 < min_count``, cont rows with ``n1p_w2 < min_count`` (cont is
+    vocabulary-proportional too: one row per (lang, w2)). Values on
+    SURVIVING rows and the per-language totals (n1p_all, vsize) stay
+    exact from the full counts; a pruned row falls through scoring's
+    existing ``coalesce(…, 0)`` path, so the scored probability is a
+    deterministic function of (min_count, corpus) — the same contract
+    as `bigram_lm_train`, pinned against a Python reference by
+    tests/test_lm.py::test_kn_min_count_pruning_matches_python_reference."""
     bg = _bigrams(docs.select(F.col(lang).alias("lang"), text), text).select(
         "lang", "w1", "w2"
     )
@@ -291,6 +299,7 @@ def bigram_lm_kn_train(
     if min_count > 1:
         grid = grid.where(F.col("c12") >= min_count)
         ctx = ctx.where(F.col("c1") >= min_count)
+        cont = cont.where(F.col("n1p_w2") >= min_count)
     if materialize:
         grid = grid.localCheckpoint(eager=True)
         ctx = ctx.localCheckpoint(eager=True)
@@ -379,6 +388,7 @@ def save_lm_model(
     grid: DataFrame,
     ctx: DataFrame,
     bounds: DataFrame | None = None,
+    cont: DataFrame | None = None,
 ) -> None:
     """Land the fitted model AT REST — parquet dirs under ``path``
     (``grid/``, ``ctx/``, optional ``bounds/``). Two reasons a 100 TB
@@ -391,26 +401,36 @@ def save_lm_model(
     planner's safe answer to uncertainty is a shuffled join — a
     parquet scan carries ACCURATE statistics, so a pruned
     megabyte-scale model read from rest broadcasts instead
-    (tests/test_lm.py::test_model_at_rest_roundtrip_and_broadcast)."""
+    (tests/test_lm.py::test_model_at_rest_roundtrip_and_broadcast).
+
+    ``cont`` is the Kneser-Ney model's third frame
+    (`bigram_lm_kn_train`): pass it and the KN triple lands/serves at
+    rest with the same measured-statistics benefit — without it the KN
+    serve joins ride checkpoint-lineage estimates, which the round-8
+    vocab probe showed planners rightly distrust."""
     grid.write.mode("overwrite").parquet(f"{path}/grid")
     ctx.write.mode("overwrite").parquet(f"{path}/ctx")
     if bounds is not None:
         bounds.write.mode("overwrite").parquet(f"{path}/bounds")
+    if cont is not None:
+        cont.write.mode("overwrite").parquet(f"{path}/cont")
 
 
 def load_lm_model(
-    spark, path: str, with_bounds: bool = False
+    spark, path: str, with_bounds: bool = False, with_cont: bool = False
 ) -> tuple[DataFrame, ...]:
-    """Reload a model landed by `save_lm_model`: ``(grid, ctx)`` or
-    ``(grid, ctx, bounds)``. Frames come back as plain parquet scans —
+    """Reload a model landed by `save_lm_model`: ``(grid, ctx)``,
+    extended by ``cont`` (KN triple order: grid, ctx, cont) and/or a
+    trailing ``bounds``. Frames come back as plain parquet scans —
     statistics-accurate, column-prunable, ready to hand to
-    `bigram_lm_perplexity` / `perplexity_buckets_frozen` /
-    `streaming.ingest.stream_lm_score`."""
-    grid = spark.read.parquet(f"{path}/grid")
-    ctx = spark.read.parquet(f"{path}/ctx")
+    `bigram_lm_perplexity` / `bigram_lm_kn_perplexity` /
+    `perplexity_buckets_frozen` / `streaming.ingest.stream_lm_score`."""
+    out = [spark.read.parquet(f"{path}/grid"), spark.read.parquet(f"{path}/ctx")]
+    if with_cont:
+        out.append(spark.read.parquet(f"{path}/cont"))
     if with_bounds:
-        return grid, ctx, spark.read.parquet(f"{path}/bounds")
-    return grid, ctx
+        out.append(spark.read.parquet(f"{path}/bounds"))
+    return tuple(out)
 
 
 def perplexity_buckets(
@@ -525,6 +545,63 @@ def perplexity_buckets_frozen(
     )
     ppl = bigram_lm_perplexity(
         docs, grid, servable_ctx, lang=lang, text=text, doc_id=doc_id
+    )
+    scored = _bucket_by_bounds(ppl, bounds).select(
+        doc_id, "lang", "n_bigrams", "ppl", "bucket"
+    )
+    return scored.unionByName(
+        _unscored_docs(docs, servable_ctx, lang, text, doc_id)
+    )
+
+
+def kn_perplexity_boundaries(
+    docs: DataFrame,
+    lang: str = "lang",
+    text: str = "text",
+    doc_id: str = "doc_id",
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """`perplexity_boundaries` for the Kneser-Ney model: the frozen
+    per-language tercile boundary table ``(lang, _b array<double>)``
+    computed from the KN scorer instead of the add-one one. Same
+    serving contract — fit the triple once, freeze these alongside it
+    (`save_lm_model(..., cont=, bounds=)`), and score unbounded
+    streams against both without re-sorting anything."""
+    grid, ctx, cont = model if model is not None else bigram_lm_kn_train(
+        docs, lang=lang, text=text
+    )
+    ppl = bigram_lm_kn_perplexity(
+        docs, grid, ctx, cont, lang=lang, text=text, doc_id=doc_id
+    )
+    return ppl.groupBy("lang").agg(
+        F.percentile_approx("ppl", [1.0 / 3.0, 2.0 / 3.0], accuracy).alias("_b")
+    )
+
+
+def kn_perplexity_buckets_frozen(
+    docs: DataFrame,
+    bounds: DataFrame,
+    lang: str = "lang",
+    text: str = "text",
+    doc_id: str = "doc_id",
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """`perplexity_buckets_frozen` for the Kneser-Ney triple: score
+    against a pre-fitted (grid, ctx, cont) model, assign buckets from
+    a FROZEN `kn_perplexity_boundaries` table, file unscorable docs —
+    including a trained-but-unbounded language's (the serving artifact
+    is model AND bounds together) — as 'unscored'. Output independent
+    of batch composition, so the streaming serve equals this batch
+    twin under any delivery split."""
+    grid, ctx, cont = model if model is not None else bigram_lm_kn_train(
+        docs, lang=lang, text=text
+    )
+    servable_ctx = ctx.join(
+        F.broadcast(bounds.select("lang").distinct()), "lang", "left_semi"
+    )
+    ppl = bigram_lm_kn_perplexity(
+        docs, grid, servable_ctx, cont, lang=lang, text=text, doc_id=doc_id
     )
     scored = _bucket_by_bounds(ppl, bounds).select(
         doc_id, "lang", "n_bigrams", "ppl", "bucket"

@@ -1748,6 +1748,12 @@ GROUP BY 1
     "sessionization",
     survey_ids=("W3", "ST1", "A2"),
     bench=True,
+    # demoted from the driver gate in round 9 to seat
+    # lm_perplexity_buckets_kn (the rotation pattern of rounds 5-8):
+    # every id here keeps >= 1 other driver-facing cover (W3/A2 via
+    # drop_recovery, ST1 via sessionize_stateful) and the query stays
+    # oracle-tested locally plus benched
+    extra=True,
     oracle=_SESSIONS_ORACLE,
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1422,6 +1422,28 @@ _NB_MODEL_DIRS: dict[tuple[str, str], str] = {}
 # perplexity-bucket query and the source curation report
 _LM_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
 _LM_MODEL_DIRS: dict[tuple[str, str], str] = {}
+# fitted Kneser-Ney LM (grid, ctx, cont), same at-rest contract
+_LM_KN_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
+_LM_KN_MODEL_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_model_dirs() -> None:
+    """Process-exit sweep of the model-at-rest temp dirs: _cache_put
+    rmtree's an entry's dir only when a DIFFERENT key evicts it, so
+    the final live entry of each cache would otherwise leak its
+    lm_model_*/nb_model_* dir into /tmp on every short-lived process
+    (round-8 advisor finding)."""
+    import shutil
+
+    for dirs in (_LM_MODEL_DIRS, _LM_KN_MODEL_DIRS, _NB_MODEL_DIRS):
+        for d in dirs.values():
+            shutil.rmtree(d, ignore_errors=True)
+        dirs.clear()
+
+
+import atexit
+
+atexit.register(_cleanup_model_dirs)
 
 
 def _lm_model(spark: SparkSession, sf_dir: str) -> tuple:
@@ -1447,6 +1469,34 @@ def _lm_model(spark: SparkSession, sf_dir: str) -> tuple:
             _LM_MODEL_CACHE, key, model, lambda m: m[0], dirs=_LM_MODEL_DIRS
         )
         _LM_MODEL_DIRS[key] = model_dir
+    return model
+
+
+def _lm_kn_model(spark: SparkSession, sf_dir: str) -> tuple:
+    """The Kneser-Ney triple (grid, ctx, cont) at rest, cached per
+    (session, corpus) — the same parquet-backed contract as `_lm_model`
+    so the KN serve joins read MEASURED statistics (a pruned model
+    broadcasts by measurement; checkpoint-lineage estimates are the
+    thing round 8's vocab probe showed planners rightly distrust)."""
+    from crypto_data_pipeline_spark.operators.lm import (
+        bigram_lm_kn_train,
+        load_lm_model,
+        save_lm_model,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    model = _LM_KN_MODEL_CACHE.get(key)
+    if model is None:
+        import tempfile
+
+        model_dir = tempfile.mkdtemp(prefix="lm_kn_model_")
+        grid, ctx, cont = bigram_lm_kn_train(_docs(spark, sf_dir))
+        save_lm_model(model_dir, grid, ctx, cont=cont)
+        model = load_lm_model(spark, model_dir, with_cont=True)
+        _cache_put(
+            _LM_KN_MODEL_CACHE, key, model, lambda m: m[0], dirs=_LM_KN_MODEL_DIRS
+        )
+        _LM_KN_MODEL_DIRS[key] = model_dir
     return model
 
 
@@ -3189,15 +3239,20 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's third curation pillar (Wenzek et al. 2020) next to the
     engine's lang-id and dedup tiers: per-language add-one bigram LMs
     trained in ONE grouping-sets pass, every document scored by its
-    language's model via two broadcast joins (the fitted grid is
-    lang-vocab^2-bounded — megabytes vs terabytes of corpus), and each
-    language ntile'd into head/middle/tail perplexity thirds with a
-    deterministic (ppl, doc_id) tie-break so the lossy filter itself
-    hash-checks (`operators/lm.py`). Sub-2-token docs land in the
-    'unscored' sentinel bucket instead of a NULL the gate can't sort.
-    The fit is materialized (localCheckpoint) and cached per
-    (session, corpus) — the same train/serve split as the NB
-    classifier and the ANN indexes; bench.py reports the fit as a
+    language's model, each language ntile'd into head/middle/tail
+    perplexity thirds with a deterministic (ppl, doc_id) tie-break so
+    the lossy filter itself hash-checks (`operators/lm.py`).
+    Sub-2-token docs land in the 'unscored' sentinel bucket instead of
+    a NULL the gate can't sort. Scale shape (the round-8 retraction,
+    docs/SCALE_PROBE.md): the fitted grid is NOT bounded — distinct
+    bigrams grow with corpus vocabulary (Heaps' law, measured
+    75k→77M rows over the K=1..1000 clone probe) — so train exposes a
+    ``min_count`` pruning knob and the serve joins carry NO broadcast
+    hint: the model lands AT REST (parquet, accurate statistics) and
+    AQE broadcasts it only when it measures small, falling back to a
+    shuffled join instead of an OOM past the threshold. The fit is
+    cached per (session, corpus) — the same train/serve split as the
+    NB classifier and the ANN indexes; bench.py reports the fit as a
     cold_build_seconds row."""
     from crypto_data_pipeline_spark.operators.lm import perplexity_buckets
 
@@ -3252,7 +3307,9 @@ FROM base WHERE ppl IS NULL
 
 @register(
     "lm_perplexity_buckets_kn",
-    extra=True,
+    # seated in the driver gate in round 9 (the round-8 flagship; the
+    # rotation pattern of rounds 5-8 — sessionization demoted in trade)
+    bench=True,
     survey_ids=("EXT-text", "EXT-sample"),
     oracle=_LM_KN_BUCKETS_SQL,
 )
@@ -3267,10 +3324,13 @@ def lm_perplexity_buckets_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     family hash-checks against a plain-SQL DuckDB twin. Train is
     still ONE corpus-sized shuffle — the KN statistics (context
     diversity, continuation counts, distinct-bigram totals) all
-    derive from the model-sized grid."""
+    derive from the model-sized grid. The fitted triple is cached AT
+    REST per (session, corpus) like the add-one model, so the serve
+    joins read measured parquet statistics instead of lineage
+    estimates (round-9; `_lm_kn_model`)."""
     from crypto_data_pipeline_spark.operators.lm import kn_perplexity_buckets
 
-    return kn_perplexity_buckets(_docs(spark, sf_dir))
+    return kn_perplexity_buckets(_docs(spark, sf_dir), model=_lm_kn_model(spark, sf_dir))
 
 
 # source-level curation thresholds — one definition feeds BOTH the
@@ -3281,7 +3341,10 @@ _SRC_REVIEW_DUP, _SRC_REVIEW_KEEP, _SRC_REVIEW_TAIL = 0.2, 0.6, 0.5
 
 @register(
     "source_curation_report",
-    # seated in the driver gate in round 8 alongside lm_perplexity_buckets
+    # seated in the driver gate in round 8 alongside lm_perplexity_buckets;
+    # bench-flagged in round 9 — every gate query should be
+    # bench-observable (timing row, shuffle-byte gate, PLAN_AUDIT)
+    bench=True,
     survey_ids=("EXT-text", "EXT-dedup", "EXT-sample"),
     oracle=f"""
 WITH qf AS (

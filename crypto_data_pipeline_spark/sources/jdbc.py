@@ -112,14 +112,17 @@ def write_jdbc(
     UPDATE per key). Spark's JDBC writer has no MERGE, so the upsert
     semantics land the same way the parquet twins do
     (`sources/upsert.py`): with ``keys``, the frame is window-deduped
-    last-write-wins per key FIRST (one shuffle), so a delivery that
-    carries replays cannot violate the server's UNIQUE(coin_id,
-    fetch_date) on append, and ``mode='overwrite'`` +
-    ``truncate=True`` is the idempotent full-refresh twin of the S8
-    aggregate sink. True server-side merge belongs server-side:
-    append to a staging table, then issue INSERT ... ON CONFLICT from
-    the staging table — this function is the transport, not a
-    row-at-a-time loop.
+    last-write-wins per key FIRST (one shuffle), so a SINGLE delivery
+    that carries replays of its own rows cannot violate the server's
+    UNIQUE(coin_id, fetch_date) on append. That dedupe is
+    WITHIN-DELIVERY only — re-running the same delivery later (the
+    at-least-once replay case) still appends keys the table already
+    holds and trips UNIQUE. Cross-delivery replay safety needs one of
+    the two idempotent patterns: ``mode='overwrite'`` +
+    ``truncate=True`` (the full-refresh twin of the S8 aggregate
+    sink), or server-side merge — append to a staging table, then
+    issue INSERT ... ON CONFLICT from it. This function is the
+    transport, not a row-at-a-time loop.
 
     Untestable past the option-assembly boundary in this sandbox (no
     JDBC driver jar or database in the container) — exercised to that

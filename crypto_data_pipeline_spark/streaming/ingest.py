@@ -403,7 +403,7 @@ def stream_lm_score(
     out_root: str,
     checkpoint_dir: str,
     schema,
-    model: tuple[DataFrame, DataFrame],
+    model: tuple[DataFrame, ...],
     bounds: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
@@ -412,12 +412,17 @@ def stream_lm_score(
     """Streaming LM quality filter — the serve-online half of the
     bigram LM's train/serve split, symmetric with `stream_classify`:
     every arriving document delivery is scored against the
-    checkpointed (grid, ctx) model and bucketed against the FROZEN
-    per-language boundary table (`operators/lm.py:
-    perplexity_boundaries` — exactly the artifact the zero-global-sort
-    batch variant computes), landing
+    checkpointed model and bucketed against the FROZEN per-language
+    boundary table (`operators/lm.py:perplexity_boundaries` /
+    `kn_perplexity_boundaries` — exactly the artifact the
+    zero-global-sort batch variant computes), landing
     ``(doc_id, lang, n_bigrams, ppl, bucket)`` as immutable
-    ``batch_id=N`` directories.
+    ``batch_id=N`` directories. ``model`` selects the smoothing
+    family by arity: the add-one pair (grid, ctx) serves through
+    `perplexity_buckets_frozen`, the Kneser-Ney triple
+    (grid, ctx, cont) through `kn_perplexity_buckets_frozen` — both
+    share the frozen-boundary contract, so stream==batch holds for
+    either family.
 
     Because buckets come from frozen boundaries, a document's row is
     independent of what else shares its micro-batch — stream output
@@ -428,12 +433,18 @@ def stream_lm_score(
     frame, and the stream is never shuffled except by its own doc
     key. Per-batch overwrite dirs make at-least-once replay
     idempotent; availableNow = catch-up-and-stop."""
-    from crypto_data_pipeline_spark.operators.lm import perplexity_buckets_frozen
+    from crypto_data_pipeline_spark.operators.lm import (
+        kn_perplexity_buckets_frozen,
+        perplexity_buckets_frozen,
+    )
 
+    scorer = (
+        perplexity_buckets_frozen if len(model) == 2 else kn_perplexity_buckets_frozen
+    )
     stream = spark.readStream.schema(schema).parquet(bronze_dir)
 
     def score(batch: DataFrame, batch_id: int) -> None:
-        perplexity_buckets_frozen(
+        scorer(
             batch, bounds, lang=lang, text=text, doc_id=id_col, model=model
         ).write.mode("overwrite").parquet(f"{out_root}/batch_id={batch_id}")
 

@@ -732,3 +732,37 @@ def test_rp_projection_matrix_and_distance_preservation(spark, sf_dir):
     r = np.array(ratios)
     assert 0.7 <= np.median(r) <= 1.3, np.median(r)
     assert (np.abs(np.log(r)) <= np.log(4)).mean() >= 0.9, r
+
+
+def test_ann_registry_recall_floor_sf001(spark):
+    """Recall floors for the REGISTERED ANN queries at sf0.01 (round-9,
+    the catalog-scale sibling of the fixture-scale floors above, and
+    the assertion twin of bench.py's recall_at_k artifact column): the
+    benched IVF and LSH probes must keep a minimum recall@5 against
+    the exact brute-force twin on the same 10 fixed queries.
+    Deterministic — fixed index build, fixed queries — so the floor is
+    a regression gate, not a flake: measured 0.72 (IVF) / 0.56 (LSH)
+    at sf0.01; floors leave margin for intentional re-tuning but
+    catch a collapse."""
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 testdata not mounted")
+    from crypto_data_pipeline_spark.plans.registry import load_with_extras
+
+    qs = load_with_extras()
+    truth: dict[int, set[int]] = {}
+    for r in (
+        qs["embedding_topk_bruteforce"].fn(spark, sf)
+        .select("query_id", "vec_id").collect()
+    ):
+        truth.setdefault(r.query_id, set()).add(r.vec_id)
+    total = sum(len(v) for v in truth.values())
+    floors = {"embedding_ann_ivf": 0.5, "embedding_ann_lsh": 0.4}
+    for name, floor in floors.items():
+        got: dict[int, set[int]] = {}
+        for r in qs[name].fn(spark, sf).select("query_id", "vec_id").collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        assert hits / total >= floor, (name, hits, total)

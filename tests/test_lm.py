@@ -490,3 +490,128 @@ def test_lm_plan_contract(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # the model joins broadcast
+
+
+def test_kn_min_count_pruning_matches_python_reference(spark):
+    """The KN pruning rule (round-9), pinned against a literal Python
+    model on seeded random corpora: grid keeps c12 >= min_count, ctx
+    keeps c1 >= min_count, cont keeps n1p_w2 >= min_count;
+    n1p_all/vsize stay exact from the FULL counts; a pruned row falls
+    through scoring's coalesce(..., 0) path (a pruned context takes
+    the unseen-context backoff). min_count=1 must be byte-identical to
+    the unpruned triple (exact back-compat, cont included)."""
+    import random
+    import re
+    from collections import Counter, defaultdict
+
+    D = 0.75
+
+    def py_ppl(rows, mc):
+        grids = defaultdict(Counter)
+        per_doc = {}
+        for did, lg, t in rows:
+            ts = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+            pairs = list(zip(ts[:-1], ts[1:]))
+            per_doc[did] = (lg, pairs)
+            grids[lg].update(pairs)
+        stats = {}
+        for lg, g in grids.items():
+            c1, n1p_w1, n1p_w2 = Counter(), Counter(), Counter()
+            for (w1, w2), c in g.items():
+                c1[w1] += c
+                n1p_w1[w1] += 1
+                n1p_w2[w2] += 1
+            stats[lg] = (c1, n1p_w1, n1p_w2, len(g), len({w2 for _, w2 in g}))
+        out = {}
+        for did, (lg, pairs) in per_doc.items():
+            if not pairs or lg not in stats:
+                continue
+            c1, n1p_w1, n1p_w2, n1p_all, v = stats[lg]
+            # a language whose every context is pruned leaves the model
+            if max(c1.values()) < mc:
+                continue
+            g = grids[lg]
+            lp = []
+            for w1, w2 in pairs:
+                nw2 = n1p_w2[w2] if n1p_w2[w2] >= mc else 0
+                pcont = (nw2 + 1.0) / (n1p_all + v)
+                if c1[w1] >= mc:  # surviving ctx row
+                    c12 = g[(w1, w2)] if g[(w1, w2)] >= mc else 0
+                    p = (
+                        max(c12 - D, 0.0) / c1[w1]
+                        + D * n1p_w1[w1] / c1[w1] * pcont
+                    )
+                else:  # pruned ctx -> unseen-context backoff
+                    p = pcont
+                lp.append(math.log(p))
+            out[did] = (len(pairs), round(math.exp(-sum(lp) / len(lp)) + 1e-9, 6))
+        return out
+
+    rng = random.Random(47)
+    alphabet = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    for case in range(10):
+        rows = [
+            (
+                did,
+                rng.choice(["en", "fr"]),
+                " ".join(rng.choice(alphabet) for _ in range(rng.randint(2, 10))),
+            )
+            for did in range(rng.randint(4, 10))
+        ]
+        docs = _docs(spark, rows)
+        for mc in (1, 2, 3):
+            grid, ctx, cont = lm.bigram_lm_kn_train(docs, min_count=mc)
+            got = {
+                r.doc_id: (r.n_bigrams, r.ppl)
+                for r in lm.bigram_lm_kn_perplexity(docs, grid, ctx, cont).collect()
+            }
+            assert got == py_ppl(rows, mc), (case, mc, rows)
+        # min_count=1 back-compat: all THREE frames identical to unpruned
+        t1 = lm.bigram_lm_kn_train(docs, min_count=1)
+        t0 = lm.bigram_lm_kn_train(docs)
+        for f1, f0 in zip(t1, t0):
+            assert sorted(map(tuple, f1.collect())) == sorted(map(tuple, f0.collect()))
+
+
+def test_kn_model_at_rest_roundtrip_and_broadcast(spark, tmp_path):
+    """The KN triple held to the add-one model's round-8 standard:
+    save_lm_model(..., cont=)/load_lm_model(..., with_cont=True) must
+    round-trip all three frames plus bounds, the reloaded model must
+    serve byte-identically, and — the planner half — a pruned model
+    read from REST must broadcast in ALL FOUR scoring joins off the
+    parquet statistics (totals hint + ctx/grid/cont by measurement)."""
+    rows = [(i, "en", f"a b a c tok{i % 40} a b") for i in range(200)] + [
+        (500 + i, "fr", f"x y x z w{i % 11}") for i in range(60)
+    ]
+    docs = _docs(spark, rows)
+    grid, ctx, cont = lm.bigram_lm_kn_train(docs, min_count=2)
+    bounds = lm.kn_perplexity_boundaries(docs, model=(grid, ctx, cont))
+    want = {
+        (r.doc_id, r.n_bigrams, r.ppl, r.bucket)
+        for r in lm.kn_perplexity_buckets_frozen(
+            docs, bounds, model=(grid, ctx, cont)
+        ).collect()
+    }
+
+    lm.save_lm_model(str(tmp_path / "m"), grid, ctx, bounds, cont=cont)
+    g2, c2, ct2, b2 = lm.load_lm_model(
+        spark, str(tmp_path / "m"), with_bounds=True, with_cont=True
+    )
+    for fresh, fitted in ((g2, grid), (c2, ctx), (ct2, cont)):
+        assert sorted(map(tuple, fresh.collect())) == sorted(
+            map(tuple, fitted.collect())
+        )
+
+    served = lm.kn_perplexity_buckets_frozen(docs, b2, model=(g2, c2, ct2))
+    got = {(r.doc_id, r.n_bigrams, r.ppl, r.bucket) for r in served.collect()}
+    assert got == want
+
+    scored = lm.bigram_lm_kn_perplexity(docs, g2, c2, ct2)
+    scored._jdf.queryExecution().toRdd().count()
+    plan = (
+        scored._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # all four model joins broadcast off the parquet statistics
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "SortMergeJoin" not in plan, plan

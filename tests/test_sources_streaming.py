@@ -1331,3 +1331,88 @@ def test_maintain_aggregate_external_seed(spark, tmp_path):
     got = {(r.grp, r.n_rows, r.total)
            for r in gen.read_current(spark, gold2).collect()}
     assert got == {("a", 3, 20), ("b", 2, 8)}
+
+
+def test_stream_kn_lm_score_matches_batch_across_delivery_orders(spark, tmp_path):
+    """Streaming serve for the Kneser-Ney model (round-9, symmetric
+    with the add-one stream twin): `stream_lm_score` dispatches on the
+    model triple and must land EXACTLY the batch twin's
+    (`kn_perplexity_buckets_frozen`) rows for every delivery order —
+    frozen boundaries make each doc's row independent of its
+    micro-batch. Same sentinel coverage as the add-one test: two
+    scorable languages, unseen context, 1-token doc, NULL text,
+    untrained language, and a trained-but-unbounded language."""
+    from crypto_data_pipeline_spark.operators.lm import (
+        bigram_lm_kn_train,
+        kn_perplexity_boundaries,
+        kn_perplexity_buckets_frozen,
+    )
+    from crypto_data_pipeline_spark.streaming.ingest import stream_lm_score
+
+    lm_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    train = spark.createDataFrame(
+        [(1, "en", "a b a b a c"), (2, "en", "a b c a"), (3, "en", "c c a b"),
+         (4, "fr", "x y x z"), (5, "fr", "x y y z x"),
+         (6, "de", "u v u v")],  # trained, then dropped from bounds below
+        lm_schema,
+    )
+    model = bigram_lm_kn_train(train)
+    bounds = (
+        kn_perplexity_boundaries(train, model=model)
+        .where(F.col("lang") != "de")
+        .localCheckpoint(eager=True)
+    )
+
+    serve_rows = [
+        (10, "en", "a b a"), (11, "en", "c a b c"), (12, "en", "z q z"),
+        (13, "fr", "x y z"), (14, "en", "solo"), (15, "en", None),
+        (16, "xx", "a b a b"), (17, "fr", "y z x y"),
+        (18, "de", "u v u"),  # in the model, not in the bounds
+    ]
+    serve = spark.createDataFrame(serve_rows, lm_schema)
+    want = {
+        (r.doc_id, r.lang, r.n_bigrams, r.ppl, r.bucket)
+        for r in kn_perplexity_buckets_frozen(serve, bounds, model=model).collect()
+    }
+    assert {d for d, *_ in want} == {r[0] for r in serve_rows}  # nothing vanishes
+    assert (18, "de", 0, -1.0, "unscored") in want
+
+    orders = [
+        [serve_rows[:4], serve_rows[4:]],
+        [serve_rows[4:], serve_rows[:4]],
+        [serve_rows[::2], serve_rows[1::2]],
+    ]
+    for oi, parts in enumerate(orders):
+        bronze = str(tmp_path / f"kn_bronze_{oi}")
+        out = str(tmp_path / f"kn_scored_{oi}")
+        ckpt = str(tmp_path / f"kn_ckpt_{oi}")
+        for part in parts:
+            spark.createDataFrame(part, lm_schema).write.mode("append").parquet(bronze)
+            q = stream_lm_score(
+                spark, bronze, out, ckpt, lm_schema, model, bounds
+            )
+            q.awaitTermination()
+        got = {
+            (r.doc_id, r.lang, r.n_bigrams, r.ppl, r.bucket)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got == want, oi
+
+    # same checkpoint, nothing new -> no-op
+    q = stream_lm_score(
+        spark,
+        str(tmp_path / "kn_bronze_0"), str(tmp_path / "kn_scored_0"),
+        str(tmp_path / "kn_ckpt_0"), lm_schema, model, bounds,
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.lang, r.n_bigrams, r.ppl, r.bucket)
+        for r in spark.read.parquet(str(tmp_path / "kn_scored_0")).collect()
+    }
+    assert got == want

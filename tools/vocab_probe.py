@@ -10,10 +10,12 @@ actually grows with K — vocab(K) = ceil(2000 * K^0.6), the Heaps
 exponent of real text — and measures, at each K:
 
 - fitted bigram-LM grid/ctx row counts (unpruned and min_count=2),
+- fitted Kneser-Ney grid/ctx/cont row counts (same two tiers — the
+  KN triple is vocabulary-proportional on all three frames, round-9),
 - NB likelihood-grid row counts,
-- the join strategy AQE picks for the model joins in the LM and NB
-  serve plans ("broadcast" vs "shuffled") now that the round-8 fix
-  removed the unconditional F.broadcast hints.
+- the join strategy AQE picks for the model joins in the LM (add-one
+  AND KN) and NB serve plans ("broadcast" vs "shuffled") now that the
+  round-8 fix removed the unconditional F.broadcast hints.
 
 Expected shape (recorded in docs/SCALE_PROBE.md): model rows GROW
 with K; small models broadcast; once a model outgrows
@@ -91,6 +93,8 @@ def join_strategies(df: DataFrame) -> dict[str, int]:
 def probe(spark, k: int) -> dict:
     from crypto_data_pipeline_spark.ml.classify import nb_predict, nb_train
     from crypto_data_pipeline_spark.operators.lm import (
+        bigram_lm_kn_perplexity,
+        bigram_lm_kn_train,
         bigram_lm_perplexity,
         bigram_lm_train,
     )
@@ -103,6 +107,11 @@ def probe(spark, k: int) -> dict:
     lm_joins = join_strategies(bigram_lm_perplexity(docs, grid, ctx))
     lm_joins_pruned = join_strategies(bigram_lm_perplexity(docs, grid_p, ctx_p))
 
+    kn = bigram_lm_kn_train(docs)
+    kn_p = bigram_lm_kn_train(docs, min_count=2)
+    kn_joins = join_strategies(bigram_lm_kn_perplexity(docs, *kn))
+    kn_joins_pruned = join_strategies(bigram_lm_kn_perplexity(docs, *kn_p))
+
     classes, nb_grid = nb_train(docs, label="lang")
     nb_joins = join_strategies(nb_predict(docs, classes, nb_grid))
 
@@ -114,16 +123,24 @@ def probe(spark, k: int) -> dict:
         "lm_ctx_rows": ctx.count(),
         "lm_grid_rows_mc2": grid_p.count(),
         "lm_ctx_rows_mc2": ctx_p.count(),
+        "kn_grid_rows": kn[0].count(),
+        "kn_ctx_rows": kn[1].count(),
+        "kn_cont_rows": kn[2].count(),
+        "kn_grid_rows_mc2": kn_p[0].count(),
+        "kn_ctx_rows_mc2": kn_p[1].count(),
+        "kn_cont_rows_mc2": kn_p[2].count(),
         "nb_grid_rows": nb_grid.count(),
         "lm_joins": lm_joins,
         "lm_joins_mc2": lm_joins_pruned,
+        "kn_joins": kn_joins,
+        "kn_joins_mc2": kn_joins_pruned,
         "nb_joins": nb_joins,
     }
     # the frames are localCheckpoint-backed: unpersist() would be a
     # no-op (they are not in the cache manager) — their blocks are
     # reclaimed by the ContextCleaner once the RDDs are GC'd, so drop
     # the references and nudge the collector before the next, bigger K
-    del grid, ctx, grid_p, ctx_p, classes, nb_grid, docs
+    del grid, ctx, grid_p, ctx_p, kn, kn_p, classes, nb_grid, docs
     import gc
 
     gc.collect()
