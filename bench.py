@@ -79,6 +79,11 @@ def main() -> None:
         "embedding_ann_ivf", "embedding_ann_lsh", "corpus_curation_pipeline",
         "nb_lang_classifier",  # round 7: fit cached per (session, corpus)
         "lm_perplexity_buckets",  # round 7: same split for the bigram LM
+        "lm_perplexity_buckets_kn",  # round 9: KN triple cached at rest
+        # round 9: bench-flagged gate query; shares the add-one LM
+        # cache with lm_perplexity_buckets (which registers first and
+        # pays the fit), so its cold row is the residual fan-out build
+        "source_curation_report",
     }
     cold: dict[str, float] = {}
     for spec in specs:

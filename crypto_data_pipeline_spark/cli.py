@@ -213,6 +213,62 @@ def cmd_ingest_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_run_pipeline(args: argparse.Namespace) -> int:
+    """The reference user's switch-over command: one distributed run
+    replaces their whole stack — load_data.py (bronze JSON tree ->
+    silver), analysis_queries.sql (the two README reports), and the
+    EDA/transform notebooks (processed + per-coin prediction feature
+    tables). Row-level parity with the published outputs on the real
+    corpus is pinned by tests/test_real_reference_data.py; this
+    command is the same operators behind a front door:
+
+      python -m crypto_data_pipeline_spark run-pipeline \\
+          --bronze-root <data dir with <coin>/<coin>_<date>.json> \\
+          --out <dir>
+
+    Writes parquet: out/processed, out/prediction, out/monthly_avg,
+    out/recovery_report; prints the two report tables."""
+    from crypto_data_pipeline_spark.operators import islands, timeseries as ts
+    from crypto_data_pipeline_spark.plans import feature_pipeline as fp
+    from crypto_data_pipeline_spark.sources.json_dir import (
+        coin_history_silver,
+        read_bronze_json,
+    )
+
+    spark = _spark("cli-run-pipeline")
+    silver = coin_history_silver(read_bronze_json(spark, args.bronze_root)).persist()
+    n = silver.count()
+    if n == 0:
+        print(f"no bronze documents under {args.bronze_root}", file=sys.stderr)
+        return 2
+    hist = silver.select("entity_id", "fetch_date", "price")
+
+    fp.processed_table(hist).write.mode("overwrite").parquet(f"{args.out}/processed")
+    fp.prediction_table(hist, spark).write.mode("overwrite").parquet(
+        f"{args.out}/prediction"
+    )
+
+    monthly = ts.monthly_avg(hist)
+    monthly.write.mode("overwrite").parquet(f"{args.out}/monthly_avg")
+    from pyspark.sql import functions as F
+
+    caps = ts.latest_per_entity(silver, "entity_id", "fetch_date").select(
+        "entity_id",
+        F.col("market_cap_usd").alias("market_cap"),
+        islands.format_market_cap("market_cap_usd").alias("market_cap_formatted"),
+    )
+    report = islands.recovery_report(hist, caps)
+    report.write.mode("overwrite").parquet(f"{args.out}/recovery_report")
+
+    print(f"ingested {n} bronze documents from {args.bronze_root}")
+    print("-- monthly average price (Query 1) --")
+    monthly.show(100, truncate=False)
+    print("-- recovery after >=3 consecutive drops (Query 2) --")
+    report.show(20, truncate=False)
+    silver.unpersist()
+    return 0
+
+
 def cmd_list_coins(args: argparse.Namespace) -> int:
     """Print (and optionally snapshot) the coin catalog — the
     reference's ``get_coin_list`` (coingecko_client.py:94). Driver-side
@@ -303,6 +359,15 @@ def build_parser() -> argparse.ArgumentParser:
     ic.add_argument("--id-col", default="doc_id")
     ic.add_argument("--text-col", default="text")
     ic.set_defaults(fn=cmd_ingest_corpus)
+
+    rp = sub.add_parser(
+        "run-pipeline",
+        help="bronze JSON tree -> silver -> feature tables + the two analysis reports",
+    )
+    rp.add_argument("--bronze-root", required=True,
+                    help="directory holding <coin>/<coin>_YYYY-MM-DD.json files")
+    rp.add_argument("--out", required=True, help="output directory (parquet)")
+    rp.set_defaults(fn=cmd_run_pipeline)
 
     lc = sub.add_parser("list-coins", help="print the coin catalog (optionally snapshot to parquet)")
     lc.add_argument("--transport", default="fake", choices=["fake", "real"])

@@ -55,9 +55,13 @@ def read_bronze_json(spark: SparkSession, root: str) -> DataFrame:
         if "PATH_NOT_FOUND" not in str(exc):
             raise
         # an empty bronze tree is a valid state (first run, nothing
-        # fetched yet) — yield the empty frame, not a crash
+        # fetched yet) — yield the empty frame, not a crash. The _file
+        # placeholder must be a NULL literal, not '': a '' literal
+        # constant-folds through to_date('') below at PLAN time, which
+        # ANSI mode rejects even on a zero-row frame (found by
+        # tests/test_cli.py::test_run_pipeline_empty_tree_fails_loud)
         raw = spark.createDataFrame([], COIN_HISTORY_PAYLOAD).withColumn(
-            "_file", F.lit("").cast("string")
+            "_file", F.lit(None).cast("string")
         )
     return raw.select(
         F.regexp_extract("_file", _FILE_RE, 1).alias("coin_id"),

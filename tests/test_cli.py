@@ -249,3 +249,46 @@ def test_ingest_corpus_command(spark, capsys, tmp_path):
     assert "2 documents" in capsys.readouterr().out
     assert main(argv) == 0  # idempotent re-run, nothing new picked up
     assert "2 documents" in capsys.readouterr().out
+
+
+def test_run_pipeline_command_on_real_corpus(spark, capsys, tmp_path):
+    """`run-pipeline` is the reference user's one-command switch-over:
+    bronze JSON tree -> all four output tables, with the README Query 2
+    values reproduced verbatim from the real corpus (row-level parity
+    of the feature tables is pinned by test_real_reference_data.py)."""
+    import os
+
+    import pytest
+
+    if not os.path.isdir("/root/reference/data/bitcoin"):
+        pytest.skip("reference corpus not mounted")
+    out = str(tmp_path / "pipeline_out")
+    rc = main(["run-pipeline", "--bronze-root", "/root/reference/data",
+                   "--out", out])
+    assert rc == 0
+    got = capsys.readouterr().out
+    assert "ingested 739 bronze documents" in got
+    for d in ("processed", "prediction", "monthly_avg", "recovery_report"):
+        assert os.path.isdir(f"{out}/{d}"), d
+    rep = {
+        r.entity_id: (r.avg_price_increase_pct, r.market_cap_formatted)
+        for r in spark.read.parquet(f"{out}/recovery_report").collect()
+    }
+    assert rep == {
+        "ethereum": (26.97, "314.02B"),
+        "cardano": (109.95, "28.79B"),
+        "bitcoin": (35.30, "2.06T"),
+    }
+    assert spark.read.parquet(f"{out}/processed").count() == 739
+    assert len(spark.read.parquet(f"{out}/prediction").columns) == 33
+
+
+def test_run_pipeline_empty_tree_fails_loud(capsys, tmp_path):
+    empty = str(tmp_path / "empty_bronze")
+    import os
+
+    os.makedirs(empty, exist_ok=True)
+    rc = main(["run-pipeline", "--bronze-root", empty,
+                   "--out", str(tmp_path / "out")])
+    assert rc == 2
+    assert "no bronze documents" in capsys.readouterr().err
