@@ -145,14 +145,22 @@ def main() -> None:
         ):
             truth.setdefault(r.query_id, set()).add(r.vec_id)
         total = sum(len(v) for v in truth.values())
-        for name in ("embedding_ann_ivf", "embedding_ann_lsh"):
+    except Exception:
+        truth, total = {}, 0
+    for name in ("embedding_ann_ivf", "embedding_ann_lsh"):
+        # a failed measurement records the same -1 sentinel the
+        # shuffle-byte reader uses — an artifact row that SAYS the
+        # measurement failed, never a silently missing one
+        try:
+            if not total:
+                raise ValueError("no brute-force truth rows")
             got: dict[int, set[int]] = {}
             for r in by_name[name].fn(spark, sf_dir).select("query_id", "vec_id").collect():
                 got.setdefault(r.query_id, set()).add(r.vec_id)
             hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
             recall_at_k[name] = round(hits / total, 4)
-    except Exception:
-        pass  # never fail the bench for a quality metric read
+        except Exception:
+            recall_at_k[name] = -1.0
 
     # Round-over-round shuffle-byte regression gate: bytes are the
     # deterministic plan signal (docs/BENCH_VARIANCE.md) — diff against

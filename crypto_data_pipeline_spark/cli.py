@@ -261,10 +261,20 @@ def cmd_run_pipeline(args: argparse.Namespace) -> int:
     report.write.mode("overwrite").parquet(f"{args.out}/recovery_report")
 
     print(f"ingested {n} bronze documents from {args.bronze_root}")
+    # both report tables are small by construction (|coins| x months
+    # and |coins| rows) — print them WHOLE from the landed parquet so
+    # a bigger-than-reference corpus never gets a silently truncated
+    # report next to a complete file
+    monthly_out = spark.read.parquet(f"{args.out}/monthly_avg")
     print("-- monthly average price (Query 1) --")
-    monthly.show(100, truncate=False)
+    monthly_out.orderBy("entity_id", "year", "month").show(
+        monthly_out.count(), truncate=False
+    )
+    report_out = spark.read.parquet(f"{args.out}/recovery_report")
     print("-- recovery after >=3 consecutive drops (Query 2) --")
-    report.show(20, truncate=False)
+    report_out.orderBy(F.col("avg_price_increase_pct").desc()).show(
+        report_out.count(), truncate=False
+    )
     silver.unpersist()
     return 0
 

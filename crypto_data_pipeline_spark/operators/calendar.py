@@ -38,12 +38,16 @@ US_HOLIDAYS = [
 ]
 
 # Matches the ``holidays.China()`` calendar the reference applies
-# (transform_data.ipynb:560-561): statutory days plus substituted
-# weekday days-off, EXCLUDING weekend days that fall inside a golden
-# week (e.g. 2024-10-05/06 and 2025-02-01/02 are NOT holidays). Every
-# date inside the reference corpus span (2024-09 .. 2025-05) is pinned
-# row-level by tests/test_real_reference_data.py against the published
-# <coin>_prediction_data.csv is_china_holiday column.
+# (transform_data.ipynb:560-561): STATUTORY holiday days are kept
+# whatever weekday they fall on (Spring Festival 2024 spans its
+# weekends), substituted weekday days-off are included (2024-10-04/07,
+# 2025-05-02/05), and plain weekend days that merely sit inside a
+# golden week without being statutory or substituted are NOT holidays
+# (2024-10-05/06, 2025-02-01/02). Every date inside the reference
+# corpus span (2024-09 .. 2025-05) is pinned row-level by
+# tests/test_real_reference_data.py against the published
+# <coin>_prediction_data.csv is_china_holiday column; entries outside
+# that span follow the same rule but have no published pin.
 CN_HOLIDAYS = [
     "2024-01-01", "2024-02-10", "2024-02-11", "2024-02-12", "2024-02-13",
     "2024-02-14", "2024-02-15", "2024-02-16", "2024-02-17", "2024-04-04",

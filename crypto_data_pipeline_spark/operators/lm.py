@@ -486,6 +486,63 @@ def _bucket_by_bounds(ppl: DataFrame, bounds: DataFrame) -> DataFrame:
     )
 
 
+def _boundaries(
+    docs: DataFrame,
+    fit,
+    score,
+    lang: str,
+    text: str,
+    doc_id: str,
+    model: tuple[DataFrame, ...] | None,
+    accuracy: int,
+) -> DataFrame:
+    """Family-generic boundary freeze: fit (or take) a model, score the
+    corpus, reduce to per-language tercile boundaries. The smoothing
+    family enters only through (fit, score) — the serving contract
+    (one approx_percentile pass, |langs|x2 output) is defined ONCE so
+    the add-one and KN twins cannot drift."""
+    frames = model if model is not None else fit(docs, lang=lang, text=text)
+    ppl = score(docs, *frames, lang=lang, text=text, doc_id=doc_id)
+    return ppl.groupBy("lang").agg(
+        F.percentile_approx("ppl", [1.0 / 3.0, 2.0 / 3.0], accuracy).alias("_b")
+    )
+
+
+def _frozen_buckets(
+    docs: DataFrame,
+    bounds: DataFrame,
+    fit,
+    score,
+    lang: str,
+    text: str,
+    doc_id: str,
+    model: tuple[DataFrame, ...] | None,
+) -> DataFrame:
+    """Family-generic frozen-boundary serve. Holds the THREE serving
+    subtleties in one place for both smoothing families: (a) the
+    'trained' set shrinks to languages both the model AND the bounds
+    know (ctx semi-joined to bounds — a trained-but-unbounded
+    language's docs file as 'unscored', never vanish; round-8
+    self-review), (b) bucket assignment is the broadcast |langs|x2
+    boundary comparison, (c) unscorables union in from the scan-side
+    complement. The model's ctx frame is positional slot 2 in every
+    family (add-one pair, KN triple)."""
+    frames = model if model is not None else fit(docs, lang=lang, text=text)
+    grid, ctx, *rest = frames
+    servable_ctx = ctx.join(
+        F.broadcast(bounds.select("lang").distinct()), "lang", "left_semi"
+    )
+    ppl = score(
+        docs, grid, servable_ctx, *rest, lang=lang, text=text, doc_id=doc_id
+    )
+    scored = _bucket_by_bounds(ppl, bounds).select(
+        doc_id, "lang", "n_bigrams", "ppl", "bucket"
+    )
+    return scored.unionByName(
+        _unscored_docs(docs, servable_ctx, lang, text, doc_id)
+    )
+
+
 def perplexity_boundaries(
     docs: DataFrame,
     lang: str = "lang",
@@ -503,12 +560,9 @@ def perplexity_boundaries(
     at least one scorable training doc, so the boundary table covers
     every language the model can score (the inner join in
     `_bucket_by_bounds` is then total over scorable docs)."""
-    grid, ctx = model if model is not None else bigram_lm_train(
-        docs, lang=lang, text=text
-    )
-    ppl = bigram_lm_perplexity(docs, grid, ctx, lang=lang, text=text, doc_id=doc_id)
-    return ppl.groupBy("lang").agg(
-        F.percentile_approx("ppl", [1.0 / 3.0, 2.0 / 3.0], accuracy).alias("_b")
+    return _boundaries(
+        docs, bigram_lm_train, bigram_lm_perplexity,
+        lang, text, doc_id, model, accuracy,
     )
 
 
@@ -536,21 +590,10 @@ def perplexity_buckets_frozen(
     computed from ctx alone, so a trained-but-unbounded language's
     docs vanished from the output). Implemented by shrinking the
     'trained' set to the languages both frames know: ctx semi-joined
-    to bounds."""
-    grid, ctx = model if model is not None else bigram_lm_train(
-        docs, lang=lang, text=text
-    )
-    servable_ctx = ctx.join(
-        F.broadcast(bounds.select("lang").distinct()), "lang", "left_semi"
-    )
-    ppl = bigram_lm_perplexity(
-        docs, grid, servable_ctx, lang=lang, text=text, doc_id=doc_id
-    )
-    scored = _bucket_by_bounds(ppl, bounds).select(
-        doc_id, "lang", "n_bigrams", "ppl", "bucket"
-    )
-    return scored.unionByName(
-        _unscored_docs(docs, servable_ctx, lang, text, doc_id)
+    to bounds (`_frozen_buckets`, shared with the KN twin)."""
+    return _frozen_buckets(
+        docs, bounds, bigram_lm_train, bigram_lm_perplexity,
+        lang, text, doc_id, model,
     )
 
 
@@ -568,14 +611,9 @@ def kn_perplexity_boundaries(
     serving contract — fit the triple once, freeze these alongside it
     (`save_lm_model(..., cont=, bounds=)`), and score unbounded
     streams against both without re-sorting anything."""
-    grid, ctx, cont = model if model is not None else bigram_lm_kn_train(
-        docs, lang=lang, text=text
-    )
-    ppl = bigram_lm_kn_perplexity(
-        docs, grid, ctx, cont, lang=lang, text=text, doc_id=doc_id
-    )
-    return ppl.groupBy("lang").agg(
-        F.percentile_approx("ppl", [1.0 / 3.0, 2.0 / 3.0], accuracy).alias("_b")
+    return _boundaries(
+        docs, bigram_lm_kn_train, bigram_lm_kn_perplexity,
+        lang, text, doc_id, model, accuracy,
     )
 
 
@@ -593,21 +631,11 @@ def kn_perplexity_buckets_frozen(
     including a trained-but-unbounded language's (the serving artifact
     is model AND bounds together) — as 'unscored'. Output independent
     of batch composition, so the streaming serve equals this batch
-    twin under any delivery split."""
-    grid, ctx, cont = model if model is not None else bigram_lm_kn_train(
-        docs, lang=lang, text=text
-    )
-    servable_ctx = ctx.join(
-        F.broadcast(bounds.select("lang").distinct()), "lang", "left_semi"
-    )
-    ppl = bigram_lm_kn_perplexity(
-        docs, grid, servable_ctx, cont, lang=lang, text=text, doc_id=doc_id
-    )
-    scored = _bucket_by_bounds(ppl, bounds).select(
-        doc_id, "lang", "n_bigrams", "ppl", "bucket"
-    )
-    return scored.unionByName(
-        _unscored_docs(docs, servable_ctx, lang, text, doc_id)
+    twin under any delivery split (`_frozen_buckets`, shared with the
+    add-one twin)."""
+    return _frozen_buckets(
+        docs, bounds, bigram_lm_kn_train, bigram_lm_kn_perplexity,
+        lang, text, doc_id, model,
     )
 
 

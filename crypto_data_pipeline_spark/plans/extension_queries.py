@@ -1446,58 +1446,60 @@ import atexit
 atexit.register(_cleanup_model_dirs)
 
 
-def _lm_model(spark: SparkSession, sf_dir: str) -> tuple:
-    from crypto_data_pipeline_spark.operators.lm import (
-        bigram_lm_train,
-        load_lm_model,
-        save_lm_model,
-    )
+def _lm_model_at_rest(
+    spark: SparkSession,
+    sf_dir: str,
+    cache: dict,
+    dirs: dict,
+    prefix: str,
+    train,
+    with_cont: bool,
+) -> tuple:
+    """Shared train-once/serve-from-rest cache for both LM families:
+    fit on first touch, land the frames to a parquet temp dir, serve
+    the RELOADED scans. Parquet-backed frames give the (hint-free,
+    round-8) serve joins accurate statistics, so a model-sized grid
+    broadcasts by measurement instead of depending on
+    checkpoint-lineage guesses. One cache entry per (session, corpus);
+    eviction and process-exit both rmtree the dir."""
+    from crypto_data_pipeline_spark.operators.lm import load_lm_model, save_lm_model
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    model = _LM_MODEL_CACHE.get(key)
+    model = cache.get(key)
     if model is None:
         import tempfile
 
-        # model AT REST, same reason as _nb_model: parquet-backed
-        # frames give the (hint-free, round-8) serve joins accurate
-        # statistics, so a model-sized grid broadcasts by measurement
-        # instead of depending on checkpoint-lineage guesses
-        model_dir = tempfile.mkdtemp(prefix="lm_model_")
-        save_lm_model(model_dir, *bigram_lm_train(_docs(spark, sf_dir)))
-        model = load_lm_model(spark, model_dir)
-        _cache_put(
-            _LM_MODEL_CACHE, key, model, lambda m: m[0], dirs=_LM_MODEL_DIRS
-        )
-        _LM_MODEL_DIRS[key] = model_dir
+        model_dir = tempfile.mkdtemp(prefix=prefix)
+        frames = train(_docs(spark, sf_dir))
+        if with_cont:
+            grid, ctx, cont = frames
+            save_lm_model(model_dir, grid, ctx, cont=cont)
+        else:
+            save_lm_model(model_dir, *frames)
+        model = load_lm_model(spark, model_dir, with_cont=with_cont)
+        _cache_put(cache, key, model, lambda m: m[0], dirs=dirs)
+        dirs[key] = model_dir
     return model
+
+
+def _lm_model(spark: SparkSession, sf_dir: str) -> tuple:
+    from crypto_data_pipeline_spark.operators.lm import bigram_lm_train
+
+    return _lm_model_at_rest(
+        spark, sf_dir, _LM_MODEL_CACHE, _LM_MODEL_DIRS, "lm_model_",
+        bigram_lm_train, with_cont=False,
+    )
 
 
 def _lm_kn_model(spark: SparkSession, sf_dir: str) -> tuple:
-    """The Kneser-Ney triple (grid, ctx, cont) at rest, cached per
-    (session, corpus) — the same parquet-backed contract as `_lm_model`
-    so the KN serve joins read MEASURED statistics (a pruned model
-    broadcasts by measurement; checkpoint-lineage estimates are the
-    thing round 8's vocab probe showed planners rightly distrust)."""
-    from crypto_data_pipeline_spark.operators.lm import (
-        bigram_lm_kn_train,
-        load_lm_model,
-        save_lm_model,
+    """The Kneser-Ney triple (grid, ctx, cont) at rest — same contract
+    as `_lm_model`, same shared cache machinery."""
+    from crypto_data_pipeline_spark.operators.lm import bigram_lm_kn_train
+
+    return _lm_model_at_rest(
+        spark, sf_dir, _LM_KN_MODEL_CACHE, _LM_KN_MODEL_DIRS, "lm_kn_model_",
+        bigram_lm_kn_train, with_cont=True,
     )
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    model = _LM_KN_MODEL_CACHE.get(key)
-    if model is None:
-        import tempfile
-
-        model_dir = tempfile.mkdtemp(prefix="lm_kn_model_")
-        grid, ctx, cont = bigram_lm_kn_train(_docs(spark, sf_dir))
-        save_lm_model(model_dir, grid, ctx, cont=cont)
-        model = load_lm_model(spark, model_dir, with_cont=True)
-        _cache_put(
-            _LM_KN_MODEL_CACHE, key, model, lambda m: m[0], dirs=_LM_KN_MODEL_DIRS
-        )
-        _LM_KN_MODEL_DIRS[key] = model_dir
-    return model
 
 
 def _cache_put(

@@ -63,6 +63,14 @@ def read_bronze_json(spark: SparkSession, root: str) -> DataFrame:
         raw = spark.createDataFrame([], COIN_HISTORY_PAYLOAD).withColumn(
             "_file", F.lit(None).cast("string")
         )
+    # Only <name>_YYYY-MM-DD.json filenames carry the (coin, date) key —
+    # the distributed twin of the reference's per-coin filename glob
+    # (load_data.py:112-129), which likewise never reads a stray
+    # metadata.json or <coin>_latest.json. Filtering BEFORE the date
+    # parse also keeps ANSI to_date off non-conforming names (a stray
+    # file would otherwise abort the whole scan with an opaque cast
+    # error at the first action).
+    raw = raw.where(F.col("_file").rlike(_FILE_RE))
     return raw.select(
         F.regexp_extract("_file", _FILE_RE, 1).alias("coin_id"),
         F.to_date(F.regexp_extract("_file", _FILE_RE, 2)).alias("fetch_date"),

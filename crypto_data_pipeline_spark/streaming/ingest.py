@@ -438,9 +438,22 @@ def stream_lm_score(
         perplexity_buckets_frozen,
     )
 
-    scorer = (
-        perplexity_buckets_frozen if len(model) == 2 else kn_perplexity_buckets_frozen
-    )
+    # dispatch on the model's SHAPE, not bare arity: the third frame of
+    # the KN triple is cont (lang, w2, n1p_w2). A (grid, ctx, bounds)
+    # 3-tuple from load_lm_model(with_bounds=True) must fail here with
+    # a usable message, not reach the KN scorer and die per-batch on
+    # missing columns — bounds travels as its own argument
+    if len(model) == 2:
+        scorer = perplexity_buckets_frozen
+    elif len(model) == 3 and "n1p_w2" in model[2].columns:
+        scorer = kn_perplexity_buckets_frozen
+    else:
+        raise ValueError(
+            "model must be the add-one pair (grid, ctx) or the KN triple "
+            f"(grid, ctx, cont); got {len(model)} frames with last columns "
+            f"{list(model[-1].columns)} — pass the boundary table via the "
+            "separate `bounds` argument"
+        )
     stream = spark.readStream.schema(schema).parquet(bronze_dir)
 
     def score(batch: DataFrame, batch_id: int) -> None:
