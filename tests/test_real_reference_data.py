@@ -189,3 +189,75 @@ def test_calendar_parity_columns_on_real_span(prediction):
     cn_days = set(prediction.loc[prediction.is_china_holiday == 1, "fetch_date"])
     assert "2024-10-04" in cn_days and "2024-10-07" in cn_days  # substituted weekdays
     assert "2024-10-05" not in cn_days and "2024-10-06" not in cn_days  # golden-week weekend
+
+
+def test_incremental_reingestion_on_real_corpus(spark, silver, history, tmp_path):
+    """The reference's operational mode, on its real corpus: deliveries
+    arrive month by month with a replayed overlap (the daily cron
+    re-fetching recent days), each upserted into the keyed silver store
+    via the partition-pruned incremental path (S7/ST2); the maintained
+    monthly aggregate (S8) recomputed after the last delivery must
+    equal the from-scratch batch aggregate, and the final store must
+    equal the batch silver row for row — idempotence and
+    incremental==batch proven on the real 739-row corpus, not just the
+    synthetic fixtures."""
+    from crypto_data_pipeline_spark.operators import timeseries as ts
+    from crypto_data_pipeline_spark.sources.upsert import upsert_parquet_incremental
+
+    store = str(tmp_path / "coin_history")
+    stamped = (
+        silver.select("entity_id", "fetch_date", "price")
+        .withColumn("year", F.year("fetch_date").cast("int"))
+        .withColumn("month", F.month("fetch_date").cast("int"))
+        .withColumn("created_at", F.col("fetch_date").cast("timestamp"))
+    )
+    months = [
+        (r.year, r.month)
+        for r in stamped.select("year", "month").distinct()
+        .orderBy("year", "month").collect()
+    ]
+    assert len(months) == 9  # 2024-09 .. 2025-05
+    for i, (y, m) in enumerate(months):
+        delivery = stamped.where((F.col("year") == y) & (F.col("month") == m))
+        if i > 0:  # replay the previous month's tail — at-least-once
+            py, pm = months[i - 1]
+            delivery = delivery.unionByName(
+                stamped.where(
+                    (F.col("year") == py) & (F.col("month") == pm)
+                    & (F.dayofmonth("fetch_date") >= 25)
+                )
+            )
+        upsert_parquet_incremental(
+            spark, delivery, store, keys=["entity_id", "fetch_date"],
+        )
+
+    got = spark.read.parquet(store)
+    assert got.count() == 739  # replays deduped, nothing lost
+    batch = {
+        (r.entity_id, str(r.fetch_date), r.price)
+        for r in stamped.select("entity_id", "fetch_date", "price").collect()
+    }
+    merged = {
+        (r.entity_id, str(r.fetch_date), r.price)
+        for r in got.select("entity_id", "fetch_date", "price").collect()
+    }
+    assert merged == batch
+
+    # the maintained S8 aggregate over the store == from-scratch batch
+    inc_agg = {
+        (r.entity_id, r.year, r.month): (r.min_price, r.max_price)
+        for r in ts.monthly_min_max(got).collect()
+    }
+    batch_agg = {
+        (r.entity_id, r.year, r.month): (r.min_price, r.max_price)
+        for r in ts.monthly_min_max(history).collect()
+    }
+    assert inc_agg == batch_agg
+
+    # and Query 1 over the incrementally-built store still reproduces
+    # the README golden table verbatim
+    got_q1 = {
+        (r.entity_id, r.year, r.month): r.avg_price
+        for r in ts.monthly_avg(got.select("entity_id", "fetch_date", "price")).collect()
+    }
+    assert got_q1 == GOLDEN_MONTHLY_AVG
