@@ -147,7 +147,7 @@ def main() -> None:
         total = sum(len(v) for v in truth.values())
     except Exception:
         truth, total = {}, 0
-    for name in ("embedding_ann_ivf", "embedding_ann_lsh"):
+    for name in ("embedding_ann_ivf", "embedding_ann_lsh", "embedding_ann_lsh_multiprobe"):
         # a failed measurement records the same -1 sentinel the
         # shuffle-byte reader uses — an artifact row that SAYS the
         # measurement failed, never a silently missing one

@@ -653,6 +653,42 @@ def _table_buckets(vec_col: str, dim: int, bits: int, tables: int, seed: int = 4
     return F.expr("array(" + ", ".join(structs) + ")")
 
 
+def _table_buckets_multiprobe(
+    vec_col: str, dim: int, bits: int, tables: int, seed: int, n_flip: int
+) -> Column:
+    """Query-side multi-probe key family (Lv et al. 2007, "Multi-Probe
+    LSH", VLDB): per table, the base bucket PLUS the ``n_flip`` buckets
+    at Hamming distance 1 obtained by flipping the lowest-|margin| sign
+    bits — the projections closest to zero are exactly the decisions a
+    true neighbor is most likely to land on the other side of, so each
+    extra probe buys near-maximal recall per candidate scanned. Emits
+    array<struct<t,b>> with (1 + n_flip) entries per table; the CORPUS
+    index is untouched (same at-rest layout, same family params), so
+    recall is a pure query-time knob. Tie-break on equal margins is by
+    bit index, mirrored verbatim in the DuckDB oracle's ORDER BY
+    abs(d), i. Same one-F.expr-parse device as _table_buckets; the
+    base bucket expression is textually repeated inside the flip
+    lambda (codegen re-evaluates ~bits dot products per flip), which
+    is O(bits·dim) flops per row — noise next to the candidate join it
+    saves."""
+    planes = _hyperplanes(dim, bits * tables, seed)
+    vec_expr = _vec_sql(vec_col)
+    parts = []
+    for t in range(tables):
+        tp = planes[t * bits : (t + 1) * bits]
+        base = _sign_bits_sql(vec_expr, tp)
+        margins = ", ".join(
+            f"named_struct('m', abs({_dot_sql(vec_expr, p)}), 'i', {i})"
+            for i, p in enumerate(tp)
+        )
+        parts.append(
+            f"concat(array(named_struct('t', {t}, 'b', {base})), "
+            f"transform(slice(array_sort(array({margins})), 1, {n_flip}), "
+            f"s -> named_struct('t', {t}, 'b', ({base}) ^ shiftleft(1L, s.i))))"
+        )
+    return F.expr("concat(" + ", ".join(parts) + ")")
+
+
 @dataclass
 class LshIndex:
     """A built LSH index: the persisted corpus (id, table, bucket) keys
@@ -752,6 +788,7 @@ def lsh_topk(
     seed: int = 42,
     exclude_self: bool = True,
     corpus_keys: LshIndex | None = None,
+    probes_per_table: int = 0,
 ) -> DataFrame:
     """ANN top-k via MULTI-TABLE random-hyperplane LSH: `tables`
     independent `bits`-bit sign hashes; a corpus vector is a candidate
@@ -761,6 +798,16 @@ def lsh_topk(
     exploded (table, bucket) key — ids only, vectors re-attached after
     dedup, so the shuffle carries no embeddings. Recall-lossy by
     design; brute_force_topk is the exactness baseline.
+
+    ``probes_per_table`` > 0 switches the QUERY side to multi-probe
+    (Lv et al. 2007): per table, also probe the buckets at Hamming
+    distance 1 on the query's lowest-|margin| bits — recall rises
+    toward what (1 + probes_per_table)× the tables would give, with
+    zero change to the corpus index at rest (same build, same storage
+    partitioning, same partition pruning). At 100 TB that asymmetry is
+    the whole point: re-indexing the corpus is a full rewrite, an
+    extra probe is a few more pruned partition reads per query.
+    0 keeps the exact single-probe behavior.
 
     Defaults (5 bits × 10 tables) target this corpus's geometry (true
     neighbors at cosine ≈ 0.3 ⇒ p_bit ≈ 0.6 ⇒ ~50% expected recall
@@ -781,10 +828,19 @@ def lsh_topk(
             f"does not match the probe call (dim={dim}, bits={bits}, tables={tables}, "
             f"seed={seed}, id_col={id_col!r})"
         )
+    if not 0 <= probes_per_table <= bits:
+        raise ValueError(
+            f"probes_per_table must be in [0, bits={bits}], got {probes_per_table}"
+        )
     id_col = corpus_keys.id_col
+    key_gen = (
+        _table_buckets(vec_col, dim, bits, tables, seed)
+        if probes_per_table == 0
+        else _table_buckets_multiprobe(vec_col, dim, bits, tables, seed, probes_per_table)
+    )
     q_keys = queries.select(
         F.col(query_id_col),
-        F.explode(_table_buckets(vec_col, dim, bits, tables, seed)).alias("tb"),
+        F.explode(key_gen).alias("tb"),
     ).select(query_id_col, "tb.t", "tb.b")
     cands = corpus_keys.keys.join(F.broadcast(q_keys), ["t", "b"])
     if exclude_self:

@@ -186,6 +186,49 @@ def test_lsh_topk_recall_floor(spark, sf_dir, emb):
     assert hits / total >= 0.2, f"LSH recall {hits}/{total}"
 
 
+def test_lsh_multiprobe_recall_dominates_single_probe(spark, sf_dir, emb):
+    """Multi-probe LSH (Lv et al. 2007) against the SAME index: per
+    extra flipped bit, the candidate set only grows (probe sets are
+    supersets), so recall is monotone in probes_per_table — and on
+    this fixture the 2-flip probe must strictly beat single-probe
+    (measured 0.44 → 0.86 at sf0.001). Also pins the two contract
+    edges: probes_per_table=0 reproduces the single-probe result
+    byte-for-byte (same rows, scores, ranks), and an out-of-range
+    probe count fails loud instead of silently clamping."""
+    ids, mat = emb
+    truth = _np_topk(ids, mat)
+    total = sum(len(t) for t in truth.values())
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 10").selectExpr("vec_id AS query_id", "embedding")
+    index = similarity.build_lsh_keys(embs)
+
+    def recall(npr: int) -> float:
+        got: dict[int, set[int]] = {}
+        rows = similarity.lsh_topk(
+            embs, queries, k=5, corpus_keys=index, probes_per_table=npr
+        ).collect()
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(got.get(q, set()) & set(t)) for q, t in truth.items()) / total
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r0 <= r1 <= r2, (r0, r1, r2)
+    assert r2 > r0, "2-flip multi-probe must beat single-probe on this fixture"
+    assert r2 >= 0.5, f"multi-probe recall {r2}"
+
+    base = {tuple(r) for r in similarity.lsh_topk(embs, queries, k=5, corpus_keys=index).collect()}
+    zero = {
+        tuple(r)
+        for r in similarity.lsh_topk(
+            embs, queries, k=5, corpus_keys=index, probes_per_table=0
+        ).collect()
+    }
+    assert zero == base
+
+    with pytest.raises(ValueError, match="probes_per_table"):
+        similarity.lsh_topk(embs, queries, k=5, corpus_keys=index, probes_per_table=6)
+
+
 def test_duplicated_spans_merges_maximal_runs(spark):
     """Lee-et-al span semantics on a hand fixture: a 4-token phrase
     shared by two docs yields one merged span per doc (two overlapping
@@ -741,9 +784,9 @@ def test_ann_registry_recall_floor_sf001(spark):
     benched IVF and LSH probes must keep a minimum recall@5 against
     the exact brute-force twin on the same 10 fixed queries.
     Deterministic — fixed index build, fixed queries — so the floor is
-    a regression gate, not a flake: measured 0.72 (IVF) / 0.56 (LSH)
-    at sf0.01; floors leave margin for intentional re-tuning but
-    catch a collapse."""
+    a regression gate, not a flake: measured 0.72 (IVF) / 0.56 (LSH) /
+    0.94 (LSH multiprobe) at sf0.01; floors leave margin for
+    intentional re-tuning but catch a collapse."""
     import os
 
     sf = "/root/testdata/sf0.01"
@@ -759,7 +802,14 @@ def test_ann_registry_recall_floor_sf001(spark):
     ):
         truth.setdefault(r.query_id, set()).add(r.vec_id)
     total = sum(len(v) for v in truth.values())
-    floors = {"embedding_ann_ivf": 0.5, "embedding_ann_lsh": 0.4}
+    # multiprobe measured 0.94 at sf0.01 — the floor also encodes that
+    # it must stay clearly ABOVE its single-probe sibling, not just
+    # above a collapse threshold
+    floors = {
+        "embedding_ann_ivf": 0.5,
+        "embedding_ann_lsh": 0.4,
+        "embedding_ann_lsh_multiprobe": 0.8,
+    }
     for name, floor in floors.items():
         got: dict[int, set[int]] = {}
         for r in qs[name].fn(spark, sf).select("query_id", "vec_id").collect():
