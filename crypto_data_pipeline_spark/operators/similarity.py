@@ -653,33 +653,43 @@ def _table_buckets(vec_col: str, dim: int, bits: int, tables: int, seed: int = 4
     return F.expr("array(" + ", ".join(structs) + ")")
 
 
-def _table_buckets_multiprobe(
-    vec_col: str, dim: int, bits: int, tables: int, seed: int, n_flip: int
-) -> Column:
-    """Query-side multi-probe key family (Lv et al. 2007, "Multi-Probe
-    LSH", VLDB): per table, the base bucket PLUS the ``n_flip`` buckets
-    at Hamming distance 1 obtained by flipping the lowest-|margin| sign
-    bits — the projections closest to zero are exactly the decisions a
-    true neighbor is most likely to land on the other side of, so each
-    extra probe buys near-maximal recall per candidate scanned. Emits
+def _all_dots_sql(vec_col: str, dim: int, bits: int, tables: int, seed: int) -> Column:
+    """array<double> of ALL tables×bits plane projections, each dot
+    spelled once. The multi-probe key derivation needs every dot
+    twice (sign for the base bucket, |margin| for the flip ranking) —
+    projecting the dots as ONE column and deriving keys from cheap
+    element_at references keeps the generated SQL at single-probe size
+    (the dot literals dominate the text) and evaluates each 64-wide
+    dot once per row instead of once per use."""
+    planes = _hyperplanes(dim, bits * tables, seed)
+    vec_expr = _vec_sql(vec_col)
+    return F.expr("array(" + ", ".join(_dot_sql(vec_expr, p) for p in planes) + ")")
+
+
+def _multiprobe_keys_from_dots(ds_col: str, bits: int, tables: int, n_flip: int) -> Column:
+    """Multi-probe key family (Lv et al. 2007, "Multi-Probe LSH",
+    VLDB) over a pre-projected dots column: per table, the base bucket
+    PLUS the ``n_flip`` buckets at Hamming distance 1 obtained by
+    flipping the lowest-|margin| sign bits — the projections closest
+    to zero are exactly the decisions a true neighbor is most likely
+    to land on the other side of, so each extra probe buys
+    near-maximal recall per candidate scanned. Emits
     array<struct<t,b>> with (1 + n_flip) entries per table; the CORPUS
     index is untouched (same at-rest layout, same family params), so
     recall is a pure query-time knob. Tie-break on equal margins is by
     bit index, mirrored verbatim in the DuckDB oracle's ORDER BY
-    abs(d), i. Same one-F.expr-parse device as _table_buckets; the
-    base bucket expression is textually repeated inside the flip
-    lambda (codegen re-evaluates ~bits dot products per flip), which
-    is O(bits·dim) flops per row — noise next to the candidate join it
-    saves."""
-    planes = _hyperplanes(dim, bits * tables, seed)
-    vec_expr = _vec_sql(vec_col)
+    abs(d), i."""
+
+    def at(t: int, i: int) -> str:
+        return f"element_at(`{ds_col}`, {t * bits + i + 1})"
+
     parts = []
     for t in range(tables):
-        tp = planes[t * bits : (t + 1) * bits]
-        base = _sign_bits_sql(vec_expr, tp)
+        base = " | ".join(
+            f"(CASE WHEN {at(t, i)} > 0D THEN {1 << i}L ELSE 0L END)" for i in range(bits)
+        )
         margins = ", ".join(
-            f"named_struct('m', abs({_dot_sql(vec_expr, p)}), 'i', {i})"
-            for i, p in enumerate(tp)
+            f"named_struct('m', abs({at(t, i)}), 'i', {i})" for i in range(bits)
         )
         parts.append(
             f"concat(array(named_struct('t', {t}, 'b', {base})), "
@@ -687,6 +697,35 @@ def _table_buckets_multiprobe(
             f"s -> named_struct('t', {t}, 'b', ({base}) ^ shiftleft(1L, s.i))))"
         )
     return F.expr("concat(" + ", ".join(parts) + ")")
+
+
+def multiprobe_query_keys(
+    queries: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    dim: int,
+    bits: int,
+    tables: int,
+    seed: int,
+    n_flip: int,
+) -> DataFrame:
+    """Query-side (query_id, t, b) probe keys for multi-probe LSH:
+    the dots project once (see _all_dots_sql), the key family derives
+    from the column. The two-step projection is deliberately NOT a
+    single expression — CollapseProject leaves a multiply-referenced
+    non-trivial alias alone, so codegen evaluates the 64-wide dots one
+    time per query row."""
+    return (
+        queries.select(
+            F.col(query_id_col),
+            _all_dots_sql(vec_col, dim, bits, tables, seed).alias("_ds"),
+        )
+        .select(
+            query_id_col,
+            F.explode(_multiprobe_keys_from_dots("_ds", bits, tables, n_flip)).alias("tb"),
+        )
+        .select(query_id_col, "tb.t", "tb.b")
+    )
 
 
 @dataclass
@@ -833,15 +872,15 @@ def lsh_topk(
             f"probes_per_table must be in [0, bits={bits}], got {probes_per_table}"
         )
     id_col = corpus_keys.id_col
-    key_gen = (
-        _table_buckets(vec_col, dim, bits, tables, seed)
-        if probes_per_table == 0
-        else _table_buckets_multiprobe(vec_col, dim, bits, tables, seed, probes_per_table)
-    )
-    q_keys = queries.select(
-        F.col(query_id_col),
-        F.explode(key_gen).alias("tb"),
-    ).select(query_id_col, "tb.t", "tb.b")
+    if probes_per_table == 0:
+        q_keys = queries.select(
+            F.col(query_id_col),
+            F.explode(_table_buckets(vec_col, dim, bits, tables, seed)).alias("tb"),
+        ).select(query_id_col, "tb.t", "tb.b")
+    else:
+        q_keys = multiprobe_query_keys(
+            queries, query_id_col, vec_col, dim, bits, tables, seed, probes_per_table
+        )
     cands = corpus_keys.keys.join(F.broadcast(q_keys), ["t", "b"])
     if exclude_self:
         # see brute_force_topk: only valid when ids share a namespace
