@@ -2070,7 +2070,16 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_ann_lsh", survey_ids=("EXT-sim",), oracle=_lsh_oracle(), bench=True)
+@register(
+    "embedding_ann_lsh",
+    # r9 rotation: EXT-sim driver slot passes to embedding_ann_lsh_multiprobe
+    # (the round's flagship ANN operator); this stays oracle-tested and
+    # benched so the single-probe baseline keeps its timing/recall rows
+    extra=True,
+    survey_ids=("EXT-sim",),
+    oracle=_lsh_oracle(),
+    bench=True,
+)
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-5 via random-hyperplane LSH bucketing (recall-lossy scale
     path; tests ALSO compare recall against the brute-force baseline).
@@ -2090,7 +2099,9 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_ann_lsh_multiprobe",
-    extra=True,
+    # r9 rotation: seated in the driver gate in embedding_ann_lsh's
+    # EXT-sim slot — the flagship ANN operator of the round, hash-checked
+    # by the driver every round from here on
     survey_ids=("EXT-sim",),
     oracle=_lsh_multiprobe_oracle(),
     bench=True,

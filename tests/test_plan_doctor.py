@@ -29,6 +29,7 @@ BNLJ_OK = {
     "embedding_ann_ivf",           # nprobe cell ids broadcast to the index scan
     "embedding_ann_ivf_fixed",
     "embedding_ann_lsh",           # query-bucket list broadcast
+    "embedding_ann_lsh_multiprobe",  # same broadcast, (1+q)x the keys
     "embedding_bucket_dedup",
     "embedding_quantize_int8",     # 1-row global bounds frame
     "zorder_cluster_keys",         # 1-row quantizer bounds frame
