@@ -853,7 +853,12 @@ def lsh_topk(
     while scoring ~25% of the corpus). Strongly clustered production
     embeddings support more bits per table and far sharper pruning —
     and the bucket key doubles as the storage partition key, so a
-    query prunes to `tables` partitions at rest."""
+    query prunes to `tables` partitions at rest. Measured at 2M
+    clustered vectors (tools/ann_scale_probe.py, docs/SCALE_PROBE.md):
+    the 5-bit default stops pruning (28% candidate fraction), while a
+    10-bit family prunes to 1.4% but needs probes_per_table=2 to hold
+    0.90 recall — sharp family + multi-probe is the at-scale operating
+    point."""
     from pyspark.sql import Window
 
     if corpus_keys is None:

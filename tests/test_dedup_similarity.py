@@ -229,6 +229,30 @@ def test_lsh_multiprobe_recall_dominates_single_probe(spark, sf_dir, emb):
         similarity.lsh_topk(embs, queries, k=5, corpus_keys=index, probes_per_table=6)
 
 
+def test_multiprobe_key_set_is_superset_of_single_probe(spark, sf_dir):
+    """The construction-level invariant behind monotone recall: the
+    multi-probe key set CONTAINS the single-probe (t, base-bucket)
+    keys for every query and every table, plus exactly n_flip extra
+    distinct buckets per (query, table) — a flipped bit always changes
+    the bucket and two different flips differ, so the (1+n_flip)
+    probes per table are all distinct. Pins the generator itself, so a
+    refactor of the key expression cannot silently drop the base probe
+    or collapse flips."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 10").selectExpr("vec_id AS query_id", "embedding")
+    single = queries.select(
+        "query_id",
+        F.explode(similarity._table_buckets("embedding", 64, 5, 10, 42)).alias("tb"),
+    ).select("query_id", "tb.t", "tb.b")
+    multi = similarity.multiprobe_query_keys(
+        queries, "query_id", "embedding", dim=64, bits=5, tables=10, seed=42, n_flip=2
+    )
+    s = {tuple(r) for r in single.collect()}
+    m = {tuple(r) for r in multi.collect()}
+    assert s <= m, f"missing base probes: {sorted(s - m)[:5]}"
+    assert len(m) == 3 * len(s)  # (1 + n_flip) distinct buckets per (query, table)
+
+
 def test_duplicated_spans_merges_maximal_runs(spark):
     """Lee-et-al span semantics on a hand fixture: a 4-token phrase
     shared by two docs yields one merged span per doc (two overlapping
