@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from crypto_data_pipeline_spark.operators import (
     contamination,
     dedup,
+    dsir,
     multimodal,
     sampling,
     similarity,
@@ -2835,6 +2836,104 @@ def sampling_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         sampling.split_column(F.col("doc_id"), _SPLITS, salt=11).alias("split"),
         (b3 < mix_thresh).cast("int").alias("mix_keep"),
     )
+
+
+# hashed-feature frame per (applicationId, sf_dir) — the DSIR analog of
+# the curation pipeline's persisted fan-out stages: features feed the
+# target fit, the source fit, AND the scorer, and without the persist
+# each consumer re-tokenizes the corpus (measured: 3 FileScans+Generates
+# in one plan at sf0.01)
+_DSIR_FEATS_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+
+
+def _dsir_oracle(n_buckets: int = 4096, keep_fraction: float = 0.25) -> str:
+    """DuckDB twin of the FULL DSIR pipeline: hashed unigram+bigram
+    features under the portable polynomial hash, add-one-smoothed
+    bucket log-ratios (target = lang='en'), per-doc weights rounded
+    6 dp (the quality_unigram_logprob float device — addends are O(1)
+    logs, association noise ~1e-14), and the deterministic top-fraction
+    selection with the doc-id tiebreak."""
+    m = dedup.PORTABLE_MOD
+    base = dedup.PORTABLE_BASE
+    poly = f"(h, x) -> (h * {base} + x) % {m}"
+    return f"""
+WITH t0 AS (SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, unnest(list_concat(toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(len(toks) - 1), i -> toks[i + 1] || ' ' || toks[i + 2])
+                ELSE [] END)) AS g
+  FROM t0
+),
+feats AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(g, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+                     {poly}) % {n_buckets} AS bucket,
+         count(*) AS cnt
+  FROM grams GROUP BY 1, 2
+),
+tc AS (
+  SELECT f.bucket, sum(f.cnt) AS c_t
+  FROM feats f JOIN t0 USING (doc_id) WHERE t0.lang = 'en' GROUP BY 1
+),
+sc AS (SELECT bucket, sum(cnt) AS c_s FROM feats GROUP BY 1),
+model AS (
+  SELECT coalesce(tc.bucket, sc.bucket) AS bucket,
+         ln((CAST(coalesce(c_t, 0) AS DOUBLE) + 1)
+            / ((SELECT CAST(sum(c_t) AS DOUBLE) FROM tc) + {n_buckets}))
+         - ln((CAST(coalesce(c_s, 0) AS DOUBLE) + 1)
+              / ((SELECT CAST(sum(c_s) AS DOUBLE) FROM sc) + {n_buckets})) AS log_ratio
+  FROM tc FULL OUTER JOIN sc ON tc.bucket = sc.bucket
+),
+scored AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_features,
+         round(sum(cnt * log_ratio), 6) AS weight
+  FROM feats JOIN model USING (bucket) GROUP BY 1
+),
+weighted AS (
+  SELECT d.doc_id,
+         coalesce(s.n_features, CAST(0 AS BIGINT)) AS n_features,
+         coalesce(s.weight, 0.0) AS weight
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+)
+SELECT doc_id, n_features, weight,
+       CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT) AS rank,
+       row_number() OVER (ORDER BY weight DESC, doc_id)
+         <= ceil(count(*) OVER () * {keep_fraction}) AS kept
+FROM weighted
+"""
+
+
+@register(
+    "dsir_importance_resample",
+    extra=True,
+    survey_ids=("EXT-sample", "EXT-text"),
+    oracle=_dsir_oracle(),
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023): importance resampling of the raw corpus
+    toward a target distribution (here lang='en' documents) in a
+    hashed unigram+bigram feature space (operators/dsir.py). The
+    log-ratio model is n_buckets-bounded — a CONFIG parameter like the
+    BPE merge count, not a vocabulary-proportional structure, so its
+    scoring join broadcasts at any corpus size by construction. The
+    whole pipeline — portable-hash features, smoothed fit, per-doc
+    weights, deterministic top-25% selection — hash-checks against the
+    DuckDB twin."""
+    docs = _docs(spark, sf_dir)
+    # feats feeds the target fit, the source fit, and the scorer —
+    # persisted once per (session, corpus) like the curation pipeline's
+    # fan-out stages, so the corpus tokenizes once, not three times
+    key = (spark.sparkContext.applicationId, sf_dir)
+    feats = _DSIR_FEATS_CACHE.get(key)
+    if feats is None:
+        feats = dsir.dsir_features(docs).persist()
+        _cache_put(_DSIR_FEATS_CACHE, key, feats, frame_of=lambda d: d)
+    target = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
+    model = dsir.dsir_bucket_logratio(feats.join(target, "id"), feats)
+    weighted = dsir.dsir_importance_weights(docs, model, feats=feats)
+    return dsir.dsir_resample(weighted)
 
 
 @register(

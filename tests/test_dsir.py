@@ -1,0 +1,153 @@
+"""DSIR importance resampling (operators/dsir.py) — property tests.
+
+The registered query's DuckDB oracle hash-checks the full pipeline in
+the catalog suite; these tests pin (1) the arithmetic against a
+LITERAL Python reference (the test_lm.py device: an independent
+implementation nobody optimized), (2) the semantic point of the
+operator — target-distribution docs must be up-weighted — and (3) the
+selection contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_data_pipeline_spark.operators import dsir
+from crypto_data_pipeline_spark.operators.dedup import PORTABLE_BASE, PORTABLE_MOD
+from crypto_data_pipeline_spark.sources.tables import load_table
+
+N_BUCKETS = 64  # small so the fixture exercises bucket collisions too
+
+
+def _py_norm(text: str) -> list[str]:
+    import re
+
+    return re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+
+
+def _py_bucket(gram: str) -> int:
+    h = 0
+    for ch in gram:
+        h = (h * PORTABLE_BASE + ord(ch)) % PORTABLE_MOD
+    return h % N_BUCKETS
+
+
+def _py_feats(text: str) -> dict[int, int]:
+    toks = _py_norm(text)
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    out: dict[int, int] = {}
+    for g in grams:
+        b = _py_bucket(g)
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+def _py_weights(docs: list[tuple[int, str, bool]]) -> dict[int, float]:
+    """docs: (doc_id, text, is_target). Literal DSIR: add-one-smoothed
+    bucket log-ratios, per-doc sum of cnt*log_ratio, rounded 6 dp."""
+    c_t: dict[int, int] = {}
+    c_s: dict[int, int] = {}
+    feats = {i: _py_feats(t) for i, t, _ in docs}
+    for i, _, is_t in docs:
+        for b, c in feats[i].items():
+            c_s[b] = c_s.get(b, 0) + c
+            if is_t:
+                c_t[b] = c_t.get(b, 0) + c
+    T, S = sum(c_t.values()), sum(c_s.values())
+    lr = {
+        b: math.log((c_t.get(b, 0) + 1) / (T + N_BUCKETS))
+        - math.log((c_s.get(b, 0) + 1) / (S + N_BUCKETS))
+        for b in c_s
+    }
+    return {
+        i: round(sum(c * lr[b] for b, c in sorted(feats[i].items())), 6)
+        for i, _, _ in docs
+    }
+
+
+FIXTURE = [
+    (0, "the quick brown fox jumps over the lazy dog", True),
+    (1, "the quick brown fox sleeps all day long", True),
+    (2, "a quick brown fox and a lazy dog again", True),
+    (3, "der schnelle braune fuchs springt sehr hoch", False),
+    (4, "el zorro marron salta sobre el perro", False),
+    (5, "the lazy dog naps under the old tree", True),
+    (6, "vollkommen anderes vokabular ohne gemeinsame worte", False),
+    (7, "", False),  # empty text still gets a row, never dropped
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t, _ in FIXTURE], ["doc_id", "text"]
+    )
+
+
+def test_weights_match_python_reference(spark, fixture_df):
+    """Every per-doc weight equals the literal Python implementation
+    exactly (both sides round 6 dp; addends are O(1) logs, so float
+    association cannot move the rounded value)."""
+    expect = _py_weights(FIXTURE)
+    feats = dsir.dsir_features(fixture_df, n_buckets=N_BUCKETS)
+    target_ids = [i for i, _, is_t in FIXTURE if is_t]
+    model = dsir.dsir_bucket_logratio(
+        feats.where(F.col("id").isin(target_ids)), feats, n_buckets=N_BUCKETS
+    )
+    got = {
+        r.doc_id: r.weight
+        for r in dsir.dsir_importance_weights(
+            fixture_df, model, n_buckets=N_BUCKETS, feats=feats
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_target_docs_are_upweighted(spark, sf_dir):
+    """The semantic contract on the real documents table: with
+    target = lang('en'), English docs must average a strictly higher
+    weight than every other language, and the kept set must be
+    en-enriched relative to the corpus (measured: en avg -6.2 vs next
+    best -9.5, 38% of en kept vs <= 16% of any other lang at sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = dsir.dsir_features(docs)
+    target = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
+    model = dsir.dsir_bucket_logratio(feats.join(target, "id"), feats)
+    weighted = dsir.dsir_importance_weights(docs, model, feats=feats)
+    out = dsir.dsir_resample(weighted).join(docs.select("doc_id", "lang"), "doc_id")
+    stats = {
+        r.lang: (r.avg_w, r.kept_frac)
+        for r in out.groupBy("lang")
+        .agg(
+            F.avg("weight").alias("avg_w"),
+            F.avg(F.col("kept").cast("double")).alias("kept_frac"),
+        )
+        .collect()
+    }
+    en_w, en_kept = stats.pop("en")
+    for lang, (w, kept) in stats.items():
+        assert en_w > w, (lang, en_w, w)
+        assert en_kept > kept, (lang, en_kept, kept)
+
+
+def test_resample_keeps_exact_fraction_with_deterministic_ties(spark, fixture_df):
+    """kept count == ceil(n * fraction); rank is a total order (weight
+    desc, doc_id asc) so reruns select the identical set; every doc —
+    including the empty-text one — gets a row."""
+    feats = dsir.dsir_features(fixture_df, n_buckets=N_BUCKETS)
+    model = dsir.dsir_bucket_logratio(
+        feats.where(F.col("id") < 3), feats, n_buckets=N_BUCKETS
+    )
+    weighted = dsir.dsir_importance_weights(
+        fixture_df, model, n_buckets=N_BUCKETS, feats=feats
+    )
+    out = dsir.dsir_resample(weighted, keep_fraction=0.25)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == len(FIXTURE)
+    assert sum(1 for r in rows.values() if r.kept) == math.ceil(len(FIXTURE) * 0.25)
+    again = {r.doc_id: (r.rank, r.kept) for r in dsir.dsir_resample(weighted, 0.25).collect()}
+    assert again == {i: (r.rank, r.kept) for i, r in rows.items()}
+    ranks = sorted(r.rank for r in rows.values())
+    assert ranks == list(range(1, len(FIXTURE) + 1))
