@@ -67,21 +67,27 @@ def dsir_bucket_logratio(
     target_feats: DataFrame, source_feats: DataFrame, n_buckets: int = 4096
 ) -> DataFrame:
     """(bucket, log_ratio): add-one-smoothed log(p_target/p_source) per
-    hash bucket. Both marginals are n_buckets-bounded aggregates; the
-    totals ride 1-row frames through cross joins (no collect — the
-    plan stays one lazy unit and the model frame can be persisted or
-    landed at rest by the caller). Buckets unseen in BOTH corpora get
-    log((S+B)/(T+B)) — the pure smoothing ratio — via the full outer
-    join's coalesced zeros, so the model always has exactly the
-    buckets that occur; the scorer coalesces absent buckets the same
-    way only if a doc somehow hashes outside the fitted set (it
-    cannot: features and fit share the hash)."""
+    hash bucket, for ALL n_buckets buckets — the model's domain is the
+    full hash range, not just the buckets the fit corpora happened to
+    occupy, so a SERVE-time document (streaming, a later corpus) whose
+    n-grams hash to unseen buckets scores the pure smoothing ratio
+    log((S+B)/(T+B)) instead of silently losing those features to an
+    unmatched join. Exactly n_buckets rows by construction — the
+    bounded-by-CONFIG property is structural, not data-dependent. Both
+    marginals are n_buckets-bounded aggregates; the totals ride 1-row
+    frames through cross joins (no collect — the plan stays one lazy
+    unit and the model frame can be persisted or landed at rest by the
+    caller)."""
+    spark = source_feats.sparkSession
     t = target_feats.groupBy("bucket").agg(F.sum("cnt").alias("c_t"))
     s = source_feats.groupBy("bucket").agg(F.sum("cnt").alias("c_s"))
-    t_tot = t.agg(F.sum("c_t").alias("T"))
-    s_tot = s.agg(F.sum("c_s").alias("S"))
+    t_tot = t.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("T"))
+    s_tot = s.agg(F.coalesce(F.sum("c_s"), F.lit(0)).alias("S"))
     joined = (
-        t.join(s, "bucket", "full_outer")
+        spark.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(t, "bucket", "left")
+        .join(s, "bucket", "left")
         .select(
             "bucket",
             F.coalesce("c_t", F.lit(0)).alias("c_t"),
@@ -153,4 +159,45 @@ def dsir_resample(
     return (
         weighted.withColumn("rank", F.row_number().over(w).cast("int"))
         .withColumn("kept", (F.col("rank") <= F.ceil(n * keep_fraction)).cast("boolean"))
+    )
+
+
+def dsir_weight_cutoff(weighted: DataFrame, keep_fraction: float = 0.25) -> DataFrame:
+    """1-row (cutoff double) frame: the k-th highest weight (k =
+    ceil(n·keep_fraction)) over a reference corpus — the FROZEN
+    selection boundary for online serving, the DSIR analog of the LM's
+    frozen perplexity boundaries. A frozen threshold makes a streamed
+    document's keep decision independent of whatever shares its
+    micro-batch; the trade vs the batch top-k is documented on
+    dsir_score_frozen (ties at the cutoff are all kept)."""
+    ranked = dsir_resample(weighted, keep_fraction)
+    return ranked.where(F.col("kept")).agg(F.min("weight").alias("cutoff"))
+
+
+def dsir_score_frozen(
+    docs: DataFrame,
+    model: DataFrame,
+    cutoff: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """(id_col, n_features, weight, kept): scoring against a FROZEN
+    model + cutoff — the serve-online half of the DSIR train/serve
+    split. kept = weight >= cutoff, a pure per-document predicate, so
+    the output row for a doc is identical whether it arrives alone, in
+    any micro-batch, or in the full batch — the property the streaming
+    twin's stream==batch test pins. Differs from dsir_resample's exact
+    top-k in one documented way: docs TIED at the cutoff weight are
+    all kept (a threshold cannot split a tie; the batch top-k breaks
+    ties by doc id). The cutoff travels as a 1-row frame (explicitly
+    broadcast — it is a scalar by contract, not by estimation)."""
+    weighted = dsir_importance_weights(
+        docs, model, id_col=id_col, text=text, n_buckets=n_buckets
+    )
+    return weighted.crossJoin(F.broadcast(cutoff)).select(
+        id_col,
+        "n_features",
+        "weight",
+        (F.col("weight") >= F.col("cutoff")).cast("boolean").alias("kept"),
     )

@@ -469,6 +469,47 @@ def stream_lm_score(
     )
 
 
+def stream_dsir_score(
+    spark: SparkSession,
+    bronze_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    schema,
+    model: DataFrame,
+    cutoff: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> StreamingQuery:
+    """Streaming DSIR selection — the serve-online half of the
+    importance-resampling train/serve split, symmetric with
+    `stream_lm_score`: every arriving document delivery is scored
+    against the FROZEN bucket log-ratio model and kept/dropped against
+    the FROZEN weight cutoff (`operators/dsir.py:dsir_weight_cutoff`),
+    landing ``(doc_id, n_features, weight, kept)`` as immutable
+    ``batch_id=N`` overwrite directories (at-least-once replay is a
+    no-op rewrite). kept is a pure per-document predicate, so stream
+    output equals the batch frozen twin (`dsir_score_frozen`) under
+    ANY delivery split — pinned across >= 3 orders by the test. The
+    model join is n_buckets-bounded (parameter, not vocabulary); the
+    stream shuffles only on its own doc key."""
+    from crypto_data_pipeline_spark.operators.dsir import dsir_score_frozen
+
+    stream = spark.readStream.schema(schema).parquet(bronze_dir)
+
+    def score(batch: DataFrame, batch_id: int) -> None:
+        dsir_score_frozen(
+            batch, model, cutoff, id_col=id_col, text=text, n_buckets=n_buckets
+        ).write.mode("overwrite").parquet(f"{out_root}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sketch_distinct_batch(
     batch: DataFrame,
     batch_id: int,

@@ -876,6 +876,89 @@ def test_stream_lm_score_matches_batch_across_delivery_orders(spark, tmp_path):
     assert got == want
 
 
+def test_stream_dsir_score_matches_batch_across_delivery_orders(spark, tmp_path):
+    """Streaming DSIR selection: documents scored against the frozen
+    bucket log-ratio model and the frozen weight cutoff must land
+    EXACTLY the batch frozen twin's rows under every delivery order —
+    kept is a pure per-document predicate. Serve rows cover
+    target-like text, source-like text, wholly UNSEEN vocabulary (the
+    full-range model's smoothing-ratio buckets — a doc's features must
+    never be dropped by an unmatched model join), a NULL text, and an
+    empty text; plus checkpointed re-run idempotence."""
+    from crypto_data_pipeline_spark.operators import dsir
+    from crypto_data_pipeline_spark.streaming.ingest import stream_dsir_score
+
+    n_buckets = 64
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    fit = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the lazy dog sleeps"),
+         (3, "quick brown foxes jump high"), (4, "der schnelle fuchs springt"),
+         (5, "el perro duerme mucho")],
+        schema,
+    )
+    feats = dsir.dsir_features(fit, n_buckets=n_buckets)
+    model = dsir.dsir_bucket_logratio(
+        feats.where(F.col("id") <= 3), feats, n_buckets=n_buckets
+    ).localCheckpoint(eager=True)
+    weighted = dsir.dsir_importance_weights(fit, model, n_buckets=n_buckets, feats=feats)
+    cutoff = dsir.dsir_weight_cutoff(weighted, 0.4).localCheckpoint(eager=True)
+
+    serve_rows = [
+        (10, "the quick brown fox"), (11, "the lazy dog"),
+        (12, "der schnelle fuchs"), (13, "zzz completely unseen words qqq"),
+        (14, None), (15, ""),
+    ]
+    serve = spark.createDataFrame(serve_rows, schema)
+    want = {
+        tuple(r)
+        for r in dsir.dsir_score_frozen(serve, model, cutoff, n_buckets=n_buckets).collect()
+    }
+    assert {t[0] for t in want} == {r[0] for r in serve_rows}  # nothing vanishes
+    by_id = {t[0]: t for t in want}
+    assert by_id[14][1] == 0 and by_id[14][2] == 0.0  # NULL text: zero features
+    assert by_id[13][1] > 0  # unseen vocab still counts its features
+
+    orders = [
+        [serve_rows[:3], serve_rows[3:]],
+        [serve_rows[3:], serve_rows[:3]],
+        [serve_rows[::2], serve_rows[1::2]],
+    ]
+    for oi, parts in enumerate(orders):
+        bronze = str(tmp_path / f"bronze_{oi}")
+        out = str(tmp_path / f"scored_{oi}")
+        ckpt = str(tmp_path / f"ckpt_{oi}")
+        for part in parts:
+            spark.createDataFrame(part, schema).write.mode("append").parquet(bronze)
+            q = stream_dsir_score(
+                spark, bronze, out, ckpt, schema, model, cutoff, n_buckets=n_buckets
+            )
+            q.awaitTermination()
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "n_features", "weight", "kept").collect()
+        }
+        assert got == want, oi
+
+    # same checkpoint, nothing new -> no-op
+    q = stream_dsir_score(
+        spark, str(tmp_path / "bronze_0"), str(tmp_path / "scored_0"),
+        str(tmp_path / "ckpt_0"), schema, model, cutoff, n_buckets=n_buckets,
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "scored_0"))
+        .select("doc_id", "n_features", "weight", "kept").collect()
+    }
+    assert got == want
+
+
 def test_stream_corpus_ingest_bloom_tier_identical_store(spark, tmp_path):
     """The bloom-prefiltered ingest tier admits the IDENTICAL store as
     the exact tier across multiple deliveries, maintains one _bloom
