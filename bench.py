@@ -180,6 +180,7 @@ def main() -> None:
         "nb_lang_classifier", "embedding_pq_topk",
         "heavy_hitter_tokens", "distinct_users_hll_portable",
         "lm_perplexity_buckets",  # round 7
+        "embedding_ann_lsh_multiprobe",  # round 9
     }
     comparable = round(
         sum(t for q, t in timings.items() if q not in post_baseline), 3
@@ -241,7 +242,10 @@ def main() -> None:
                  "artifact — deterministic, immune to host noise. "
                  "recall_at_k: each benched ANN query's recall@5 vs "
                  "the exact brute-force twin on the same 10 fixed "
-                 "queries (round 9) — quality recorded beside speed.",
+                 "queries (round 9) — quality recorded beside speed. "
+                 "embedding_ann_lsh_multiprobe (round 9): the Lv-2007 "
+                 "multi-probe row over the SAME index as "
+                 "embedding_ann_lsh — also post-baseline.",
     }
     with open(os.path.join(repo_root, local_name), "w") as f:
         json.dump(full_record, f, indent=2)

@@ -18,8 +18,9 @@ Scale shape, by construction:
 - Scoring is one join of per-doc features against the n_buckets-row
   log-ratio model — broadcastable at any corpus size because the model
   size is a parameter — then a doc-keyed sum.
-- Selection is a rank over the weight column (WindowGroupLimit-style
-  top fraction), no global sort of the corpus payload.
+- Selection ranks the (id, weight) frame only — scalar columns, never
+  the document payloads; at extreme scale the same decision runs as a
+  quantile cutoff on the weight column instead of a total order.
 
 Portability: buckets come from the same polynomial character hash
 (h·131 + codepoint) mod 2^31-1 the portable MinHash tier proves
@@ -162,7 +163,9 @@ def dsir_resample(
     )
 
 
-def dsir_weight_cutoff(weighted: DataFrame, keep_fraction: float = 0.25) -> DataFrame:
+def dsir_weight_cutoff(
+    weighted: DataFrame, keep_fraction: float = 0.25, id_col: str = "doc_id"
+) -> DataFrame:
     """1-row (cutoff double) frame: the k-th highest weight (k =
     ceil(n·keep_fraction)) over a reference corpus — the FROZEN
     selection boundary for online serving, the DSIR analog of the LM's
@@ -170,7 +173,7 @@ def dsir_weight_cutoff(weighted: DataFrame, keep_fraction: float = 0.25) -> Data
     document's keep decision independent of whatever shares its
     micro-batch; the trade vs the batch top-k is documented on
     dsir_score_frozen (ties at the cutoff are all kept)."""
-    ranked = dsir_resample(weighted, keep_fraction)
+    ranked = dsir_resample(weighted, keep_fraction, id_col=id_col)
     return ranked.where(F.col("kept")).agg(F.min("weight").alias("cutoff"))
 
 

@@ -2852,7 +2852,13 @@ def _dsir_oracle(n_buckets: int = 4096, keep_fraction: float = 0.25) -> str:
     bucket log-ratios (target = lang='en'), per-doc weights rounded
     6 dp (the quality_unigram_logprob float device — addends are O(1)
     logs, association noise ~1e-14), and the deterministic top-fraction
-    selection with the doc-id tiebreak."""
+    selection with the doc-id tiebreak. The twin's model CTE covers
+    only OCCUPIED buckets where the Spark model spans all n_buckets
+    (operators/dsir.py:dsir_bucket_logratio) — equivalent here by
+    construction: the scoring join only ever references buckets this
+    same corpus's features occupy; the full range exists for
+    serve-time docs outside the fit corpus, which this query has
+    none of."""
     m = dedup.PORTABLE_MOD
     base = dedup.PORTABLE_BASE
     poly = f"(h, x) -> (h * {base} + x) % {m}"
