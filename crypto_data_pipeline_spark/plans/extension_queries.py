@@ -2303,6 +2303,11 @@ def mix_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_token_budget",
+    # r9 rotation: EXT-sample driver slot passes to
+    # dsir_importance_resample (the continuation's flagship sampling
+    # operator); EXT-sample keeps five other driver-facing rows and
+    # this stays oracle-tested in the catalog suite
+    extra=True,
     survey_ids=("EXT-sample",),
     oracle=f"""
 WITH t AS (
@@ -2913,7 +2918,9 @@ FROM weighted
 
 @register(
     "dsir_importance_resample",
-    extra=True,
+    # r9 rotation: seated in the driver gate in pack_token_budget's
+    # EXT-sample slot — the continuation's flagship sampling operator,
+    # hash-checked by the driver every round from here on
     survey_ids=("EXT-sample", "EXT-text"),
     oracle=_dsir_oracle(),
 )
