@@ -15,7 +15,11 @@ exponent of real text — and measures, at each K:
 - NB likelihood-grid row counts,
 - the join strategy AQE picks for the model joins in the LM (add-one
   AND KN) and NB serve plans ("broadcast" vs "shuffled") now that the
-  round-8 fix removed the unconditional F.broadcast hints.
+  round-8 fix removed the unconditional F.broadcast hints,
+- the DSIR log-ratio model (round-9): hash-bucketed, so its row count
+  must stay EXACTLY n_buckets while every vocab-shaped model above
+  grows — the structural alternative to pruning knobs, measured on
+  the same Heaps-law corpora — and its scoring-join strategy.
 
 Expected shape (recorded in docs/SCALE_PROBE.md): model rows GROW
 with K; small models broadcast; once a model outgrows
@@ -115,6 +119,21 @@ def probe(spark, k: int) -> dict:
     classes, nb_grid = nb_train(docs, label="lang")
     nb_joins = join_strategies(nb_predict(docs, classes, nb_grid))
 
+    from crypto_data_pipeline_spark.operators.dsir import (
+        dsir_bucket_logratio,
+        dsir_features,
+        dsir_importance_weights,
+    )
+
+    feats = dsir_features(docs)
+    dsir_model = dsir_bucket_logratio(
+        feats.join(
+            docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id")), "id"
+        ),
+        feats,
+    )
+    dsir_joins = join_strategies(dsir_importance_weights(docs, dsir_model, feats=feats))
+
     out = {
         "K": k,
         "vocab": vocab,
@@ -130,6 +149,8 @@ def probe(spark, k: int) -> dict:
         "kn_ctx_rows_mc2": kn_p[1].count(),
         "kn_cont_rows_mc2": kn_p[2].count(),
         "nb_grid_rows": nb_grid.count(),
+        "dsir_model_rows": dsir_model.count(),
+        "dsir_joins": dsir_joins,
         "lm_joins": lm_joins,
         "lm_joins_mc2": lm_joins_pruned,
         "kn_joins": kn_joins,
@@ -140,7 +161,7 @@ def probe(spark, k: int) -> dict:
     # no-op (they are not in the cache manager) — their blocks are
     # reclaimed by the ContextCleaner once the RDDs are GC'd, so drop
     # the references and nudge the collector before the next, bigger K
-    del grid, ctx, grid_p, ctx_p, kn, kn_p, classes, nb_grid, docs
+    del grid, ctx, grid_p, ctx_p, kn, kn_p, classes, nb_grid, feats, dsir_model, docs
     import gc
 
     gc.collect()
