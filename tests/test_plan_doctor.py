@@ -41,6 +41,7 @@ BNLJ_OK = {
     "bm25_retrieval",              # 1-row (N, avgdl) corpus-totals frame
     "mix_temperature_sampling",    # 1-row census-totals frame
     "pack_token_budget",
+    "dsir_importance_resample",    # two 1-row corpus-totals frames (T, S)
     "dedup_minhash_portable",      # broadcast candidate-id prune
     "dedup_staged_pipeline",       # same portable-minhash candidate prune
     "corpus_curation_pipeline",    # minhash prune + census-totals frames
