@@ -84,6 +84,10 @@ def main() -> None:
         # cache with lm_perplexity_buckets (which registers first and
         # pays the fit), so its cold row is the residual fan-out build
         "source_curation_report",
+        # round 9: gate-seated DSIR; its hashed-feature frame persists
+        # per (session, corpus), so the cold row is fit+score and the
+        # steady rows are score-only
+        "dsir_importance_resample",
     }
     cold: dict[str, float] = {}
     for spec in specs:

@@ -2920,9 +2920,11 @@ FROM weighted
     "dsir_importance_resample",
     # r9 rotation: seated in the driver gate in pack_token_budget's
     # EXT-sample slot — the continuation's flagship sampling operator,
-    # hash-checked by the driver every round from here on
+    # hash-checked by the driver every round from here on; bench=True
+    # because gate queries are bench-observable by default (r8 review)
     survey_ids=("EXT-sample", "EXT-text"),
     oracle=_dsir_oracle(),
+    bench=True,
 )
 def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR (Xie et al. 2023): importance resampling of the raw corpus
