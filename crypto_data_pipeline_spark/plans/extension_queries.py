@@ -2843,12 +2843,21 @@ def sampling_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# hashed-feature frame per (applicationId, sf_dir) — the DSIR analog of
-# the curation pipeline's persisted fan-out stages: features feed the
-# target fit, the source fit, AND the scorer, and without the persist
-# each consumer re-tokenizes the corpus (measured: 3 FileScans+Generates
-# in one plan at sf0.01)
-_DSIR_FEATS_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+# (feats, model) per (applicationId, sf_dir) — the DSIR analog of the
+# LM/NB train/serve split: features feed the target fit, the source
+# fit, AND the scorer (without the persist each consumer re-tokenizes
+# the corpus — measured: 3 FileScans+Generates in one plan at sf0.01),
+# and the fitted 4096-row log-ratio model is reused so steady serves
+# pay only the scoring join + selection, not the two fit aggregations
+_DSIR_FEATS_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _release_dsir(staged: tuple):
+    """Unpersist the model; returns feats for _cache_put's final
+    unpersist call."""
+    feats, model = staged
+    model.unpersist()
+    return feats
 
 
 def _dsir_oracle(n_buckets: int = 4096, keep_fraction: float = 0.25) -> str:
@@ -2937,16 +2946,15 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights, deterministic top-25% selection — hash-checks against the
     DuckDB twin."""
     docs = _docs(spark, sf_dir)
-    # feats feeds the target fit, the source fit, and the scorer —
-    # persisted once per (session, corpus) like the curation pipeline's
-    # fan-out stages, so the corpus tokenizes once, not three times
     key = (spark.sparkContext.applicationId, sf_dir)
-    feats = _DSIR_FEATS_CACHE.get(key)
-    if feats is None:
+    staged = _DSIR_FEATS_CACHE.get(key)
+    if staged is None:
         feats = dsir.dsir_features(docs).persist()
-        _cache_put(_DSIR_FEATS_CACHE, key, feats, frame_of=lambda d: d)
-    target = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
-    model = dsir.dsir_bucket_logratio(feats.join(target, "id"), feats)
+        target = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
+        model = dsir.dsir_bucket_logratio(feats.join(target, "id"), feats).persist()
+        staged = (feats, model)
+        _cache_put(_DSIR_FEATS_CACHE, key, staged, frame_of=_release_dsir)
+    feats, model = staged
     weighted = dsir.dsir_importance_weights(docs, model, feats=feats)
     return dsir.dsir_resample(weighted)
 
