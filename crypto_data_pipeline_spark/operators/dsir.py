@@ -163,6 +163,39 @@ def dsir_resample(
     )
 
 
+def dsir_resample_gumbel(
+    weighted: DataFrame,
+    keep_fraction: float = 0.25,
+    id_col: str = "doc_id",
+    salt: int = 17,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling — the PAPER's selection
+    semantics (sampling WITHOUT replacement proportional to exp(weight)
+    is exactly top-k on weight + Gumbel(0,1) noise; Xie et al. §3),
+    made reproducible: the per-doc uniform comes from the portable
+    sampling hash (operators/sampling.py:hash_bucket — exact int64
+    arithmetic both engines share), so a given (corpus, salt) always
+    selects the same set and a NEW salt draws an independent sample.
+    u = (bucket + 0.5)/MOD keeps the uniform strictly inside (0, 1) —
+    -ln(-ln(u)) is finite for every doc. ``key`` is rounded 6 dp like
+    the weight (single ln calls on identical doubles; cross-engine ulp
+    noise cannot move the 6th decimal except on measure-zero
+    boundaries). dsir_resample is the argmax twin (no noise): use it
+    for the single best subset, this for diversity-preserving draws
+    (epoch-reshufflable by salt, the training_order device)."""
+    from crypto_data_pipeline_spark.operators.sampling import MOD, hash_bucket
+
+    u = (hash_bucket(F.col(id_col), salt=salt) + 0.5) / F.lit(float(MOD))
+    key = F.round(F.col("weight") - F.log(-F.log(u)), 6)
+    w = Window.orderBy(F.col("key").desc(), F.col(id_col))
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    return (
+        weighted.withColumn("key", key)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("kept", (F.col("rank") <= F.ceil(n * keep_fraction)).cast("boolean"))
+    )
+
+
 def dsir_weight_cutoff(
     weighted: DataFrame, keep_fraction: float = 0.25, id_col: str = "doc_id"
 ) -> DataFrame:

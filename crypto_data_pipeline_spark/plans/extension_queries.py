@@ -2860,13 +2860,32 @@ def _release_dsir(staged: tuple):
     return feats
 
 
-def _dsir_oracle(n_buckets: int = 4096, keep_fraction: float = 0.25) -> str:
+def _dsir_staged(spark: SparkSession, sf_dir: str) -> tuple:
+    """The cached (feats, model) pair both DSIR queries serve from —
+    one tokenization pass and one fit per (session, corpus)."""
+    docs = _docs(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    staged = _DSIR_FEATS_CACHE.get(key)
+    if staged is None:
+        feats = dsir.dsir_features(docs).persist()
+        target = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
+        model = dsir.dsir_bucket_logratio(feats.join(target, "id"), feats).persist()
+        staged = (feats, model)
+        _cache_put(_DSIR_FEATS_CACHE, key, staged, frame_of=_release_dsir)
+    return staged
+
+
+def _dsir_oracle(
+    n_buckets: int = 4096, keep_fraction: float = 0.25, gumbel_salt: int | None = None
+) -> str:
     """DuckDB twin of the FULL DSIR pipeline: hashed unigram+bigram
     features under the portable polynomial hash, add-one-smoothed
     bucket log-ratios (target = lang='en'), per-doc weights rounded
     6 dp (the quality_unigram_logprob float device — addends are O(1)
     logs, association noise ~1e-14), and the deterministic top-fraction
-    selection with the doc-id tiebreak. The twin's model CTE covers
+    selection with the doc-id tiebreak (or, with ``gumbel_salt``, the
+    Gumbel-top-k key from the portable sampling hash — the
+    dsir_resample_gumbel twin). The twin's model CTE covers
     only OCCUPIED buckets where the Spark model spans all n_buckets
     (operators/dsir.py:dsir_bucket_logratio) — equivalent here by
     construction: the scoring join only ever references buckets this
@@ -2876,6 +2895,13 @@ def _dsir_oracle(n_buckets: int = 4096, keep_fraction: float = 0.25) -> str:
     m = dedup.PORTABLE_MOD
     base = dedup.PORTABLE_BASE
     poly = f"(h, x) -> (h * {base} + x) % {m}"
+    if gumbel_salt is None:
+        key_col = "weight"
+        key_sel = ""
+    else:
+        u = f"(({sampling.sql_hash_bucket('doc_id', salt=gumbel_salt)}) + 0.5) / {float(sampling.MOD)!r}"
+        key_col = "key"
+        key_sel = f", round(weight - ln(-ln({u})), 6) AS key"
     return f"""
 WITH t0 AS (SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents),
 grams AS (
@@ -2914,12 +2940,12 @@ scored AS (
 weighted AS (
   SELECT d.doc_id,
          coalesce(s.n_features, CAST(0 AS BIGINT)) AS n_features,
-         coalesce(s.weight, 0.0) AS weight
+         coalesce(s.weight, 0.0) AS weight{key_sel}
   FROM documents d LEFT JOIN scored s USING (doc_id)
 )
-SELECT doc_id, n_features, weight,
-       CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT) AS rank,
-       row_number() OVER (ORDER BY weight DESC, doc_id)
+SELECT doc_id, n_features, weight{', key' if gumbel_salt is not None else ''},
+       CAST(row_number() OVER (ORDER BY {key_col} DESC, doc_id) AS INT) AS rank,
+       row_number() OVER (ORDER BY {key_col} DESC, doc_id)
          <= ceil(count(*) OVER () * {keep_fraction}) AS kept
 FROM weighted
 """
@@ -2945,18 +2971,29 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline — portable-hash features, smoothed fit, per-doc
     weights, deterministic top-25% selection — hash-checks against the
     DuckDB twin."""
-    docs = _docs(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    staged = _DSIR_FEATS_CACHE.get(key)
-    if staged is None:
-        feats = dsir.dsir_features(docs).persist()
-        target = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
-        model = dsir.dsir_bucket_logratio(feats.join(target, "id"), feats).persist()
-        staged = (feats, model)
-        _cache_put(_DSIR_FEATS_CACHE, key, staged, frame_of=_release_dsir)
-    feats, model = staged
-    weighted = dsir.dsir_importance_weights(docs, model, feats=feats)
+    feats, model = _dsir_staged(spark, sf_dir)
+    weighted = dsir.dsir_importance_weights(_docs(spark, sf_dir), model, feats=feats)
     return dsir.dsir_resample(weighted)
+
+
+@register(
+    "dsir_resample_gumbel",
+    extra=True,
+    survey_ids=("EXT-sample",),
+    oracle=_dsir_oracle(gumbel_salt=17),
+)
+def dsir_resample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR with the paper's Gumbel-top-k selection (sampling without
+    replacement proportional to exp(weight)), seeded through the
+    portable sampling hash so a (corpus, salt) pair always draws the
+    same sample and a new salt draws an independent one — the
+    diversity-preserving sibling of dsir_importance_resample's argmax
+    top-k, sharing its cached (feats, model) pair. Hash-checked end to
+    end: the DuckDB twin re-derives the Gumbel keys from the same
+    integer hash."""
+    feats, model = _dsir_staged(spark, sf_dir)
+    weighted = dsir.dsir_importance_weights(_docs(spark, sf_dir), model, feats=feats)
+    return dsir.dsir_resample_gumbel(weighted, salt=17)
 
 
 @register(

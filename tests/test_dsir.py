@@ -132,6 +132,49 @@ def test_target_docs_are_upweighted(spark, sf_dir):
         assert en_kept > kept, (lang, en_kept, kept)
 
 
+def test_gumbel_resample_matches_python_reference_and_varies_by_salt(spark, fixture_df):
+    """The Gumbel-top-k keys equal a literal Python implementation
+    exactly (portable integer hash -> strictly-interior uniform ->
+    -ln(-ln(u)), both sides rounding 6 dp), every salt keeps exactly
+    ceil(n*fraction) docs, and two salts draw DIFFERENT samples — the
+    noise is real, not a reshuffled tiebreak. Across 10 salts the
+    highest-weight doc must be kept at least as often as the
+    lowest-weight doc (keep probability is monotone in weight in
+    distribution)."""
+    from crypto_data_pipeline_spark.operators.sampling import MOD, _A1, _A2, _B1
+
+    expect_w = _py_weights(FIXTURE)
+    feats = dsir.dsir_features(fixture_df, n_buckets=N_BUCKETS)
+    target_ids = [i for i, _, is_t in FIXTURE if is_t]
+    model = dsir.dsir_bucket_logratio(
+        feats.where(F.col("id").isin(target_ids)), feats, n_buckets=N_BUCKETS
+    )
+    weighted = dsir.dsir_importance_weights(
+        fixture_df, model, n_buckets=N_BUCKETS, feats=feats
+    )
+
+    def py_key(doc_id: int, salt: int) -> float:
+        h1 = ((((doc_id + salt) % MOD + MOD) % MOD) * _A1 + _B1) % MOD
+        u = ((h1 * _A2) % MOD + 0.5) / MOD
+        return round(expect_w[doc_id] - math.log(-math.log(u)), 6)
+
+    got = {r.doc_id: r for r in dsir.dsir_resample_gumbel(weighted, salt=17).collect()}
+    assert {i: r.key for i, r in got.items()} == {i: py_key(i, 17) for i, _, _ in FIXTURE}
+    assert sum(1 for r in got.values() if r.kept) == math.ceil(len(FIXTURE) * 0.25)
+
+    kept_by_salt = {}
+    for salt in range(10):
+        kept_by_salt[salt] = frozenset(
+            r.doc_id for r in dsir.dsir_resample_gumbel(weighted, salt=salt).collect() if r.kept
+        )
+    assert len(set(kept_by_salt.values())) > 1, "all salts drew the same sample"
+    ranked = sorted(expect_w, key=expect_w.get)
+    lo, hi = ranked[0], ranked[-1]
+    lo_n = sum(1 for s in kept_by_salt.values() if lo in s)
+    hi_n = sum(1 for s in kept_by_salt.values() if hi in s)
+    assert hi_n >= lo_n, (hi_n, lo_n)
+
+
 def test_resample_keeps_exact_fraction_with_deterministic_ties(spark, fixture_df):
     """kept count == ceil(n * fraction); rank is a total order (weight
     desc, doc_id asc) so reruns select the identical set; every doc —

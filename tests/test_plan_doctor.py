@@ -42,6 +42,7 @@ BNLJ_OK = {
     "mix_temperature_sampling",    # 1-row census-totals frame
     "pack_token_budget",
     "dsir_importance_resample",    # two 1-row corpus-totals frames (T, S)
+    "dsir_resample_gumbel",        # same fit path, same totals frames
     "dedup_minhash_portable",      # broadcast candidate-id prune
     "dedup_staged_pipeline",       # same portable-minhash candidate prune
     "corpus_curation_pipeline",    # minhash prune + census-totals frames
