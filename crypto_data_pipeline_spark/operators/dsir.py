@@ -18,9 +18,14 @@ Scale shape, by construction:
 - Scoring is one join of per-doc features against the n_buckets-row
   log-ratio model — broadcastable at any corpus size because the model
   size is a parameter — then a doc-keyed sum.
-- Selection ranks the (id, weight) frame only — scalar columns, never
-  the document payloads; at extreme scale the same decision runs as a
-  quantile cutoff on the weight column instead of a total order.
+- Selection has two paths: `dsir_resample_quantile` (the DEFAULT and
+  the scale path) derives the exact k-th-largest weight by bounded
+  integer-histogram refinement — a handful of map-side-combinable
+  aggregates whose driver traffic is ≤ n_bins histogram rows per
+  round, never doc rows, never a global sort — and keeps
+  ``weight >= cutoff``; `dsir_resample` is its deterministic exact
+  top-k twin (global rank with doc-id tiebreak), kept for driver-SF
+  oracle checks where a total order is the contract.
 
 Portability: buckets come from the same polynomial character hash
 (h·131 + codepoint) mod 2^31-1 the portable MinHash tier proves
@@ -115,9 +120,12 @@ def dsir_importance_weights(
     """(id_col, n_features, weight): per-doc log importance weight =
     Σ cnt·log_ratio over the doc's hashed n-grams, rounded 6 dp.
     The model join broadcasts by size (n_buckets rows — parameter-
-    bounded, never hinted); docs with no features (empty text) come
-    back with weight 0 and n_features 0 via the left join, not
-    silently dropped. Pass precomputed ``feats`` (dsir_features output,
+    bounded, never hinted); docs with NO features come back with
+    weight 0 and n_features 0 via the left join, not silently dropped.
+    Feature-less means NULL text only: an empty (non-NULL) string
+    tokenizes to [""] and contributes one empty-gram feature, so it
+    scores that bucket's log-ratio (n_features 1), exactly like the
+    DuckDB twin and the literal Python reference. Pass precomputed ``feats`` (dsir_features output,
     typically the same frame the fit consumed — persist it) to avoid
     re-tokenizing the corpus."""
     if feats is None:
@@ -144,17 +152,17 @@ def dsir_importance_weights(
 def dsir_resample(
     weighted: DataFrame, keep_fraction: float = 0.25, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Deterministic selection: rank by weight desc (doc id tiebreak),
-    keep the top ``keep_fraction`` of the corpus. The paper resamples
-    with Gumbel noise to preserve diversity; the deterministic top-k
-    variant is the hash-checkable twin (and the one a reproducible
-    pipeline run actually wants — seeded Gumbel keys would bolt on via
-    one extra xxhash64 column without changing the plan shape).
-    Single global rank over (weight, id) — a scalar sort of doc ids
-    and weights, never of document payloads; at corpus scale the same
-    selection runs as a quantile cutoff (percentile_approx on weight)
-    instead of a total order. The corpus count rides the same global
-    window (no driver-side action; the plan stays one lazy unit)."""
+    """Deterministic EXACT top-k: rank by weight desc (doc id
+    tiebreak), keep the top ``keep_fraction`` of the corpus. This is
+    the driver-SF oracle twin — its global rank (a DECLARED
+    single-partition window over scalar (weight, id) rows; plan-doctor
+    GLOBAL_WINDOW_OK) is the contract when a total order with
+    tiebreaks is the point, and it is what a hash-check can pin row
+    for row. It is NOT the scale path: every corpus row flows through
+    one task. Production selection is dsir_resample_quantile — same
+    kept set whenever no docs tie at the boundary, ties-all-kept when
+    they do — whose cutoff derivation never leaves partition-parallel
+    aggregation."""
     w = Window.orderBy(F.col("weight").desc(), F.col(id_col))
     n = F.count(F.lit(1)).over(Window.partitionBy())
     return (
@@ -182,7 +190,11 @@ def dsir_resample_gumbel(
     noise cannot move the 6th decimal except on measure-zero
     boundaries). dsir_resample is the argmax twin (no noise): use it
     for the single best subset, this for diversity-preserving draws
-    (epoch-reshufflable by salt, the training_order device)."""
+    (epoch-reshufflable by salt, the training_order device). Like that
+    twin this ranks through a DECLARED global window (oracle-twin
+    duty); a scale run thresholds the same ``key`` column via
+    dsir_kth_weight(..., weight_col="key") instead of totally
+    ordering it."""
     from crypto_data_pipeline_spark.operators.sampling import MOD, hash_bucket
 
     u = (hash_bucket(F.col(id_col), salt=salt) + 0.5) / F.lit(float(MOD))
@@ -196,8 +208,101 @@ def dsir_resample_gumbel(
     )
 
 
+def dsir_kth_weight(
+    weighted: DataFrame,
+    keep_fraction: float = 0.25,
+    weight_col: str = "weight",
+    n_bins: int = 4096,
+) -> float:
+    """EXACT k-th largest weight (k = ceil(n·keep_fraction), duplicates
+    counted) as a driver scalar — the scale-safe selection boundary.
+
+    This is the histogram-refine formulation of a distributed k-th
+    order statistic: weights are 6-dp-rounded by contract
+    (dsir_importance_weights), so ``w_int = round(weight·1e6)`` is a
+    lossless integer domain; each round histograms the current integer
+    range into ≤ n_bins equal-width bins with ONE map-side-combinable
+    aggregate over the (persisted) weighted frame, walks the collected
+    histogram from the top to find the bin holding the k-th rank, and
+    narrows the range to that bin. The range shrinks ×n_bins per round,
+    so rounds = ceil(log_n_bins(weight_range·1e6)) — 3-4 at ANY corpus
+    size — and the driver only ever sees ≤ n_bins histogram rows per
+    round, never doc rows, never a global sort (the WindowExec-shaped
+    alternative puts the whole corpus through one task; see
+    dsir_resample, now the driver-SF twin). The final round groups the
+    ≤ n_bins surviving integers by exact value carrying min(weight), so
+    the returned cutoff is the TRUE stored double of the k-th weight —
+    ``weight >= cutoff`` compares identical doubles on both engines,
+    not a reconstruction with its own rounding.
+
+    Returns +inf when k == 0 (keep_fraction == 0 or an empty corpus):
+    ``weight >= +inf`` is false for every finite weight, so downstream
+    kept flags stay two-valued booleans instead of NULLing out
+    (round-9 ADVICE). keep_fraction > 1 clamps to keep-everything."""
+    import math
+
+    w_int = F.round(F.col(weight_col) * 1e6, 0).cast("long")
+    head = weighted.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(w_int).alias("lo"),
+        F.max(w_int).alias("hi"),
+    ).collect()[0]
+    n = head.n
+    k = min(math.ceil(n * keep_fraction), n)
+    if n == 0 or k <= 0:
+        return float("inf")
+    lo, hi, remaining = head.lo, head.hi, k
+    while hi - lo + 1 > n_bins:
+        width = -((lo - hi - 1) // n_bins)  # ceil((hi-lo+1)/n_bins)
+        # (w_int - lo) ≤ range < 2^53, exact as a double, and the true
+        # quotient is ≥ 1/width below the next integer — floor is safe
+        bin_col = F.floor((w_int - F.lit(lo)) / F.lit(width)).cast("int")
+        hist = {
+            r.bin: r.c
+            for r in weighted.where((w_int >= lo) & (w_int <= hi))
+            .groupBy(bin_col.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        for b in sorted(hist, reverse=True):
+            if remaining <= hist[b]:
+                lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+                break
+            remaining -= hist[b]
+    finals = (
+        weighted.where((w_int >= lo) & (w_int <= hi))
+        .groupBy(w_int.alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"), F.min(weight_col).alias("wv"))
+        .collect()
+    )
+    for r in sorted(finals, key=lambda r: r.w, reverse=True):
+        if remaining <= r.c:
+            return float(r.wv)
+        remaining -= r.c
+    raise AssertionError("histogram refinement lost the k-th rank")  # unreachable
+
+
+def dsir_resample_quantile(
+    weighted: DataFrame, keep_fraction: float = 0.25, weight_col: str = "weight"
+) -> DataFrame:
+    """The DEFAULT selection path: kept = weight >= (exact k-th largest
+    weight), the cutoff derived by dsir_kth_weight's bounded histogram
+    refinement and inlined as a literal — the plan that reaches the
+    executors is a pure per-row predicate over the weighted frame, no
+    window, no global sort, nothing single-partition. Differs from
+    dsir_resample's exact top-k in one documented way (the same trade
+    dsir_score_frozen makes): docs TIED at the cutoff weight are all
+    kept — a threshold cannot split a tie; the rank twin breaks ties by
+    doc id. Callers should persist ``weighted`` — the refinement scans
+    it ~4 times and the returned frame scans it once more."""
+    cutoff = dsir_kth_weight(weighted, keep_fraction, weight_col=weight_col)
+    return weighted.withColumn(
+        "kept", (F.col(weight_col) >= F.lit(cutoff)).cast("boolean")
+    )
+
+
 def dsir_weight_cutoff(
-    weighted: DataFrame, keep_fraction: float = 0.25, id_col: str = "doc_id"
+    weighted: DataFrame, keep_fraction: float = 0.25, weight_col: str = "weight"
 ) -> DataFrame:
     """1-row (cutoff double) frame: the k-th highest weight (k =
     ceil(n·keep_fraction)) over a reference corpus — the FROZEN
@@ -205,9 +310,16 @@ def dsir_weight_cutoff(
     frozen perplexity boundaries. A frozen threshold makes a streamed
     document's keep decision independent of whatever shares its
     micro-batch; the trade vs the batch top-k is documented on
-    dsir_score_frozen (ties at the cutoff are all kept)."""
-    ranked = dsir_resample(weighted, keep_fraction, id_col=id_col)
-    return ranked.where(F.col("kept")).agg(F.min("weight").alias("cutoff"))
+    dsir_score_frozen (ties at the cutoff are all kept).
+
+    Computed by dsir_kth_weight's histogram refinement — the serve
+    boundary is derived by the same scale-safe path the batch quantile
+    selection uses, NOT by ranking the reference corpus through a
+    global window (round-9 finding #2). An empty kept set
+    (keep_fraction == 0 / empty corpus) yields cutoff = +inf, so
+    downstream ``weight >= cutoff`` stays a real boolean."""
+    cutoff = dsir_kth_weight(weighted, keep_fraction, weight_col=weight_col)
+    return weighted.sparkSession.createDataFrame([(cutoff,)], "cutoff double")
 
 
 def dsir_score_frozen(

