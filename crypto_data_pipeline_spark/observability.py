@@ -75,6 +75,38 @@ def plan_runtime_metrics(df: DataFrame) -> dict[str, int]:
     return totals
 
 
+def global_window_nodes(df: DataFrame) -> list[str]:
+    """Window nodes with an EMPTY partition spec in ``df``'s physical
+    plan — the single-partition anti-pattern that funnels every row of
+    the frame through one task (Spark's own "No Partition Defined for
+    Window operation" warning). Returns one entry per offending node,
+    ``"WindowExec(<first window expression>)"``, so the plan doctor
+    can both fail loud and say WHICH window. Walks the tree the same
+    way plan_runtime_metrics does (through the AQE wrapper and query
+    stages); string-matching the plan text would be fragile — a
+    partitioned window and a global one print near-identically."""
+    hits: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec" or cls.endswith("QueryStageExec"):
+            walk(node.executedPlan() if cls == "AdaptiveSparkPlanExec" else node.plan())
+            return
+        if cls in ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"):
+            if node.partitionSpec().isEmpty():
+                try:
+                    first = node.expressions().head().toString()
+                except Exception:
+                    first = "?"
+                hits.append(f"{cls}({first[:80]})")
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return hits
+
+
 def shuffle_regressions(
     current: dict[str, int],
     prior: dict[str, int],

@@ -15,9 +15,27 @@ from __future__ import annotations
 
 import pytest
 
+from crypto_data_pipeline_spark.observability import global_window_nodes
 from crypto_data_pipeline_spark.plans.registry import load_with_extras
 
 SPECS = load_with_extras()
+
+# Queries whose plans legitimately contain a ZERO-PARTITION Window —
+# the anti-pattern that funnels every input row through ONE task
+# (round-9 finding: the DSIR gate query shipped one). Every allowance
+# is a query whose CONTRACT is a global rank over a bounded or
+# driver-SF frame, each with a scale-safe sibling:
+GLOBAL_WINDOW_OK = {
+    "value_ntile_deciles",    # global decile assignment IS the contract;
+                              # value_percentiles is the sketch twin
+    "zipf_rank_frequency",    # global frequency rank over the (pruned)
+                              # vocab frame — rank IS the Zipf x-axis
+    "vocab_coverage",         # cumulative-coverage curve needs the same
+                              # vocab total order (min_count-pruned frame)
+    "dsir_resample_exact",    # the DECLARED exact-top-k oracle twin of
+                              # the quantile path (operators/dsir.py)
+    "dsir_resample_gumbel",   # same duty for the Gumbel draw
+}
 
 # Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
 # every entry ships a broadcast side that is contractually tiny.
@@ -42,6 +60,7 @@ BNLJ_OK = {
     "mix_temperature_sampling",    # 1-row census-totals frame
     "pack_token_budget",
     "dsir_importance_resample",    # two 1-row corpus-totals frames (T, S)
+    "dsir_resample_exact",         # same fit path, same totals frames
     "dsir_resample_gumbel",        # same fit path, same totals frames
     "dedup_minhash_portable",      # broadcast candidate-id prune
     "dedup_staged_pipeline",       # same portable-minhash candidate prune
@@ -85,10 +104,20 @@ ARROW_OK = {
 @pytest.mark.parametrize("name", list(SPECS), ids=list(SPECS))
 def test_plan_is_clean(spark, sf_dir, name):
     spec = SPECS[name]
-    plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    df = spec.fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
 
     assert "CartesianProduct" not in plan, f"{name}: true cartesian product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in GLOBAL_WINDOW_OK:
+        gw = global_window_nodes(df)
+        assert not gw, (
+            f"{name}: zero-partition Window {gw} — every input row flows "
+            "through ONE task; partition the window, or derive the global "
+            "decision as a broadcastable cutoff (operators/dsir.py:"
+            "dsir_kth_weight), or declare the global rank in "
+            "GLOBAL_WINDOW_OK with why it is the contract"
+        )
     if name not in BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: undeclared nested-loop join — if the broadcast side "
@@ -102,3 +131,21 @@ def test_plan_is_clean(spark, sf_dir, name):
         )
         hit = [n for n in python_nodes if n in plan]
         assert not hit, f"{name}: undeclared Python stage {hit}"
+
+
+def test_global_window_screen_detects_the_antipattern(spark):
+    """The screen itself is live: a deliberately global row_number is
+    flagged (with the node named), a properly partitioned window is
+    not — so a future refactor cannot blunt the detector and pass the
+    suite on a false negative."""
+    from pyspark.sql import Window, functions as F
+
+    df = spark.range(100)
+    bad = df.withColumn("r", F.row_number().over(Window.orderBy("id")))
+    hits = global_window_nodes(bad)
+    assert hits and hits[0].startswith("WindowExec"), hits
+
+    good = df.withColumn(
+        "r", F.row_number().over(Window.partitionBy(F.col("id") % 7).orderBy("id"))
+    )
+    assert global_window_nodes(good) == []
