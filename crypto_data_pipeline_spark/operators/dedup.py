@@ -168,11 +168,54 @@ def _signature_from_hashes(hashed: Column, num_hashes: int) -> Column:
     # Deliberately unrolled per mask: a nested HOF over a literal mask
     # array benches 2-4x slower here (lambda-variable dispatch per
     # element), while the unrolled form stays in codegen.
-    return F.array(
-        *[
-            F.array_min(F.transform(hashed, lambda h, m=m: h.bitwiseXOR(F.lit(m))))
-            for m in _perm_masks(num_hashes)
-        ]
+    #
+    # The mask MUST be bound through a closure (helper function), not a
+    # `lambda h, m=m:` default argument: PySpark dispatches HOF lambdas
+    # on PARAMETER COUNT, so a two-parameter lambda is the
+    # (element, index) form and the "default" m silently becomes the
+    # array index — every mask then computes the identical
+    # min(h ^ position) and the signature degenerates to 32 copies of
+    # one mask-free value (LSH collapses to near-exact matching; found
+    # by tools/dedup_scale_probe.py when non-identical planted
+    # near-dups stopped colliding).
+    def min_under_mask(m: int) -> Column:
+        return F.array_min(F.transform(hashed, lambda h: h.bitwiseXOR(F.lit(m))))
+
+    return F.array(*[min_under_mask(m) for m in _perm_masks(num_hashes)])
+
+
+def lsh_band_buckets(
+    sets: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(band_idx, band_hash, ids): the banding's bucket frame BEFORE
+    the hot-bucket cap — one signature pass, one shuffle on the band
+    key. lsh_candidate_pairs consumes it (filtered to 2..max_bucket
+    and pair-expanded); tools/dedup_scale_probe.py reads its size
+    histogram directly so cap engagement is a measured artifact, not
+    an inference from the dropped pairs."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = _signature_from_hashes(F.col("hs"), num_hashes)
+    banded = (
+        sets.select(F.col("id"), sig.alias("sig"))
+        .select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_idx"),
+                            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("id", "band.band_idx", "band.band_hash")
+    )
+    return banded.groupBy("band_idx", "band_hash").agg(
+        F.array_sort(F.collect_set("id")).alias("ids")
     )
 
 
@@ -197,31 +240,8 @@ def lsh_candidate_pairs(
 
     `sets` is a hashed_shingle_sets() frame (id, hs). Returns distinct
     (id_a, id_b)."""
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sig = _signature_from_hashes(F.col("hs"), num_hashes)
-    banded = (
-        sets.select(F.col("id"), sig.alias("sig"))
-        .select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("band_hash"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band"),
-        )
-        .select("id", "band.band_idx", "band.band_hash")
-    )
-    buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    buckets = lsh_band_buckets(sets, num_hashes, bands).where(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
     )
     pairs = buckets.select(
         F.explode(
