@@ -769,12 +769,16 @@ def build_lsh_keys(
     return LshIndex(keys=keys, id_col=id_col, dim=dim, bits=bits, tables=tables, seed=seed)
 
 
-def write_lsh_index(index: LshIndex, path: str) -> None:
+def write_lsh_index(index: LshIndex, path: str, check_config: bool = True) -> None:
     """Persist the LSH index at rest: keys partitioned BY TABLE (one
     directory per hash table — a probe reads its colliding buckets via
     footer min/max on the sorted ``b`` column within each table dir)
     plus a JSON sidecar carrying the hash-family params, so a reader
-    can never probe with a mismatched family."""
+    can never probe with a mismatched family. ``check_config`` (on by
+    default at this, the production at-rest boundary) also lands the
+    realized-histogram candidate-fraction verdict (`lsh_config_check`)
+    in the sidecar — and warns loudly when the family has stopped
+    pruning on this corpus, BEFORE the index starts serving."""
     import json
     import os
 
@@ -785,17 +789,17 @@ def write_lsh_index(index: LshIndex, path: str) -> None:
         .partitionBy("t")
         .parquet(os.path.join(path, "keys"))
     )
+    params = {
+        "id_col": index.id_col,
+        "dim": index.dim,
+        "bits": index.bits,
+        "tables": index.tables,
+        "seed": index.seed,
+    }
+    if check_config:
+        params["config_check"] = lsh_config_check(index)
     with open(os.path.join(path, "params.json"), "w") as f:
-        json.dump(
-            {
-                "id_col": index.id_col,
-                "dim": index.dim,
-                "bits": index.bits,
-                "tables": index.tables,
-                "seed": index.seed,
-            },
-            f,
-        )
+        json.dump(params, f)
 
 
 def read_lsh_index(spark, path: str) -> LshIndex:
@@ -812,6 +816,75 @@ def read_lsh_index(spark, path: str) -> LshIndex:
         keys=keys, id_col=p["id_col"], dim=int(p["dim"]), bits=int(p["bits"]),
         tables=int(p["tables"]), seed=int(p["seed"]),
     )
+
+
+def lsh_expected_candidate_fraction(index: LshIndex) -> dict:
+    """Expected candidate fraction of the corpus a SINGLE-probe query
+    scans, derived from the index's REALIZED bucket histogram (≤
+    tables·2^bits rows — one bounded aggregate over the keys, tiny on
+    the driver). For a query distributed like the corpus, the chance
+    of colliding with a given vector in table t is f_t = Σ_b (n_b/N)²
+    (it lands in bucket b with probability n_b/N and then meets that
+    bucket's n_b/N of the corpus); tables are independent hash draws,
+    so the union is 1 − Π_t (1 − f_t). The estimator reproduces the
+    round-9 scale-probe measurements (docs/SCALE_PROBE.md: 5b×10t →
+    0.276 measured on 2M clustered vectors; 10b×8t → 0.014) and is
+    N-invariant at fixed geometry — a property of the hash family on
+    the data distribution, which is exactly why it can be computed at
+    build time and trusted at serve time."""
+    hist = index.keys.groupBy("t", "b").agg(F.count(F.lit(1)).alias("n")).collect()
+    per_table: dict[int, list[int]] = {}
+    for r in hist:
+        per_table.setdefault(r.t, []).append(r.n)
+    f_ts = []
+    for t in sorted(per_table):
+        n_t = sum(per_table[t])
+        f_ts.append(sum((c / n_t) ** 2 for c in per_table[t]) if n_t else 0.0)
+    miss = 1.0
+    for f in f_ts:
+        miss *= 1.0 - f
+    return {
+        "expected_candidate_fraction": round(1.0 - miss, 4),
+        "per_table_fraction": [round(f, 5) for f in f_ts],
+        "n_buckets_occupied": sum(len(v) for v in per_table.values()),
+    }
+
+
+def lsh_config_check(index: LshIndex, warn_above: float = 0.10) -> dict:
+    """The guard the round-9 probe measurements demanded: when the
+    realized bucket histogram says probing would scan more than
+    ``warn_above`` of the corpus per query, probing has (nearly)
+    stopped pruning — at 0.28 the measured probe was SLOWER than the
+    exact Arrow brute scan (docs/SCALE_PROBE.md, 2M vectors) — so
+    surface a loud warning with a bits recommendation instead of
+    letting the config ship silently. The recommendation halves the
+    per-table collision mass per added bit (exact for balanced
+    buckets; clustered data may need more — re-check after rebuild).
+    Returns the verdict dict either way; `write_lsh_index` runs this
+    by default and lands it in the sidecar so a reader sees the same
+    verdict the builder saw."""
+    import math
+    import warnings
+
+    stats = lsh_expected_candidate_fraction(index)
+    est = stats["expected_candidate_fraction"]
+    verdict = "warn" if est > warn_above else "ok"
+    rec = index.bits
+    if verdict == "warn" and est > 0:
+        rec = index.bits + max(1, math.ceil(math.log2(est / warn_above)))
+    out = {**stats, "verdict": verdict, "warn_above": warn_above,
+           "bits": index.bits, "tables": index.tables,
+           "recommended_bits": rec}
+    if verdict == "warn":
+        warnings.warn(
+            f"LSH family ({index.bits} bits x {index.tables} tables) has "
+            f"expected candidate fraction {est:.3f} > {warn_above} on this "
+            f"corpus — probing barely prunes (measured slower than the "
+            f"brute scan above ~0.28; docs/SCALE_PROBE.md). Raise bits to "
+            f"~{rec} and hold recall with probes_per_table instead.",
+            stacklevel=2,
+        )
+    return out
 
 
 def lsh_topk(

@@ -382,6 +382,64 @@ def test_lsh_index_roundtrips_through_table_partitioned_layout(spark, sf_dir, tm
         similarity.lsh_topk(embs, queries, bits=7, corpus_keys=loaded)
 
 
+def test_lsh_config_guard_pins_scale_probe_families(spark):
+    """The round-9 probe measured that the 5b×10t family stops pruning
+    on the 2M clustered corpus (0.276 candidate fraction; probe slower
+    than the brute scan) while 10b×8t prunes to 0.014 — this pins the
+    BUILD-TIME guard's verdict on the same two families over the same
+    clustered generator. The estimator is N-invariant at fixed
+    geometry (a property of the hash family on the distribution —
+    docs/SCALE_PROBE.md), so 20k vectors reproduce the 2M fractions
+    the guard's thresholds came from."""
+    from tools.ann_scale_probe import DIM, synth_corpus
+
+    corpus = synth_corpus(spark, 20_000).persist()
+    try:
+        loose = similarity.build_lsh_keys(corpus, dim=DIM, bits=5, tables=10)
+        with pytest.warns(UserWarning, match="barely prunes"):
+            v1 = similarity.lsh_config_check(loose)
+        assert v1["verdict"] == "warn"
+        assert 0.15 < v1["expected_candidate_fraction"] < 0.45  # 0.276 at 2M
+        assert v1["recommended_bits"] > 5
+        loose.keys.unpersist()
+
+        sharp = similarity.build_lsh_keys(corpus, dim=DIM, bits=10, tables=8)
+        v2 = similarity.lsh_config_check(sharp)
+        assert v2["verdict"] == "ok"
+        assert v2["expected_candidate_fraction"] < 0.05  # 0.014 at 2M
+        assert v2["recommended_bits"] == 10
+        sharp.keys.unpersist()
+    finally:
+        corpus.unpersist()
+
+
+def test_lsh_write_lands_config_verdict_in_sidecar(spark, sf_dir, tmp_path):
+    """write_lsh_index (the production at-rest boundary) runs the
+    guard by default and lands the verdict beside the family params,
+    so a reader sees what the builder saw; check_config=False skips
+    it (and the histogram pass) for callers that already checked."""
+    import json
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    idx = similarity.build_lsh_keys(embs)
+    path = str(tmp_path / "lsh_guarded")
+    with pytest.warns(UserWarning, match="barely prunes"):
+        similarity.write_lsh_index(idx, path)  # fixture family: ~0.28
+    with open(path + "/params.json") as f:
+        params = json.load(f)
+    assert params["config_check"]["verdict"] == "warn"
+    assert params["config_check"]["recommended_bits"] > params["bits"]
+    # the verdict rides along; the reader still probes identically
+    loaded = similarity.read_lsh_index(spark, path)
+    assert loaded.bits == 5 and loaded.tables == 10
+
+    path2 = str(tmp_path / "lsh_unchecked")
+    similarity.write_lsh_index(idx, path2, check_config=False)
+    with open(path2 + "/params.json") as f:
+        assert "config_check" not in json.load(f)
+    idx.keys.unpersist()
+
+
 def test_prebuilt_index_param_mismatch_raises(spark, sf_dir):
     import pytest
 
