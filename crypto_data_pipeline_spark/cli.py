@@ -177,13 +177,18 @@ def cmd_run_sql(args: argparse.Namespace) -> int:
     spark = _spark("cli-run-sql")
     if args.name:
         try:
-            df = run_named_reference_query(spark, args.sf_dir, args.name, args.file)
+            df = run_named_reference_query(
+                spark, args.sf_dir, args.name, args.file,
+                bronze_root=args.bronze_root,
+            )
         except (KeyError, ValueError) as exc:  # missing marker / multi-stmt block
             print(f"Error: {exc.args[0] if exc.args else exc}", file=sys.stderr)
             return 2
         df.show(args.limit, truncate=False)
         return 0
-    for i, df in enumerate(run_reference_sql(spark, args.sf_dir, args.file), 1):
+    for i, df in enumerate(
+        run_reference_sql(spark, args.sf_dir, args.file, bronze_root=args.bronze_root), 1
+    ):
         print(f"-- statement {i}")
         df.show(args.limit, truncate=False)
     return 0
@@ -359,6 +364,9 @@ def build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--name", default=None,
                     help="run only the '-- BEGIN <name>'/'-- END <name>'-marked query")
     rs.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rs.add_argument("--bronze-root", default=None,
+                    help="register coin_history from a real bronze JSON tree "
+                         "(e.g. the reference's data/) instead of --sf-dir")
     rs.add_argument("--limit", type=int, default=20)
     rs.set_defaults(fn=cmd_run_sql)
 

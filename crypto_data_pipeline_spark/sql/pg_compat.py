@@ -336,12 +336,46 @@ def register_reference_views(spark: SparkSession, sf_dir: str) -> None:
     view.createOrReplaceTempView("coin_history")
 
 
+def register_reference_views_from_bronze(spark: SparkSession, root: str) -> None:
+    """The REAL-corpus ``coin_history`` view: one row per published
+    JSON file under ``root`` (the reference's data/ tree), through the
+    same S2 bronze scan the silver pipeline uses. Column mapping is
+    the reference's own load path (load_data.py:55-64 →
+    create_tables.sql): price_usd quantized at the NUMERIC(24,8)
+    boundary exactly like coin_history_silver, and ``response_data``
+    carrying THIS ROW'S full payload as a JSON string — the reference
+    stores the whole API document per row and Query 2's DISTINCT ON
+    reads the latest row's market cap out of it, so unlike the
+    synthetic view (which denormalizes one latest payload per entity)
+    no reshaping is needed: the real table has the real per-day
+    payloads."""
+    from crypto_data_pipeline_spark.sources.json_dir import read_bronze_json
+
+    bronze = read_bronze_json(spark, root)
+    view = bronze.select(
+        "coin_id",
+        "fetch_date",
+        F.round("price_usd", 8).alias("price_usd"),
+        F.to_json("response").alias("response_data"),
+    )
+    view.createOrReplaceTempView("coin_history")
+
+
 def run_reference_sql(
-    spark: SparkSession, sf_dir: str, path: str = REFERENCE_SQL_PATH
+    spark: SparkSession,
+    sf_dir: str,
+    path: str = REFERENCE_SQL_PATH,
+    bronze_root: str | None = None,
 ) -> list[DataFrame]:
     """Execute every statement of the reference SQL file on Spark,
-    returning one DataFrame per statement."""
-    register_reference_views(spark, sf_dir)
+    returning one DataFrame per statement. With ``bronze_root`` the
+    ``coin_history`` view is registered from a real bronze JSON tree
+    (the reference's own data/ corpus) instead of the synthetic
+    ``sf_dir`` tables."""
+    if bronze_root is not None:
+        register_reference_views_from_bronze(spark, bronze_root)
+    else:
+        register_reference_views(spark, sf_dir)
     with open(path) as f:
         sql = f.read()
     return [spark.sql(stmt) for stmt in split_statements(transpile_pg(sql))]
@@ -382,12 +416,18 @@ def extract_named_query(sql_text: str, name: str) -> str:
 
 
 def run_named_reference_query(
-    spark: SparkSession, sf_dir: str, name: str, path: str = REFERENCE_SQL_PATH
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    path: str = REFERENCE_SQL_PATH,
+    bronze_root: str | None = None,
 ) -> DataFrame:
     """``run_analysis_query(name)`` on the Spark engine: extract the
     marked query, transpile the PostgreSQL dialect, run it against the
-    reference-schema views. Statements inside the marked block beyond
-    the first are rejected — the marker contract is one query."""
+    reference-schema views (from ``bronze_root``'s real JSON tree when
+    given, else the synthetic ``sf_dir`` mapping). Statements inside
+    the marked block beyond the first are rejected — the marker
+    contract is one query."""
     with open(path) as f:
         sql = f.read()
     stmts = split_statements(transpile_pg(extract_named_query(sql, name)))
@@ -395,5 +435,8 @@ def run_named_reference_query(
         raise ValueError(
             f"marked block {name!r} holds {len(stmts)} statements; expected 1"
         )
-    register_reference_views(spark, sf_dir)
+    if bronze_root is not None:
+        register_reference_views_from_bronze(spark, bronze_root)
+    else:
+        register_reference_views(spark, sf_dir)
     return spark.sql(stmts[0])
