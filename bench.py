@@ -206,8 +206,17 @@ def main() -> None:
             newest = max(newest, int(m2.group(1)))
     local_name = f"BENCH_LOCAL_r{newest + 1:02d}.json"
     full_record = {
-        "metric": "headline_suite_seconds",
-        "value": round(sum(timings.values()), 3),
+        # The headline metric is the FIXED baseline-comparable subset:
+        # its membership never changes round over round, so its total
+        # is directly comparable to BENCH_r01 and to every later round
+        # without row-count arithmetic (rounds 8-9 both had to explain
+        # that a grown full-suite total was new coverage, not a
+        # regression). The full suite rides along as a secondary total
+        # whose meaning (all bench rows, count varies) is stated here.
+        "metric": "baseline_comparable_seconds",
+        "value": comparable,
+        "full_suite_seconds": round(sum(timings.values()), 3),
+        "n_bench_queries": len(timings),
         "unit": "sec",
         # every per-query second below is a median of 3 timed runs —
         # stated IN the artifact so round-over-round comparisons know
@@ -259,7 +268,7 @@ def main() -> None:
         k: full_record[k]
         for k in (
             "metric", "value", "unit", "timing",
-            "baseline_comparable_seconds",
+            "full_suite_seconds", "n_bench_queries",
             "sf", "queries", "cold_build_seconds", "recall_at_k",
             "shuffle_regressions_vs", "shuffle_regressions",
         )

@@ -21,8 +21,9 @@ Swept settings:
   FAISS-style cell-count knob.
 
 Candidate sets are rebuilt with the operators' OWN expression builders
-(similarity._table_buckets / _table_buckets_multiprobe / _cell_scores),
-so the probe counts the exact candidate sets the operators join, not a
+(similarity._table_buckets / multiprobe_query_keys — which derives the
+flipped keys via _multiprobe_keys_from_dots — and _cell_scores), so the
+probe counts the exact candidate sets the operators join, not a
 reimplementation's. Fully deterministic: fixed hyperplanes, fixed
 KMeans seed, fixed queries — same corpus -> same line on any run.
 
