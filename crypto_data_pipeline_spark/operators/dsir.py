@@ -171,6 +171,16 @@ def dsir_resample(
     )
 
 
+def _gumbel_key(id_col: str, salt: int) -> Column:
+    """The seeded Gumbel-top-k key (weight + Gumbel(0,1) noise from the
+    portable sampling hash), rounded 6 dp — shared by the rank twin and
+    the quantile scale path so both select over IDENTICAL doubles."""
+    from crypto_data_pipeline_spark.operators.sampling import MOD, hash_bucket
+
+    u = (hash_bucket(F.col(id_col), salt=salt) + 0.5) / F.lit(float(MOD))
+    return F.round(F.col("weight") - F.log(-F.log(u)), 6)
+
+
 def dsir_resample_gumbel(
     weighted: DataFrame,
     keep_fraction: float = 0.25,
@@ -192,19 +202,37 @@ def dsir_resample_gumbel(
     for the single best subset, this for diversity-preserving draws
     (epoch-reshufflable by salt, the training_order device). Like that
     twin this ranks through a DECLARED global window (oracle-twin
-    duty); a scale run thresholds the same ``key`` column via
-    dsir_kth_weight(..., weight_col="key") instead of totally
-    ordering it."""
-    from crypto_data_pipeline_spark.operators.sampling import MOD, hash_bucket
-
-    u = (hash_bucket(F.col(id_col), salt=salt) + 0.5) / F.lit(float(MOD))
-    key = F.round(F.col("weight") - F.log(-F.log(u)), 6)
+    duty); dsir_resample_gumbel_quantile is the scale path — same
+    keys, threshold selection."""
+    key = _gumbel_key(id_col, salt)
     w = Window.orderBy(F.col("key").desc(), F.col(id_col))
     n = F.count(F.lit(1)).over(Window.partitionBy())
     return (
         weighted.withColumn("key", key)
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .withColumn("kept", (F.col("rank") <= F.ceil(n * keep_fraction)).cast("boolean"))
+    )
+
+
+def dsir_resample_gumbel_quantile(
+    weighted: DataFrame,
+    keep_fraction: float = 0.25,
+    id_col: str = "doc_id",
+    salt: int = 17,
+) -> DataFrame:
+    """The Gumbel draw's SCALE path: the same seeded keys as
+    dsir_resample_gumbel (identical doubles — _gumbel_key is shared),
+    selected by the exact k-th-largest KEY from dsir_kth_weight's
+    histogram refinement instead of a total order. Same kept set as
+    the rank twin whenever no keys tie at the boundary (keys carry
+    ~6 decimal digits of hash noise, so boundary ties are measure-zero
+    in practice); ties-all-kept when they do. No window anywhere in
+    the plan — the per-epoch reshuffle-by-salt device this enables at
+    corpus scale is exactly the one the rank twin cannot run."""
+    keyed = weighted.withColumn("key", _gumbel_key(id_col, salt))
+    cutoff = dsir_kth_weight(keyed, keep_fraction, weight_col="key")
+    return keyed.withColumn(
+        "kept", (F.col("key") >= F.lit(cutoff)).cast("boolean")
     )
 
 

@@ -2896,9 +2896,10 @@ def _dsir_oracle(
     dsir_resample_quantile twin) keeps weight >= the exact
     k-th-largest weight — ties at the cutoff all kept, no rank column;
     'rank' (the dsir_resample twin) emits the total order with the
-    doc-id tiebreak. ``gumbel_salt`` implies rank selection on the
-    Gumbel-top-k key from the portable sampling hash — the
-    dsir_resample_gumbel twin. The twin's model CTE covers
+    doc-id tiebreak. ``gumbel_salt`` switches the selection column to
+    the Gumbel-top-k key from the portable sampling hash — rank is the
+    dsir_resample_gumbel twin, threshold the
+    dsir_resample_gumbel_quantile twin. The twin's model CTE covers
     only OCCUPIED buckets where the Spark model spans all n_buckets
     (operators/dsir.py:dsir_bucket_logratio) — equivalent here by
     construction: the scoring join only ever references buckets this
@@ -2911,18 +2912,19 @@ def _dsir_oracle(
     if gumbel_salt is None:
         key_col = "weight"
         key_sel = ""
+        cols = "doc_id, n_features, weight"
     else:
         u = f"(({sampling.sql_hash_bucket('doc_id', salt=gumbel_salt)}) + 0.5) / {float(sampling.MOD)!r}"
         key_col = "key"
         key_sel = f", round(weight - ln(-ln({u})), 6) AS key"
-        selection = "rank"
+        cols = "doc_id, n_features, weight, key"
     if selection == "threshold":
         tail = f"""
-SELECT doc_id, n_features, weight,
-       weight >= (
-         SELECT min(weight) FROM (
-           SELECT weight,
-                  row_number() OVER (ORDER BY weight DESC, doc_id) AS rn,
+SELECT {cols},
+       {key_col} >= (
+         SELECT min({key_col}) FROM (
+           SELECT {key_col},
+                  row_number() OVER (ORDER BY {key_col} DESC, doc_id) AS rn,
                   count(*) OVER () AS n
            FROM weighted
          ) WHERE rn <= ceil(n * {keep_fraction})
@@ -2931,7 +2933,7 @@ FROM weighted
 """
     else:
         tail = f"""
-SELECT doc_id, n_features, weight{', key' if gumbel_salt is not None else ''},
+SELECT {cols},
        CAST(row_number() OVER (ORDER BY {key_col} DESC, doc_id) AS INT) AS rank,
        row_number() OVER (ORDER BY {key_col} DESC, doc_id)
          <= ceil(count(*) OVER () * {keep_fraction}) AS kept
@@ -3031,7 +3033,7 @@ def dsir_resample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dsir_resample_gumbel",
     extra=True,
     survey_ids=("EXT-sample",),
-    oracle=_dsir_oracle(gumbel_salt=17),
+    oracle=_dsir_oracle(gumbel_salt=17, selection="rank"),
 )
 def dsir_resample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR with the paper's Gumbel-top-k selection (sampling without
@@ -3042,10 +3044,26 @@ def dsir_resample_gumbel(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k, sharing the cached (feats, model, weighted) triple.
     Hash-checked end to end: the DuckDB twin re-derives the Gumbel
     keys from the same integer hash. Global-rank oracle twin
-    (GLOBAL_WINDOW_OK); a scale run thresholds the key column via
-    dsir_kth_weight instead."""
+    (GLOBAL_WINDOW_OK); dsir_resample_gumbel_quantile is the scale
+    path over the same keys."""
     feats, model, weighted = _dsir_staged(spark, sf_dir)
     return dsir.dsir_resample_gumbel(weighted, salt=17)
+
+
+@register(
+    "dsir_resample_gumbel_quantile",
+    extra=True,
+    survey_ids=("EXT-sample",),
+    oracle=_dsir_oracle(gumbel_salt=17),
+)
+def dsir_resample_gumbel_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gumbel draw at scale: identical seeded keys to
+    dsir_resample_gumbel, selected by the exact k-th-largest key from
+    the histogram refinement — no window in the plan, so the per-epoch
+    reshuffle-by-salt device survives corpus scale. Hash-checked
+    against a DuckDB twin that re-derives keys AND the threshold."""
+    feats, model, weighted = _dsir_staged(spark, sf_dir)
+    return dsir.dsir_resample_gumbel_quantile(weighted, salt=17)
 
 
 @register(

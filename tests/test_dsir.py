@@ -253,6 +253,22 @@ def test_weight_cutoff_equals_min_kept_weight_of_exact_topk(spark, fixture_df):
     weighted.unpersist()
 
 
+def test_gumbel_quantile_matches_gumbel_rank_kept_set(spark, fixture_df):
+    """The Gumbel scale path selects the identical set the rank twin
+    selects (keys carry hash noise — no boundary ties on the fixture)
+    and its plan carries no window node."""
+    weighted = _weighted(fixture_df).persist()
+    by_rank = {
+        r.doc_id: r.kept
+        for r in dsir.dsir_resample_gumbel(weighted, 0.25, salt=17).collect()
+    }
+    out = dsir.dsir_resample_gumbel_quantile(weighted, 0.25, salt=17)
+    got = {r.doc_id: r.kept for r in out.collect()}
+    assert got == by_rank
+    assert "Window" not in out._jdf.queryExecution().executedPlan().toString()
+    weighted.unpersist()
+
+
 def test_resample_keeps_exact_fraction_with_deterministic_ties(spark, fixture_df):
     """kept count == ceil(n * fraction); rank is a total order (weight
     desc, doc_id asc) so reruns select the identical set; every doc —

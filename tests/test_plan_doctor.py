@@ -62,6 +62,7 @@ BNLJ_OK = {
     "dsir_importance_resample",    # two 1-row corpus-totals frames (T, S)
     "dsir_resample_exact",         # same fit path, same totals frames
     "dsir_resample_gumbel",        # same fit path, same totals frames
+    "dsir_resample_gumbel_quantile",  # same fit path, same totals frames
     "dedup_minhash_portable",      # broadcast candidate-id prune
     "dedup_staged_pipeline",       # same portable-minhash candidate prune
     "corpus_curation_pipeline",    # minhash prune + census-totals frames
