@@ -55,6 +55,36 @@ def true_pairs(corpus):
     return out
 
 
+def test_minhash_signature_is_a_real_minhash(spark):
+    """The signature family's statistical contract, pinned at unit
+    speed: (1) the 32 mask slots are DISTINCT values on a nontrivial
+    doc (the round-10 dedup scale probe caught them collapsing to one
+    mask-free value — a PySpark HOF lambda bound its mask as a second
+    parameter, which silently becomes the array index); (2) per-slot
+    agreement between two sets estimates their exact Jaccard (the
+    defining minhash property — the collapsed signature read 0/32 on a
+    J=0.78 pair)."""
+    import itertools
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i}" for i in range(40))),
+            (1, " ".join(f"w{i}" for i in itertools.chain(range(30), range(100, 110)))),
+        ],
+        ["doc_id", "text"],
+    )
+    sets = dedup.hashed_shingle_sets(docs)
+    sig = dedup._signature_from_hashes(F.col("hs"), 32)
+    rows = {r.doc_id: r for r in sets.select(
+        F.col("id").alias("doc_id"), "hs", sig.alias("s")).collect()}
+    assert len(set(rows[0].s)) > 16, "signature slots collapsed to few values"
+    j = len(set(rows[0].hs) & set(rows[1].hs)) / len(set(rows[0].hs) | set(rows[1].hs))
+    agree = sum(1 for a, b in zip(rows[0].s, rows[1].s) if a == b) / 32
+    # J ~= 0.56 here; a binomial(32, J) stays within +-0.3 of J with
+    # overwhelming probability, and the degenerate signature reads 0.0
+    assert abs(agree - j) < 0.3, (agree, j)
+
+
 def test_minhash_lsh_recall_and_precision(spark, sf_dir, true_pairs):
     docs = load_table(spark, sf_dir, "documents")
     got = {
