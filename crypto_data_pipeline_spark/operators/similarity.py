@@ -831,22 +831,34 @@ def lsh_expected_candidate_fraction(index: LshIndex) -> dict:
     0.276 measured on 2M clustered vectors; 10b×8t → 0.014) and is
     N-invariant at fixed geometry — a property of the hash family on
     the data distribution, which is exactly why it can be computed at
-    build time and trusted at serve time."""
-    hist = index.keys.groupBy("t", "b").agg(F.count(F.lit(1)).alias("n")).collect()
-    per_table: dict[int, list[int]] = {}
-    for r in hist:
-        per_table.setdefault(r.t, []).append(r.n)
-    f_ts = []
-    for t in sorted(per_table):
-        n_t = sum(per_table[t])
-        f_ts.append(sum((c / n_t) ** 2 for c in per_table[t]) if n_t else 0.0)
+    build time and trusted at serve time.
+
+    The Σn² reduction happens IN Spark (bucket histogram → per-table
+    moments), so the driver collects exactly ``tables`` rows — the
+    guard itself stays scale-safe at any ``bits`` (a 20-bit family's
+    8M-bucket histogram never crosses the driver boundary)."""
+    per = (
+        index.keys.groupBy("t", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("t")
+        .agg(
+            (
+                F.sum(F.col("n") * F.col("n")).cast("double")
+                / (F.sum("n") * F.sum("n"))
+            ).alias("f"),
+            F.count(F.lit(1)).alias("occ"),
+        )
+        .orderBy("t")
+        .collect()
+    )
+    f_ts = [r.f or 0.0 for r in per]
     miss = 1.0
     for f in f_ts:
         miss *= 1.0 - f
     return {
         "expected_candidate_fraction": round(1.0 - miss, 4),
         "per_table_fraction": [round(f, 5) for f in f_ts],
-        "n_buckets_occupied": sum(len(v) for v in per_table.values()),
+        "n_buckets_occupied": sum(r.occ for r in per),
     }
 
 
