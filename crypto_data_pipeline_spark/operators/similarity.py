@@ -805,12 +805,25 @@ def write_lsh_index(index: LshIndex, path: str, check_config: bool = True) -> No
 def read_lsh_index(spark, path: str) -> LshIndex:
     """Load a write_lsh_index layout; the keys come back as a lazy
     partitioned scan (table-directory pruning + bucket min/max
-    pruning), params from the sidecar."""
+    pruning), params from the sidecar. A sidecar carrying a
+    ``config_check`` warn verdict re-warns here — the serve side sees
+    exactly what the build side saw, without re-scanning the keys."""
     import json
     import os
+    import warnings
 
     with open(os.path.join(path, "params.json")) as f:
         p = json.load(f)
+    check = p.get("config_check")
+    if check and check.get("verdict") == "warn":
+        warnings.warn(
+            f"LSH index at {path} was built with a family the build-time "
+            f"guard flagged (expected candidate fraction "
+            f"{check['expected_candidate_fraction']} > "
+            f"{check['warn_above']}; recommended bits "
+            f"~{check['recommended_bits']}) — probes will barely prune.",
+            stacklevel=2,
+        )
     keys = spark.read.parquet(os.path.join(path, "keys")).select(p["id_col"], "t", "b")
     return LshIndex(
         keys=keys, id_col=p["id_col"], dim=int(p["dim"]), bits=int(p["bits"]),

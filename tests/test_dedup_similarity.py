@@ -459,8 +459,10 @@ def test_lsh_write_lands_config_verdict_in_sidecar(spark, sf_dir, tmp_path):
         params = json.load(f)
     assert params["config_check"]["verdict"] == "warn"
     assert params["config_check"]["recommended_bits"] > params["bits"]
-    # the verdict rides along; the reader still probes identically
-    loaded = similarity.read_lsh_index(spark, path)
+    # the verdict rides along AND the reader re-surfaces it — the
+    # serve side sees what the build side saw, no key re-scan
+    with pytest.warns(UserWarning, match="barely prune"):
+        loaded = similarity.read_lsh_index(spark, path)
     assert loaded.bits == 5 and loaded.tables == 10
 
     path2 = str(tmp_path / "lsh_unchecked")
