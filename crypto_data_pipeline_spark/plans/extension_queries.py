@@ -3672,6 +3672,137 @@ def lm_perplexity_buckets_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_perplexity_buckets(_docs(spark, sf_dir), model=_lm_kn_model(spark, sf_dir))
 
 
+# per-(applicationId, sf_dir) persisted excess-perplexity frame: the
+# RHO selection's cutoff refinement scans it ~4 times, and each scan
+# would otherwise replay BOTH LM scoring joins
+_RHO_SCORED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+_RHO_EXCESS_SQL = """
+WITH toks AS (SELECT doc_id, lang, {TOKENS_SQL} AS t FROM documents),
+bg AS (
+  SELECT doc_id, lang, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM toks, UNNEST(range(len(t) - 1)) AS u(i)
+),
+grid AS (SELECT lang, w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+ctx  AS (SELECT lang, w1, count(*) AS c1 FROM bg GROUP BY 1, 2),
+voc  AS (SELECT lang, count(DISTINCT w2) AS vsize FROM bg GROUP BY 1),
+sc_a AS (
+  SELECT b.doc_id,
+         ln((coalesce(g.c12, 0) + 1.0) / (coalesce(c.c1, 0) + v.vsize)) AS logp
+  FROM bg b
+  LEFT JOIN grid g USING (lang, w1, w2)
+  LEFT JOIN ctx c USING (lang, w1)
+  JOIN voc v USING (lang)
+),
+ppl_a AS (
+  SELECT doc_id, round(exp(-avg(logp)) + 1e-9, 6) AS ppl_base
+  FROM sc_a GROUP BY 1
+),
+ctxk AS (SELECT lang, w1, sum(c12) AS c1, count(*) AS n1p_w1
+         FROM grid GROUP BY 1, 2),
+tot  AS (SELECT lang, count(*) AS n1p_all, count(DISTINCT w2) AS vsize
+         FROM grid GROUP BY 1),
+cont AS (SELECT lang, w2, count(*) AS n1p_w2 FROM grid GROUP BY 1, 2),
+sc_k AS (
+  SELECT b.doc_id,
+         ln(CASE WHEN c.c1 IS NOT NULL
+                 THEN greatest(coalesce(g.c12, 0) - 0.75, 0.0) / c.c1
+                      + 0.75 * c.n1p_w1 / c.c1
+                        * ((coalesce(ct.n1p_w2, 0) + 1.0) / (t.n1p_all + t.vsize))
+                 ELSE (coalesce(ct.n1p_w2, 0) + 1.0) / (t.n1p_all + t.vsize)
+            END) AS logp
+  FROM bg b
+  LEFT JOIN grid g USING (lang, w1, w2)
+  LEFT JOIN ctxk c USING (lang, w1)
+  LEFT JOIN cont ct USING (lang, w2)
+  JOIN tot t USING (lang)
+),
+ppl_k AS (
+  SELECT doc_id, round(exp(-avg(logp)) + 1e-9, 6) AS ppl_ref
+  FROM sc_k GROUP BY 1
+),
+scored AS (
+  SELECT a.doc_id, a.ppl_base, k.ppl_ref,
+         round(ln(a.ppl_base) - ln(k.ppl_ref), 6) AS excess
+  FROM ppl_a a JOIN ppl_k k USING (doc_id)
+),
+cut AS (
+  SELECT min(excess) AS cutoff FROM (
+    SELECT doc_id, excess,
+           row_number() OVER (ORDER BY excess DESC, doc_id) AS rn,
+           count(*) OVER () AS n
+    FROM scored
+  ) WHERE rn <= ceil(n * 0.25)
+)
+SELECT d.doc_id, d.lang,
+       coalesce(s.ppl_base, -1.0) AS ppl_base,
+       coalesce(s.ppl_ref, -1.0) AS ppl_ref,
+       coalesce(s.excess, 0.0) AS excess,
+       coalesce(s.excess >= (SELECT cutoff FROM cut), false) AS kept
+FROM documents d LEFT JOIN scored s USING (doc_id)
+""".format(TOKENS_SQL=TOKENS_SQL)
+
+
+@register(
+    "rho_excess_perplexity_select",
+    extra=True,
+    survey_ids=("EXT-sample", "EXT-text"),
+    oracle=_RHO_EXCESS_SQL,
+)
+def rho_excess_perplexity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss-style learnability selection (Mindermann et al. 2022,
+    "Prioritized Training on Points that are Learnable, Worth
+    Learning, and Not Yet Learnt"): keep the documents where a
+    STRONGER reference model most out-predicts a weak base model —
+    excess = per-token log-loss delta = ln(ppl_base) − ln(ppl_ref),
+    with the engine's add-one bigram LM as the base learner and the
+    Kneser-Ney LM as the reference (both already fitted, cached at
+    rest, and individually hash-checked). High excess ≈ learnable
+    (the weak model fails, the strong one doesn't); low or negative
+    excess ≈ noise or already-learnt. Selection is the round-10
+    machinery: the exact k-th-largest excess from dsir_kth_weight's
+    histogram refinement applied as a per-row predicate — no window,
+    ties-all-kept. Docs scored by neither LM (<2 tokens) carry the
+    'unscored' sentinels (-1.0 ppl, 0.0 excess, kept=false). The
+    whole composition — two smoothing families, the loss delta, the
+    threshold — hash-checks against one DuckDB twin."""
+    from crypto_data_pipeline_spark.operators import lm as lm_ops
+
+    docs = _docs(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    scored = _RHO_SCORED_CACHE.get(key)
+    if scored is None:
+        ga, ca = _lm_model(spark, sf_dir)
+        gk, ck, cont = _lm_kn_model(spark, sf_dir)
+        base = lm_ops.bigram_lm_perplexity(docs, ga, ca)
+        ref = lm_ops.bigram_lm_kn_perplexity(docs, gk, ck, cont)
+        scored = (
+            base.select("doc_id", F.col("ppl").alias("ppl_base"))
+            .join(ref.select("doc_id", F.col("ppl").alias("ppl_ref")), "doc_id")
+            .withColumn(
+                "excess", F.round(F.log("ppl_base") - F.log("ppl_ref"), 6)
+            )
+            .persist()
+        )
+        _cache_put(_RHO_SCORED_CACHE, key, scored, lambda s: s)
+    cutoff = dsir.dsir_kth_weight(scored, 0.25, weight_col="excess")
+    kept = scored.withColumn(
+        "kept", (F.col("excess") >= F.lit(cutoff)).cast("boolean")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("ppl_base", F.lit(-1.0)).alias("ppl_base"),
+            F.coalesce("ppl_ref", F.lit(-1.0)).alias("ppl_ref"),
+            F.coalesce("excess", F.lit(0.0)).alias("excess"),
+            F.coalesce("kept", F.lit(False)).alias("kept"),
+        )
+    )
+
+
 # source-level curation thresholds — one definition feeds BOTH the
 # Spark expressions and the oracle SQL, so they cannot drift
 _SRC_DROP_DUP, _SRC_DROP_KEEP = 0.5, 0.3
