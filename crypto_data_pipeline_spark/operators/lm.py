@@ -639,6 +639,63 @@ def kn_perplexity_buckets_frozen(
     )
 
 
+def rho_excess_select_frozen(
+    docs: DataFrame,
+    base_model: tuple[DataFrame, DataFrame],
+    ref_model: tuple[DataFrame, DataFrame, DataFrame],
+    cutoff: DataFrame,
+    lang: str = "lang",
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, lang, ppl_base, ppl_ref, excess, kept): RHO-loss
+    learnability selection against FROZEN artifacts — the serve-online
+    half of the excess-perplexity train/serve split, the same pattern
+    as `perplexity_buckets_frozen` (frozen model + frozen boundary)
+    and `dsir_score_frozen` (frozen model + frozen cutoff).
+
+    excess = round(ln(ppl_base) − ln(ppl_ref), 6) — the per-token
+    log-loss delta between the weak base LM (add-one pair) and the
+    strong reference LM (Kneser-Ney triple); kept = excess >= cutoff,
+    a pure per-document predicate given the frozen (base_model,
+    ref_model, cutoff), so a document's row is identical whether it
+    arrives alone, in any micro-batch, or in the full batch — the
+    property the streaming twin's stream==batch test pins. Ties at the
+    cutoff are all kept (the dsir_score_frozen trade). Docs scorable
+    by neither LM (<2 tokens, NULL text, or a language the models
+    never saw) carry the LM tier's sentinels: ppl −1.0, excess 0.0,
+    kept false. The cutoff travels as an explicitly-broadcast 1-row
+    frame (a scalar by contract — derive it with
+    `dsir_kth_weight(scored, frac, weight_col="excess")` over the
+    reference corpus's excess frame, never a global rank)."""
+    base = bigram_lm_perplexity(
+        docs, *base_model, lang=lang, text=text, doc_id=doc_id
+    )
+    ref = bigram_lm_kn_perplexity(
+        docs, *ref_model, lang=lang, text=text, doc_id=doc_id
+    )
+    scored = (
+        base.select(doc_id, F.col("ppl").alias("ppl_base"))
+        .join(ref.select(doc_id, F.col("ppl").alias("ppl_ref")), doc_id)
+        .withColumn("excess", F.round(F.log("ppl_base") - F.log("ppl_ref"), 6))
+    )
+    return (
+        docs.select(doc_id, F.col(lang).alias("lang"))
+        .join(scored, doc_id, "left")
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            doc_id,
+            "lang",
+            F.coalesce("ppl_base", F.lit(-1.0)).alias("ppl_base"),
+            F.coalesce("ppl_ref", F.lit(-1.0)).alias("ppl_ref"),
+            F.coalesce("excess", F.lit(0.0)).alias("excess"),
+            F.coalesce(
+                (F.col("excess") >= F.col("cutoff")), F.lit(False)
+            ).alias("kept"),
+        )
+    )
+
+
 def perplexity_buckets_approx(
     docs: DataFrame,
     lang: str = "lang",

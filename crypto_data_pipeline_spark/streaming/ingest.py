@@ -510,6 +510,52 @@ def stream_dsir_score(
     )
 
 
+def stream_rho_select(
+    spark: SparkSession,
+    bronze_dir: str,
+    out_root: str,
+    checkpoint_dir: str,
+    schema,
+    base_model: tuple[DataFrame, DataFrame],
+    ref_model: tuple[DataFrame, DataFrame, DataFrame],
+    cutoff: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "lang",
+) -> StreamingQuery:
+    """Streaming RHO-loss learnability selection — the serve-online
+    half of the excess-perplexity split, symmetric with
+    `stream_lm_score` and `stream_dsir_score`: every arriving document
+    delivery is scored by BOTH frozen LMs (the weak add-one base and
+    the strong Kneser-Ney reference), the per-token log-loss delta is
+    thresholded against the FROZEN excess cutoff
+    (`operators/lm.py:rho_excess_select_frozen`), and
+    ``(doc_id, lang, ppl_base, ppl_ref, excess, kept)`` lands as
+    immutable ``batch_id=N`` overwrite directories (at-least-once
+    replay is a no-op rewrite). kept is a pure per-document predicate
+    under frozen artifacts, so stream output equals the batch frozen
+    twin under ANY delivery split — pinned across >= 3 orders by the
+    test. Model joins are AQE's choice (at-rest models measure their
+    true size); the cutoff is an explicitly-broadcast 1-row frame; the
+    stream shuffles only on its own doc key."""
+    from crypto_data_pipeline_spark.operators.lm import rho_excess_select_frozen
+
+    stream = spark.readStream.schema(schema).parquet(bronze_dir)
+
+    def score(batch: DataFrame, batch_id: int) -> None:
+        rho_excess_select_frozen(
+            batch, base_model, ref_model, cutoff,
+            lang=lang, text=text, doc_id=id_col,
+        ).write.mode("overwrite").parquet(f"{out_root}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sketch_distinct_batch(
     batch: DataFrame,
     batch_id: int,

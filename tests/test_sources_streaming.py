@@ -959,6 +959,114 @@ def test_stream_dsir_score_matches_batch_across_delivery_orders(spark, tmp_path)
     assert got == want
 
 
+def test_stream_rho_select_matches_batch_across_delivery_orders(spark, tmp_path):
+    """Streaming RHO-loss selection: documents scored by BOTH frozen
+    LMs (weak add-one base, strong Kneser-Ney reference) and
+    thresholded against the frozen excess cutoff must land EXACTLY the
+    batch frozen twin's rows under every delivery order — kept is a
+    pure per-document predicate under frozen artifacts. Serve rows
+    cover in-vocabulary text, partially-unseen vocabulary, a language
+    the models never saw (sentinel row), a NULL text, and a sub-2-token
+    doc; plus checkpointed re-run idempotence."""
+    from crypto_data_pipeline_spark.operators import lm as lm_ops
+    from crypto_data_pipeline_spark.operators.dsir import dsir_kth_weight
+    from crypto_data_pipeline_spark.streaming.ingest import stream_rho_select
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    fit = spark.createDataFrame(
+        [(1, "en", "the quick brown fox jumps over the dog"),
+         (2, "en", "the lazy dog sleeps under the tree"),
+         (3, "en", "quick foxes jump over lazy dogs daily"),
+         (4, "de", "der schnelle fuchs springt sehr hoch"),
+         (5, "de", "der faule hund schlaeft den ganzen tag")],
+        schema,
+    )
+    base_model = tuple(
+        f.localCheckpoint(eager=True) for f in lm_ops.bigram_lm_train(fit)
+    )
+    ref_model = tuple(
+        f.localCheckpoint(eager=True) for f in lm_ops.bigram_lm_kn_train(fit)
+    )
+    scored = (
+        lm_ops.bigram_lm_perplexity(fit, *base_model)
+        .select("doc_id", F.col("ppl").alias("ppl_base"))
+        .join(
+            lm_ops.bigram_lm_kn_perplexity(fit, *ref_model)
+            .select("doc_id", F.col("ppl").alias("ppl_ref")),
+            "doc_id",
+        )
+        .withColumn("excess", F.round(F.log("ppl_base") - F.log("ppl_ref"), 6))
+    )
+    cut = dsir_kth_weight(scored, 0.4, weight_col="excess")
+    cutoff = spark.createDataFrame([(cut,)], "cutoff double").localCheckpoint(
+        eager=True
+    )
+
+    serve_rows = [
+        (10, "en", "the quick brown fox jumps"),
+        (11, "en", "the lazy dog sleeps zzz unseen qqq"),
+        (12, "de", "der schnelle fuchs springt"),
+        (13, "fr", "le renard rapide saute"),   # language the models never saw
+        (14, "en", None),                        # NULL text
+        (15, "en", "single"),                    # sub-2-token: no bigrams
+    ]
+    serve = spark.createDataFrame(serve_rows, schema)
+    want = {
+        tuple(r)
+        for r in lm_ops.rho_excess_select_frozen(
+            serve, base_model, ref_model, cutoff
+        ).collect()
+    }
+    assert {t[0] for t in want} == {r[0] for r in serve_rows}  # nothing vanishes
+    by_id = {t[0]: t for t in want}
+    for sentinel_id in (13, 14, 15):
+        assert by_id[sentinel_id][2:] == (-1.0, -1.0, 0.0, False), sentinel_id
+    assert by_id[10][5] in (True, False) and by_id[10][2] > 0  # scored for real
+
+    orders = [
+        [serve_rows[:3], serve_rows[3:]],
+        [serve_rows[3:], serve_rows[:3]],
+        [serve_rows[::2], serve_rows[1::2]],
+    ]
+    for oi, parts in enumerate(orders):
+        bronze = str(tmp_path / f"rho_bronze_{oi}")
+        out = str(tmp_path / f"rho_out_{oi}")
+        ckpt = str(tmp_path / f"rho_ckpt_{oi}")
+        for part in parts:
+            spark.createDataFrame(part, schema).write.mode("append").parquet(bronze)
+            q = stream_rho_select(
+                spark, bronze, out, ckpt, schema, base_model, ref_model, cutoff
+            )
+            q.awaitTermination()
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(out)
+            .select("doc_id", "lang", "ppl_base", "ppl_ref", "excess", "kept")
+            .collect()
+        }
+        assert got == want, oi
+
+    # same checkpoint, nothing new -> no-op
+    q = stream_rho_select(
+        spark, str(tmp_path / "rho_bronze_0"), str(tmp_path / "rho_out_0"),
+        str(tmp_path / "rho_ckpt_0"), schema, base_model, ref_model, cutoff,
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(tmp_path / "rho_out_0"))
+        .select("doc_id", "lang", "ppl_base", "ppl_ref", "excess", "kept")
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_corpus_ingest_bloom_tier_identical_store(spark, tmp_path):
     """The bloom-prefiltered ingest tier admits the IDENTICAL store as
     the exact tier across multiple deliveries, maintains one _bloom
