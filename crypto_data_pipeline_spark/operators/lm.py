@@ -639,6 +639,36 @@ def kn_perplexity_buckets_frozen(
     )
 
 
+def rho_excess_scores(
+    docs: DataFrame,
+    base_model: tuple[DataFrame, DataFrame],
+    ref_model: tuple[DataFrame, DataFrame, DataFrame],
+    lang: str = "lang",
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, ppl_base, ppl_ref, excess): the RHO learnability score
+    — excess = round(ln(ppl_base) − ln(ppl_ref), 6), the per-token
+    log-loss delta between the weak add-one base LM and the strong
+    Kneser-Ney reference. One definition feeds BOTH the batch
+    selection query and the frozen serve twin, so the score cannot
+    drift between them. Only docs scorable by both models appear (the
+    two scorers share the ≥2-token / known-language domain when fitted
+    on the same corpus); callers file the rest under the LM tier's
+    sentinels."""
+    base = bigram_lm_perplexity(
+        docs, *base_model, lang=lang, text=text, doc_id=doc_id
+    )
+    ref = bigram_lm_kn_perplexity(
+        docs, *ref_model, lang=lang, text=text, doc_id=doc_id
+    )
+    return (
+        base.select(doc_id, F.col("ppl").alias("ppl_base"))
+        .join(ref.select(doc_id, F.col("ppl").alias("ppl_ref")), doc_id)
+        .withColumn("excess", F.round(F.log("ppl_base") - F.log("ppl_ref"), 6))
+    )
+
+
 def rho_excess_select_frozen(
     docs: DataFrame,
     base_model: tuple[DataFrame, DataFrame],
@@ -668,16 +698,8 @@ def rho_excess_select_frozen(
     frame (a scalar by contract — derive it with
     `dsir_kth_weight(scored, frac, weight_col="excess")` over the
     reference corpus's excess frame, never a global rank)."""
-    base = bigram_lm_perplexity(
-        docs, *base_model, lang=lang, text=text, doc_id=doc_id
-    )
-    ref = bigram_lm_kn_perplexity(
-        docs, *ref_model, lang=lang, text=text, doc_id=doc_id
-    )
-    scored = (
-        base.select(doc_id, F.col("ppl").alias("ppl_base"))
-        .join(ref.select(doc_id, F.col("ppl").alias("ppl_ref")), doc_id)
-        .withColumn("excess", F.round(F.log("ppl_base") - F.log("ppl_ref"), 6))
+    scored = rho_excess_scores(
+        docs, base_model, ref_model, lang=lang, text=text, doc_id=doc_id
     )
     return (
         docs.select(doc_id, F.col(lang).alias("lang"))

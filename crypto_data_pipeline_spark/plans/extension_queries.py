@@ -3772,18 +3772,9 @@ def rho_excess_perplexity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     scored = _RHO_SCORED_CACHE.get(key)
     if scored is None:
-        ga, ca = _lm_model(spark, sf_dir)
-        gk, ck, cont = _lm_kn_model(spark, sf_dir)
-        base = lm_ops.bigram_lm_perplexity(docs, ga, ca)
-        ref = lm_ops.bigram_lm_kn_perplexity(docs, gk, ck, cont)
-        scored = (
-            base.select("doc_id", F.col("ppl").alias("ppl_base"))
-            .join(ref.select("doc_id", F.col("ppl").alias("ppl_ref")), "doc_id")
-            .withColumn(
-                "excess", F.round(F.log("ppl_base") - F.log("ppl_ref"), 6)
-            )
-            .persist()
-        )
+        scored = lm_ops.rho_excess_scores(
+            docs, _lm_model(spark, sf_dir), _lm_kn_model(spark, sf_dir)
+        ).persist()
         _cache_put(_RHO_SCORED_CACHE, key, scored, lambda s: s)
     cutoff = dsir.dsir_kth_weight(scored, 0.25, weight_col="excess")
     kept = scored.withColumn(
