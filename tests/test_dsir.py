@@ -253,6 +253,41 @@ def test_weight_cutoff_equals_min_kept_weight_of_exact_topk(spark, fixture_df):
     weighted.unpersist()
 
 
+def test_kth_weight_random_property_sweep(spark):
+    """Property sweep of the round's central algorithm (the
+    test_cdc_properties device: seeded random scenarios replayed in
+    one session, Spark jobs being too expensive for per-example
+    hypothesis): random weight multisets — heavy duplicate mass,
+    negative/positive mixes, single-element lists — random fractions,
+    and hostile n_bins (2, 3, 7 force many refinement rounds and
+    uneven final bins). The cutoff must equal the literal
+    sorted-descending k-th (duplicates counted) EXACTLY, as stored
+    doubles."""
+    import math
+    import random
+
+    rng = random.Random(42)
+    for case in range(20):
+        n = rng.choice([1, 2, 5, 37, 200])
+        # duplicate-heavy: draw from a pool smaller than n half the time
+        pool = rng.randint(1, max(1, n // 2)) if case % 2 else 10**6
+        ws = [
+            round(rng.randint(-(10**7), 10**7) % pool - pool // 2, 0) / 1e6
+            if case % 2
+            else round(rng.uniform(-50, 50), 6)
+            for _ in range(n)
+        ]
+        frac = rng.choice([0.01, 0.1, 0.25, 0.5, 0.9, 1.0])
+        n_bins = rng.choice([2, 3, 7])
+        weighted = spark.createDataFrame(
+            [(i, float(w)) for i, w in enumerate(ws)], "doc_id int, weight double"
+        )
+        got = dsir.dsir_kth_weight(weighted, frac, n_bins=n_bins)
+        k = min(math.ceil(n * frac), n)
+        want = sorted(ws, reverse=True)[k - 1]
+        assert got == want, (case, n, frac, n_bins, got, want)
+
+
 def test_gumbel_quantile_matches_gumbel_rank_kept_set(spark, fixture_df):
     """The Gumbel scale path selects the identical set the rank twin
     selects (keys carry hash noise — no boundary ties on the fixture)
