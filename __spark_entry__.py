@@ -47,7 +47,9 @@ def oracle_sql() -> dict[str, str]:
     the engine-portable MinHash-LSH / simhash / fixed-quantizer IVF
     pipelines (driver-seated since round 7; the xxhash64/KMeans fast
     paths remain the production defaults as bench-flagged extras).
-    The single rows-only entry is the iterative ML model zoo
-    (model_comparison), value-pinned by linear_ridge_closed_form,
-    gbt_closed_form, and model_comparison_sanity."""
+    As of round 11 every driver entry has an oracle — the one
+    rows-only query (model_comparison, the iterative ML model zoo) was
+    rotated to an extra, its values pinned by the hash-green
+    linear_ridge_closed_form, gbt_closed_form, and
+    model_comparison_sanity rows."""
     return {name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None}

@@ -25,6 +25,12 @@ from crypto_data_pipeline_spark.plans.registry import load_with_extras
 
 
 def main() -> None:
+    # Host-load self-identification (round 11, VERDICT r10 what's-wrong
+    # #1): a co-tenant can slow every row 5-10x with byte-identical
+    # shuffles, so the artifact records 1/5/15-min loadavg before and
+    # after the timed section — a noisy run names itself without
+    # needing a narrative in the round notes.
+    load_before = [round(x, 2) for x in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -88,6 +94,12 @@ def main() -> None:
         # per (session, corpus), so the cold row is fit+score and the
         # steady rows are score-only
         "dsir_importance_resample",
+        # round 11: gate-seated RHO selection; shares both LM caches
+        # with the lm_perplexity_buckets rows (which register first and
+        # pay the fits) and persists its scored frame per
+        # (session, corpus) — the cold row is the residual score+cutoff
+        # build, steady rows are serve-only
+        "rho_excess_perplexity_select",
     }
     cold: dict[str, float] = {}
     for spec in specs:
@@ -133,6 +145,10 @@ def main() -> None:
             shuffle_bytes[spec.name] = plan_runtime_metrics(df)["shuffle_bytes_written"]
         except Exception:
             shuffle_bytes[spec.name] = -1  # never fail the bench for a metric read
+
+    # Timed section over — snapshot load again (the recall/metadata
+    # passes below are untimed, so they sit outside the bracket).
+    load_after = [round(x, 2) for x in os.getloadavg()]
 
     # ANN quality next to ANN speed: recall@k of each benched ANN query
     # vs its exact brute-force twin on the SAME fixed queries/index —
@@ -224,6 +240,12 @@ def main() -> None:
         # each spent effort re-explaining wall-clock drift the shuffle
         # -byte gate had already exonerated)
         "timing": "median_of_3",
+        # 1/5/15-min host loadavg bracketing the timed section: on a
+        # 32-CPU box, load_before[0] far above ~32 while our own JVM is
+        # the only tenant marks a co-tenant-noise run (the r10 incident
+        # class) — the artifact self-identifies, the byte gate decides.
+        "loadavg_before": load_before,
+        "loadavg_after": load_after,
         "baseline_comparable_seconds": comparable,
         "queries": timings,
         "cold_build_seconds": cold,
@@ -258,7 +280,11 @@ def main() -> None:
                  "queries (round 9) — quality recorded beside speed. "
                  "embedding_ann_lsh_multiprobe (round 9): the Lv-2007 "
                  "multi-probe row over the SAME index as "
-                 "embedding_ann_lsh — also post-baseline.",
+                 "embedding_ann_lsh — also post-baseline. "
+                 "rho_excess_perplexity_select (round 11): gate-seated "
+                 "RHO-loss selection; serve-only steady row (LM caches "
+                 "shared with the lm rows, scored frame persisted), "
+                 "cold row = residual score+cutoff — post-baseline.",
     }
     with open(os.path.join(repo_root, local_name), "w") as f:
         json.dump(full_record, f, indent=2)
@@ -268,6 +294,7 @@ def main() -> None:
         k: full_record[k]
         for k in (
             "metric", "value", "unit", "timing",
+            "loadavg_before", "loadavg_after",
             "full_suite_seconds", "n_bench_queries",
             "sf", "queries", "cold_build_seconds", "recall_at_k",
             "shuffle_regressions_vs", "shuffle_regressions",

@@ -856,8 +856,8 @@ def lsh_expected_candidate_fraction(index: LshIndex) -> dict:
         .groupBy("t")
         .agg(
             (
-                F.sum(F.col("n") * F.col("n")).cast("double")
-                / (F.sum("n") * F.sum("n"))
+                F.sum(F.col("n").cast("double") * F.col("n"))
+                / (F.sum(F.col("n").cast("double")) * F.sum(F.col("n").cast("double")))
             ).alias("f"),
             F.count(F.lit(1)).alias("occ"),
         )

@@ -2278,7 +2278,20 @@ def prediction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-@register("model_comparison", survey_ids=("M1", "M2", "M3", "M4", "M5", "M6", "O4"), oracle=None)
+@register(
+    "model_comparison",
+    survey_ids=("M1", "M2", "M3", "M4", "M5", "M6", "O4"),
+    oracle=None,
+    # r11 rotation: demoted from the driver gate in favor of
+    # rho_excess_perplexity_select. This was the gate's ONLY rows-only
+    # row (no oracle — learner-dependent floats); every id it covers
+    # keeps a hash-green driver twin (M1/M2/M4/M5 linear_ridge_closed_
+    # form, M3/M4/M5 gbt_closed_form, M5/M6/O4 model_comparison_sanity,
+    # which wraps THIS query), so the driver set is now 50/50 full
+    # hash-match. Still executed rows-only every suite run via
+    # tests/test_catalog_oracle.py::test_rows_only_queries_run.
+    extra=True,
+)
 def model_comparison_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """models.ipynb: 4 regression pipelines on the prediction features,
     chronological holdout, RMSE/MAE/R² table ordered by RMSE (non-SQL —

@@ -2896,7 +2896,9 @@ def _dsir_oracle(
     dsir_resample_quantile twin) keeps weight >= the exact
     k-th-largest weight — ties at the cutoff all kept, no rank column;
     'rank' (the dsir_resample twin) emits the total order with the
-    doc-id tiebreak. ``gumbel_salt`` switches the selection column to
+    doc-id tiebreak. The threshold cutoff coalesces to +infinity when
+    the kept set is empty (keep_fraction=0) — same contract as
+    dsir_kth_weight, so kept is uniformly false, never NULL. ``gumbel_salt`` switches the selection column to
     the Gumbel-top-k key from the portable sampling hash — rank is the
     dsir_resample_gumbel twin, threshold the
     dsir_resample_gumbel_quantile twin. The twin's model CTE covers
@@ -2921,14 +2923,14 @@ def _dsir_oracle(
     if selection == "threshold":
         tail = f"""
 SELECT {cols},
-       {key_col} >= (
+       {key_col} >= coalesce((
          SELECT min({key_col}) FROM (
            SELECT {key_col},
                   row_number() OVER (ORDER BY {key_col} DESC, doc_id) AS rn,
                   count(*) OVER () AS n
            FROM weighted
          ) WHERE rn <= ceil(n * {keep_fraction})
-       ) AS kept
+       ), 'infinity'::DOUBLE) AS kept
 FROM weighted
 """
     else:
@@ -3745,7 +3747,12 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 @register(
     "rho_excess_perplexity_select",
-    extra=True,
+    # r11: seated in the driver gate (VERDICT r10 next #1) in place of
+    # the rows-only model_comparison — the round-10 flagship gets a
+    # driver-certified hash row; bench-flagged per house rule (every
+    # gate query bench-observable: timing row, shuffle-byte gate,
+    # PLAN_AUDIT).
+    bench=True,
     survey_ids=("EXT-sample", "EXT-text"),
     oracle=_RHO_EXCESS_SQL,
 )
