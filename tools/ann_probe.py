@@ -17,8 +17,12 @@ Swept settings:
   2007 multi-probe, flipping the lowest-|margin| sign bits) over the
   SAME at-rest index (5 bits x 10 tables) — the whole point of
   multi-probe is that the frontier moves without re-indexing.
-- IVF nprobe 1/2/4/8 over the same KMeans index (16 centroids) — the
-  FAISS-style cell-count knob.
+- IVF nprobe 1/2/4/8 over the shipped 16-centroid KMeans index, PLUS
+  (round 11) the BUILD knob: n_centroids 16/41/64 (41 = the config
+  guard's recommendation for the 16-cell demo geometry) at nprobe
+  1/2/4 — every IVF row carries the `ivf_config_check` estimator's
+  expected candidate fraction beside the measured one, so the guard
+  that gates production builds is validated against ground truth.
 
 Candidate sets are rebuilt with the operators' OWN expression builders
 (similarity._table_buckets / multiprobe_query_keys — which derives the
@@ -115,22 +119,44 @@ def probe_sf(spark, sf_dir: str) -> list[dict]:
         emit("lsh", f"probes_per_table={npr}", _recall(got, truth), n_cand)
     lsh.keys.unpersist()
 
-    ivf = S.build_ivf_index(embs)
-    q_n = S._unit_normed(queries, "query_id", "embedding").withColumnRenamed("_v", "_qv")
-    for nprobe in (1, 2, 4, 8):
-        scored_centers = S._cell_scores(F.col("_qv"), S._centers_expr(ivf.centers))
-        probes = F.slice(F.array_sort(scored_centers), 1, nprobe)
-        q_probed = q_n.select(
-            "query_id", F.explode(F.transform(probes, lambda p: p["_cell"])).alias("_cell")
-        )
-        n_cand = (
-            ivf.assigned.join(F.broadcast(q_probed), "_cell")
-            .where(F.col("query_id") != F.col(ivf.id_col))
-            .count()
-        )
-        got = _topk_sets(S.ivf_topk(embs, queries, k=K, nprobe=nprobe, index=ivf))
-        emit("ivf", f"nprobe={nprobe}", _recall(got, truth), n_cand)
-    ivf.assigned.unpersist()
+    # IVF frontier over BOTH knobs (round 11): nprobe (query-time) at
+    # the shipped 16-cell build, plus the BUILD knob n_centroids at a
+    # recall-comparable nprobe — the axis the new ivf_config_check
+    # recommends along. Each row also records the guard's build-time
+    # candidate-fraction estimate next to the measured fraction, so
+    # the estimator that gates production builds is validated against
+    # ground truth on every probe run.
+    for n_centroids in (16, 41, 64):
+        ivf = S.build_ivf_index(embs, n_centroids=n_centroids)
+        q_n = S._unit_normed(queries, "query_id", "embedding").withColumnRenamed("_v", "_qv")
+        nprobes = (1, 2, 4, 8) if n_centroids == 16 else (1, 2, 4)
+        for nprobe in nprobes:
+            scored_centers = S._cell_scores(F.col("_qv"), S._centers_expr(ivf.centers))
+            probes = F.slice(F.array_sort(scored_centers), 1, nprobe)
+            q_probed = q_n.select(
+                "query_id", F.explode(F.transform(probes, lambda p: p["_cell"])).alias("_cell")
+            )
+            n_cand = (
+                ivf.assigned.join(F.broadcast(q_probed), "_cell")
+                .where(F.col("query_id") != F.col(ivf.id_col))
+                .count()
+            )
+            got = _topk_sets(
+                S.ivf_topk(embs, queries, k=K, nprobe=nprobe, index=ivf,
+                           n_centroids=n_centroids)
+            )
+            est = S.ivf_expected_candidate_fraction(ivf, nprobe)
+            emit(
+                "ivf",
+                f"n_centroids={n_centroids},nprobe={nprobe}",
+                _recall(got, truth),
+                n_cand,
+            )
+            rows[-1]["guard_est_fraction"] = est["expected_candidate_fraction"]
+            rows[-1]["guard_verdict"] = (
+                "warn" if est["expected_candidate_fraction"] > 0.10 else "ok"
+            )
+        ivf.assigned.unpersist()
 
     return rows
 
