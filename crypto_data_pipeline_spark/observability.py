@@ -30,12 +30,20 @@ _SUMMED = {
 }
 
 
-def plan_runtime_metrics(df: DataFrame) -> dict[str, int]:
+def plan_runtime_metrics(df: DataFrame, include_cached: bool = False) -> dict[str, int]:
     """Aggregate runtime metrics of ``df``'s LAST execution. Call
     AFTER an action (collect/count/write) — metrics of an unexecuted
     plan are all zero. Returns total shuffle bytes/records written,
     spill bytes, the number of Exchange nodes that actually ran, and
-    rows produced by the scan leaves (`scan_output_rows`)."""
+    rows produced by the scan leaves (`scan_output_rows`).
+
+    ``include_cached`` descends through InMemoryTableScan into the
+    cached relation's OWN plan — for a PERSISTED frame, the build-side
+    shuffles execute inside that plan at materialization and are
+    otherwise invisible here (round 11: the curation stage probe needs
+    them). Leave False when several readers share one cache, or each
+    reader re-counts the same materialization (the ReusedExchange
+    double-count class)."""
     totals = {v: 0 for v in _SUMMED.values()}
     totals["n_exchanges"] = 0
     totals["scan_output_rows"] = 0
@@ -57,6 +65,9 @@ def plan_runtime_metrics(df: DataFrame) -> dict[str, int]:
         if name.startswith("ReusedExchange"):
             # the reuse delegates to the ORIGINAL exchange's metrics —
             # descending would double-count a shuffle that ran once
+            return
+        if include_cached and cls == "InMemoryTableScanExec":
+            walk(node.relation().cachedPlan())
             return
         vals = node_metrics(node)
         if name.startswith("Exchange"):

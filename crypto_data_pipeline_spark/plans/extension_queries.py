@@ -3419,8 +3419,6 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH, census broadcast, shard-partitioned ranks); the decision
     record joins are all on doc_id and AQE broadcasts the
     stage-shrunk sides."""
-    from pyspark.sql import Window
-
     # the three persisted stages are cached per (session, sf_dir) and
     # REUSED across calls — bench runs this query 4+ times in one
     # session, and un-registered persists would stack a fresh cached
@@ -3430,28 +3428,43 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     staged = _CURATION_CACHE.get(key)
     if staged is None:
-        docs = _docs(spark, sf_dir)
-        # q fans out to 2 consumers and exk to 3 (pairs, anti join,
-        # and the decision-record join) — persist both so the quality
-        # battery and the dedup window evaluate once, not per branch
-        # (measured 15s -> ~7s at sf0.1)
-        q = text.with_quality_filter(text.with_text_stats(docs)).select(
-            "doc_id", "lang", "text", F.col("keep").alias("q_keep")
-        ).persist()
-        qk = q.where(F.col("q_keep") == 1)
-        w = Window.partitionBy(F.md5(text.normalized("text"))).orderBy("doc_id")
-        ex = qk.withColumn(
-            "ex_keep", (F.row_number().over(w) == 1).cast("int")
-        )
-        exk = ex.where(F.col("ex_keep") == 1).select("doc_id", "lang", "text").persist()
-        pairs = dedup.minhash_dedup_pairs_portable(exk, threshold=0.5)
-        # the dominated-id set is tiny but its lineage is the whole
-        # LSH DAG — persist it or every downstream branch (mix census,
-        # final join, training order) re-runs the banding+verify
-        # pipeline
-        dominated = pairs.select(F.col("id_b").alias("doc_id")).distinct().persist()
-        staged = (q, ex, exk, dominated)
+        staged = curation_stages(_docs(spark, sf_dir))
         _cache_put(_CURATION_CACHE, key, staged, frame_of=_release_curation)
+    return curation_decision_record(staged)
+
+
+def curation_stages(docs: DataFrame) -> tuple:
+    """The pipeline's persisted stage frames — (q, ex, exk, dominated)
+    — extracted (round 11) so tools/curation_scale_probe.py measures
+    the COMPOSED pipeline on the operator's own code path, not a
+    probe-local copy. q fans out to 2 consumers and exk to 3 (pairs,
+    anti join, and the decision-record join) — both persist so the
+    quality battery and the dedup window evaluate once, not per branch
+    (measured 15s -> ~7s at sf0.1). The dominated-id set is tiny but
+    its lineage is the whole LSH DAG — persist it or every downstream
+    branch (mix census, final join, training order) re-runs the
+    banding+verify pipeline. Callers own the persists: the registered
+    query parks them in _CURATION_CACHE (evict -> unpersist via
+    _release_curation); the probe unpersists explicitly per N."""
+    from pyspark.sql import Window
+
+    q = text.with_quality_filter(text.with_text_stats(docs)).select(
+        "doc_id", "lang", "text", F.col("keep").alias("q_keep")
+    ).persist()
+    qk = q.where(F.col("q_keep") == 1)
+    w = Window.partitionBy(F.md5(text.normalized("text"))).orderBy("doc_id")
+    ex = qk.withColumn(
+        "ex_keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    exk = ex.where(F.col("ex_keep") == 1).select("doc_id", "lang", "text").persist()
+    pairs = dedup.minhash_dedup_pairs_portable(exk, threshold=0.5)
+    dominated = pairs.select(F.col("id_b").alias("doc_id")).distinct().persist()
+    return (q, ex, exk, dominated)
+
+
+def curation_decision_record(staged: tuple) -> DataFrame:
+    """The per-document decision record over prepared stage frames —
+    the steady-state assembly the bench times (stages cached)."""
     q, ex, exk, dominated = staged
     ndk = exk.join(F.broadcast(dominated), "doc_id", "left_anti")
     mix = sampling.temperature_mix_flags(ndk)
@@ -4928,14 +4941,9 @@ _HLL_M, _HLL_SEED = 256, 29
 
 
 def _hll_setops_oracle() -> str:
-    from crypto_data_pipeline_spark.operators.dedup import (
-        PORTABLE_MOD,
-        portable_minhash_params,
-    )
+    from crypto_data_pipeline_spark.operators.sketch import hll_alpha, sql_hll_hash
 
-    from crypto_data_pipeline_spark.operators.sketch import hll_alpha
-
-    (a, b) = portable_minhash_params(1, _HLL_SEED)[0]
+    hh = sql_hll_hash("user_id", _HLL_SEED)
     m = _HLL_M
     alpha = hll_alpha(m)
     wbits1 = 31 - (m.bit_length() - 1) + 1
@@ -4948,7 +4956,7 @@ def _hll_setops_oracle() -> str:
     return f"""
 WITH hashed AS (
   SELECT CASE WHEN event_type IN ('click', 'view') THEN event_type END AS grp,
-         ((user_id % {PORTABLE_MOD}) * {a} + {b}) % {PORTABLE_MOD} AS h
+         {hh} AS h
   FROM events WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')
 ),
 regs AS (
@@ -5060,14 +5068,9 @@ def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_rollup_oracle() -> str:
-    from crypto_data_pipeline_spark.operators.dedup import (
-        PORTABLE_MOD,
-        portable_minhash_params,
-    )
+    from crypto_data_pipeline_spark.operators.sketch import hll_alpha, sql_hll_hash
 
-    from crypto_data_pipeline_spark.operators.sketch import hll_alpha
-
-    (a, b) = portable_minhash_params(1, _HLL_SEED)[0]
+    hh = sql_hll_hash("user_id", _HLL_SEED)
     m = _HLL_M
     alpha = hll_alpha(m)
     wbits1 = 31 - (m.bit_length() - 1) + 1
@@ -5083,7 +5086,7 @@ def _hll_rollup_oracle() -> str:
 WITH hashed AS (
   SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
          CAST(ts AS DATE) AS day,
-         ((user_id % {PORTABLE_MOD}) * {a} + {b}) % {PORTABLE_MOD} AS h
+         {hh} AS h
   FROM events WHERE user_id IS NOT NULL
 ),
 daily AS (
@@ -5214,21 +5217,16 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_oracle() -> str:
-    from crypto_data_pipeline_spark.operators.dedup import (
-        PORTABLE_MOD,
-        portable_minhash_params,
-    )
+    from crypto_data_pipeline_spark.operators.sketch import hll_alpha, sql_hll_hash
 
-    from crypto_data_pipeline_spark.operators.sketch import hll_alpha
-
-    (a, b) = portable_minhash_params(1, _HLL_SEED)[0]
+    hh = sql_hll_hash("user_id", _HLL_SEED)
     m = _HLL_M
     alpha = hll_alpha(m)
     wbits1 = 31 - (m.bit_length() - 1) + 1  # rho for w = 0
     return f"""
 WITH hashed AS (
   SELECT event_type,
-         ((user_id % {PORTABLE_MOD}) * {a} + {b}) % {PORTABLE_MOD} AS h
+         {hh} AS h
   FROM events WHERE user_id IS NOT NULL
 ),
 regs AS (

@@ -105,11 +105,15 @@ def test_portable_hll_matches_python_reference_and_merges(spark, sf_dir):
     regs = hll_registers(ev, F.col("user_id"), m=m, seed=seed)
     got = {r["j"]: r["r"] for r in regs.collect()}
 
-    (a, b) = portable_minhash_params(1, seed)[0]
+    (a1, b1), (a2, b2) = portable_minhash_params(2, seed)
     wbits = 31 - (m.bit_length() - 1)
     ref: dict[int, int] = {}
     for (uid,) in ev.where("user_id IS NOT NULL").collect():
-        h = ((uid % PORTABLE_MOD) * a + b) % PORTABLE_MOD
+        # affine -> xorshift(15) -> affine, the round-11 avalanche
+        # composition (_hll_j_rho) that holds the error contract on
+        # sequential keys
+        h1 = ((uid % PORTABLE_MOD) * a1 + b1) % PORTABLE_MOD
+        h = ((h1 ^ (h1 >> 15)) * a2 + b2) % PORTABLE_MOD
         w = h // m
         rho = wbits + 1 if w == 0 else wbits + 1 - w.bit_length()
         j = h % m
