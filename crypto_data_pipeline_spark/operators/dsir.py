@@ -174,10 +174,22 @@ def dsir_resample(
 def _gumbel_key(id_col: str, salt: int) -> Column:
     """The seeded Gumbel-top-k key (weight + Gumbel(0,1) noise from the
     portable sampling hash), rounded 6 dp — shared by the rank twin and
-    the quantile scale path so both select over IDENTICAL doubles."""
-    from crypto_data_pipeline_spark.operators.sampling import MOD, hash_bucket
+    the quantile scale path so both select over IDENTICAL doubles.
 
-    u = (hash_bucket(F.col(id_col), salt=salt) + 0.5) / F.lit(float(MOD))
+    The uniform comes from `avalanche_bucket`, NOT `hash_bucket`
+    (round 11): the Gumbel-max guarantee — P(doc i selected first) =
+    exp(w_i)/Σexp(w) — needs noise that is independent ACROSS docs,
+    and the affine hash_bucket couples every doc's uniform into one
+    lattice per salt (u_{i+1} = frac(u_i + const)); measured win
+    frequencies were (0.235, 0.255, 0.255, 0.255) where softmax says
+    (0.1, 0.2, 0.3, 0.4). The xorshift round restores (0.100, 0.203,
+    0.291, 0.406) over 500k draws — tests/test_stat_contracts.py pins
+    it. The threshold/keep operators (deterministic_sample,
+    temperature mix) keep hash_bucket: their contracts are per-key
+    MARGINALS, where the lattice is fine (systematic sampling)."""
+    from crypto_data_pipeline_spark.operators.sampling import MOD, avalanche_bucket
+
+    u = (avalanche_bucket(F.col(id_col), salt=salt) + 0.5) / F.lit(float(MOD))
     return F.round(F.col("weight") - F.log(-F.log(u)), 6)
 
 

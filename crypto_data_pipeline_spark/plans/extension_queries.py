@@ -2953,7 +2953,7 @@ def _dsir_oracle(
         key_sel = ""
         cols = "doc_id, n_features, weight"
     else:
-        u = f"(({sampling.sql_hash_bucket('doc_id', salt=gumbel_salt)}) + 0.5) / {float(sampling.MOD)!r}"
+        u = f"(({sampling.sql_avalanche_bucket('doc_id', salt=gumbel_salt)}) + 0.5) / {float(sampling.MOD)!r}"
         key_col = "key"
         key_sel = f", round(weight - ln(-ln({u})), 6) AS key"
         cols = "doc_id, n_features, weight, key"

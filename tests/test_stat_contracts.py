@@ -156,6 +156,46 @@ def test_hll_error_contract_on_sequential_keys(spark):
     assert max(abs(e) for e in rel) < 4 * sigma
 
 
+def test_gumbel_draw_win_frequencies_match_softmax(spark):
+    """THE second round-11 regression pin: Gumbel-top-k selection
+    (operators/dsir.py:_gumbel_key) promises P(top-1 = doc i) =
+    exp(w_i)/Σexp(w) — Xie et al.'s sampling-∝-exp(weight) semantics.
+    The affine hash_bucket silently broke this: it couples every
+    doc's uniform into ONE lattice per salt (u_{i+1} = frac(u_i +
+    const)), and measured win frequencies were (0.235, 0.255, 0.255,
+    0.255) against softmax (0.1, 0.2, 0.3, 0.4) — while the
+    rank/threshold twins stayed hash-green (DuckDB computes the same
+    coupled draw). avalanche_bucket's xorshift restores independence;
+    this pins it at 4σ bands over 4000 salted draws."""
+    import math as _math
+
+    from crypto_data_pipeline_spark.operators.sampling import MOD, avalanche_bucket
+
+    n_draws = 4000
+    w = [0.0, _math.log(2.0), _math.log(3.0), _math.log(4.0)]
+    weights = F.array(*[F.lit(x) for x in w])
+    drawn = spark.range(n_draws).select(
+        F.col("id").alias("salt_k"), F.explode(F.sequence(F.lit(0), F.lit(3))).alias("d")
+    ).select(
+        "salt_k", "d",
+        (weights[F.col("d")] - F.log(-F.log(
+            (avalanche_bucket(F.col("d") + F.col("salt_k") * 1000, salt=0) + 0.5)
+            / F.lit(float(MOD))
+        ))).alias("key"),
+    )
+    wins = {
+        int(r["winner"]): r["count"]
+        for r in drawn.groupBy("salt_k").agg(F.max_by("d", "key").alias("winner"))
+        .groupBy("winner").count().collect()
+    }
+    total = sum(wins.values())
+    assert total == n_draws
+    for i, p in enumerate((0.1, 0.2, 0.3, 0.4)):
+        freq = wins.get(i, 0) / total
+        band = 4 * _math.sqrt(p * (1 - p) / n_draws)
+        assert abs(freq - p) < band, f"doc {i}: {freq:.4f} vs {p} (±{band:.4f})"
+
+
 def test_cms_overcount_bound_on_heavy_tail_stream(spark):
     """Cormode-Muthukrishnan: estimate >= exact ALWAYS (deterministic
     min-of-counters guarantee — pinned exactly), and overcount <=

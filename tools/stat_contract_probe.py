@@ -199,6 +199,44 @@ def probe_cms(spark, n_tokens: int, width: int = 1024, depth: int = 3) -> dict:
     }
 
 
+def probe_gumbel(spark, n_draws: int) -> dict:
+    """Gumbel-max contract of the DSIR resampler: P(top-1 = doc i) =
+    exp(w_i)/Σexp(w) over independent salted draws. Salts enter the
+    hash additively BEFORE the scramble (avalanche_bucket(key, salt) ==
+    avalanche_bucket(key + salt, 0)), so one Spark job sweeps n_draws
+    salts at spacing 1000 (> max doc id — no cross-draw key reuse).
+    This is the probe that exposed the affine hash_bucket's lattice
+    coupling in round 11: measured (0.235, 0.255, 0.255, 0.255)
+    pre-fix where softmax says (0.1, 0.2, 0.3, 0.4)."""
+    from crypto_data_pipeline_spark.operators.sampling import MOD, avalanche_bucket
+
+    w = {0: math.log(1.0), 1: math.log(2.0), 2: math.log(3.0), 3: math.log(4.0)}
+    weights = F.array(*[F.lit(w[i]) for i in range(4)])
+    docs = F.sequence(F.lit(0), F.lit(3))
+    drawn = spark.range(n_draws).select(
+        F.col("id").alias("salt_k"),
+        F.explode(docs).alias("d"),
+    ).select(
+        "salt_k", "d",
+        (weights[F.col("d")]
+         - F.log(-F.log(
+             (avalanche_bucket(F.col("d") + F.col("salt_k") * 1000, salt=0) + 0.5)
+             / F.lit(float(MOD))
+         ))).alias("key"),
+    )
+    wins = (
+        drawn.groupBy("salt_k").agg(F.max_by("d", "key").alias("winner"))
+        .groupBy("winner").count().orderBy("winner").collect()
+    )
+    total = sum(r["count"] for r in wins)
+    freq = {int(r["winner"]): round(r["count"] / total, 4) for r in wins}
+    return {
+        "probe": "gumbel_softmax", "n_draws": n_draws,
+        "win_freq": [freq.get(i, 0.0) for i in range(4)],
+        "softmax_target": [round(x / 10, 4) for x in (1, 2, 3, 4)],
+    }
+
+
 def main() -> None:
     small = "--small" in sys.argv
     spark = get_spark("stat-contract-probe")
@@ -208,6 +246,7 @@ def main() -> None:
     print(json.dumps(probe_bloom(spark, n=50_000 * scale)), flush=True)
     print(json.dumps(probe_hll(spark, n_per_group=62_500 * scale)), flush=True)
     print(json.dumps(probe_cms(spark, n_tokens=50_000 * scale * 20)), flush=True)
+    print(json.dumps(probe_gumbel(spark, n_draws=25_000 * scale)), flush=True)
 
 
 if __name__ == "__main__":
