@@ -182,9 +182,10 @@ def _gumbel_key(id_col: str, salt: int) -> Column:
     and the affine hash_bucket couples every doc's uniform into one
     lattice per salt (u_{i+1} = frac(u_i + const)); measured win
     frequencies were (0.235, 0.255, 0.255, 0.255) where softmax says
-    (0.1, 0.2, 0.3, 0.4). The xorshift round restores (0.100, 0.203,
-    0.291, 0.406) over 500k draws — tests/test_stat_contracts.py pins
-    it. The threshold/keep operators (deterministic_sample,
+    (0.1, 0.2, 0.3, 0.4). The two-round scramble restores (0.0999,
+    0.2003, 0.2997, 0.4000) at 2M draws —
+    tests/test_stat_contracts.py pins it.
+    The threshold/keep operators (deterministic_sample,
     temperature mix) keep hash_bucket: their contracts are per-key
     MARGINALS, where the lattice is fine (systematic sampling)."""
     from crypto_data_pipeline_spark.operators.sampling import MOD, avalanche_bucket
@@ -203,9 +204,11 @@ def dsir_resample_gumbel(
     semantics (sampling WITHOUT replacement proportional to exp(weight)
     is exactly top-k on weight + Gumbel(0,1) noise; Xie et al. §3),
     made reproducible: the per-doc uniform comes from the portable
-    sampling hash (operators/sampling.py:hash_bucket — exact int64
-    arithmetic both engines share), so a given (corpus, salt) always
-    selects the same set and a NEW salt draws an independent sample.
+    sampling hash (operators/sampling.py:avalanche_bucket — exact
+    int64 arithmetic both engines share; the xorshift round is what
+    makes the noise independent ACROSS docs, see _gumbel_key), so a
+    given (corpus, salt) always selects the same set and a NEW salt
+    draws an independent sample.
     u = (bucket + 0.5)/MOD keeps the uniform strictly inside (0, 1) —
     -ln(-ln(u)) is finite for every doc. ``key`` is rounded 6 dp like
     the weight (single ln calls on identical doubles; cross-engine ulp

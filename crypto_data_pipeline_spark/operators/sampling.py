@@ -49,22 +49,24 @@ def hash_bucket(key: Column, salt: int = 0) -> Column:
 
 
 def avalanche_bucket(key: Column, salt: int = 0) -> Column:
-    """`hash_bucket` with a xorshift round between the affines — use
-    where the JOINT distribution across keys carries the semantics,
-    not just the per-key marginal. `hash_bucket` is affine in the key,
-    so u(key+1) = frac(u(key) + const) at every salt: a rigid lattice.
-    That is fine — often preferable (systematic sampling) — for
-    keep/split thresholds, but it breaks Gumbel-top-k, whose
-    "sample ∝ exp(weight)" guarantee needs independent noise ACROSS
-    docs: measured top-1 win frequencies on adjacent ids were
-    (0.235, 0.255, 0.255, 0.255) where softmax says (0.1, 0.2, 0.3,
-    0.4); with the xorshift they land at (0.100, 0.203, 0.291, 0.406)
-    over 500k salted draws (round 11, tools/stat_contract_probe.py).
-    Same exact-int64 portability class as hash_bucket; the SQL twin is
-    `sql_avalanche_bucket`."""
+    """`hash_bucket` with TWO xorshift rounds woven between the
+    affines — use where the JOINT distribution across keys carries
+    the semantics, not just the per-key marginal. `hash_bucket` is
+    affine in the key, so u(key+1) = frac(u(key) + const) at every
+    salt: a rigid lattice. That is fine — often preferable
+    (systematic sampling) — for keep/split thresholds, but it breaks
+    Gumbel-top-k, whose "sample ∝ exp(weight)" guarantee needs
+    independent noise ACROSS docs: measured top-1 win frequencies on
+    adjacent ids were (0.235, 0.255, 0.255, 0.255) where softmax says
+    (0.1, 0.2, 0.3, 0.4). One xorshift round leaves ~0.9% absolute
+    residual bias (0.203/0.291/0.406 at 2M draws — >10 sigma); the
+    second round lands (0.0999, 0.2003, 0.2997, 0.4000)
+    (round 11, tools/stat_contract_probe.py). Same exact-int64
+    portability class as hash_bucket (every product < 2^62); the SQL
+    twin is `sql_avalanche_bucket`."""
     h1 = (F.pmod(key + F.lit(salt), F.lit(MOD)) * _A1 + _B1) % MOD
-    h1x = h1.bitwiseXOR(F.shiftright(h1, 15))
-    return (h1x * _A2) % MOD
+    h2 = (h1.bitwiseXOR(F.shiftright(h1, 15)) * _A2) % MOD
+    return (h2.bitwiseXOR(F.shiftright(h2, 13)) * _A1 + _B1) % MOD
 
 
 def deterministic_sample(df: DataFrame, key: str, fraction: float, salt: int = 0) -> DataFrame:
@@ -182,11 +184,13 @@ def sql_hash_bucket(key_expr: str, salt: int = 0) -> str:
 
 def sql_avalanche_bucket(key_expr: str, salt: int = 0) -> str:
     """The ANSI/DuckDB twin of ``avalanche_bucket`` (DuckDB `xor`/`>>`
-    match Spark's bitwiseXOR/shiftright on BIGINT exactly). The h1
-    term is spelled twice — pass a column reference, not a subquery."""
+    match Spark's bitwiseXOR/shiftright on BIGINT exactly). Each
+    intermediate term is spelled multiple times — pass a column
+    reference, not a subquery."""
     pm = f"((({key_expr} + {salt}) % {MOD}) + {MOD}) % {MOD}"
     h1 = f"((({pm}) * {_A1} + {_B1}) % {MOD})"
-    return f"((xor({h1}, {h1} >> 15)) * {_A2}) % {MOD}"
+    h2 = f"(((xor({h1}, {h1} >> 15)) * {_A2}) % {MOD})"
+    return f"((xor({h2}, {h2} >> 13)) * {_A1} + {_B1}) % {MOD}"
 
 
 def sql_split_case(key_expr: str, weights: Mapping[str, float], salt: int = 0) -> str:

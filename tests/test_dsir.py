@@ -154,11 +154,12 @@ def test_gumbel_resample_matches_python_reference_and_varies_by_salt(spark, fixt
     )
 
     def py_key(doc_id: int, salt: int) -> float:
-        # avalanche_bucket: affine -> xorshift(15) -> affine (round 11;
-        # the bare affine coupled every doc's uniform into one lattice
-        # per salt, breaking the Gumbel softmax guarantee)
+        # avalanche_bucket: affine -> xs15 -> affine -> xs13 -> affine
+        # (round 11; the bare affine coupled every doc's uniform into
+        # one lattice per salt, breaking the Gumbel softmax guarantee)
         h1 = ((((doc_id + salt) % MOD + MOD) % MOD) * _A1 + _B1) % MOD
-        u = (((h1 ^ (h1 >> 15)) * _A2) % MOD + 0.5) / MOD
+        h2 = ((h1 ^ (h1 >> 15)) * _A2) % MOD
+        u = (((h2 ^ (h2 >> 13)) * _A1 + _B1) % MOD + 0.5) / MOD
         return round(expect_w[doc_id] - math.log(-math.log(u)), 6)
 
     got = {r.doc_id: r for r in dsir.dsir_resample_gumbel(weighted, salt=17).collect()}
