@@ -98,7 +98,14 @@ def _timed_count(df) -> tuple[float, int, int]:
 
 
 def probe_n(spark, n: int) -> dict:
-    docs = synth_corpus(spark, n).persist()
+    # bound cached-block size: spark.range's 32 partitions put 625k
+    # rows (~300 MB deserialized) in ONE block at 20M docs, and
+    # re-inflating blocks that size GC-thrashed a 16g heap to OOM
+    # (first 20M attempt, round 11). ~100k rows/partition keeps every
+    # cached block tens of MB. Run 20M with SPARK_GRAFT_DRIVER_MEM=64g
+    # — the pipeline holds ~3 text copies (docs, q, exk) at once,
+    # which is cluster-normal but single-JVM-heavy.
+    docs = synth_corpus(spark, n).repartition(max(32, n // 100_000)).persist()
     docs.count()  # materialize; generation is not what we time
 
     q, ex, exk, dominated = curation_stages(docs)
