@@ -158,7 +158,22 @@ def driver_collect_sites(package_dir: str) -> list[tuple[str, int, str, str]]:
 
                 def visit_Call(self, node):
                     f = node.func
-                    if isinstance(f, ast.Attribute) and f.attr in ("collect", "toPandas"):
+                    # every DataFrame driver-fetch API, so a future
+                    # operator cannot dodge the screen by switching
+                    # from collect() to take()/first()/head()/
+                    # toLocalIterator(). Calls on the pyspark
+                    # functions module alias (F.first — the AGGREGATE,
+                    # not a fetch) are excluded by receiver name.
+                    fetchers = ("collect", "toPandas", "take", "first",
+                                "head", "toLocalIterator")
+                    if (
+                        isinstance(f, ast.Attribute)
+                        and f.attr in fetchers
+                        and not (
+                            isinstance(f.value, ast.Name)
+                            and f.value.id in ("F", "functions", "sf")
+                        )
+                    ):
                         qual = ".".join(stack) or "<module>"
                         sites.append((rel, node.lineno, f"{rel}:{qual}", f.attr))
                     self.generic_visit(node)

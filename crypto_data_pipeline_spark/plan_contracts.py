@@ -109,6 +109,9 @@ DECLARED_DRIVER_SCALARS = {
         "1 row: argmax pair per merge round (merge table config-bounded)",
     "operators/contamination.py:decontaminate_stream":
         "benchmark-suite n-gram list — contractually small eval set",
+    "observability.py:global_window_nodes.walk":
+        "py4j Scala Seq .head() on a plan node's expression list — "
+        "not a DataFrame fetch at all",
     "operators/dsir.py:dsir_kth_weight":
         "≤ n_bins histogram rows per refinement round, 3-4 rounds total",
     "operators/expectations.py:check":

@@ -96,15 +96,23 @@ def test_driver_collect_screen_detects_the_antipattern(tmp_path):
     from crypto_data_pipeline_spark.observability import driver_collect_sites
 
     (tmp_path / "bad.py").write_text(
+        "from pyspark.sql import functions as F\n"
         "def leaky_query(spark, sf_dir):\n"
         "    df = spark.read.parquet(sf_dir)\n"
         "    return [r for r in df.collect()]\n"  # corpus-proportional!
         "\n"
+        "def sneaky_query(spark, sf_dir):\n"
+        "    return spark.read.parquet(sf_dir).take(10**9)\n"  # fetch dodge
+        "\n"
         "def clean_query(spark, sf_dir):\n"
-        "    return spark.read.parquet(sf_dir).count()\n"
+        "    n = spark.read.parquet(sf_dir).count()\n"
+        "    return F.first('x'), n\n"  # F.first is the AGGREGATE, not a fetch
     )
     sites = driver_collect_sites(str(tmp_path))
-    assert [(s[2], s[3]) for s in sites] == [("bad.py:leaky_query", "collect")]
+    assert [(s[2], s[3]) for s in sites] == [
+        ("bad.py:leaky_query", "collect"),
+        ("bad.py:sneaky_query", "take"),
+    ]
 
 
 def test_global_window_screen_detects_the_antipattern(spark):
