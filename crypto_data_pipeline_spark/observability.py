@@ -161,16 +161,20 @@ def driver_collect_sites(package_dir: str) -> list[tuple[str, int, str, str]]:
                     # every DataFrame driver-fetch API, so a future
                     # operator cannot dodge the screen by switching
                     # from collect() to take()/first()/head()/
-                    # toLocalIterator(). Calls on the pyspark
-                    # functions module alias (F.first — the AGGREGATE,
-                    # not a fetch) are excluded by receiver name.
+                    # toLocalIterator(). Only the ambiguous 'first'
+                    # (F.first — the AGGREGATE, not a fetch) is
+                    # excluded by receiver name: the other five never
+                    # exist on the functions module, so a DataFrame
+                    # bound to a name like `sf` cannot dodge the
+                    # screen (round 12, ADVICE).
                     fetchers = ("collect", "toPandas", "take", "first",
                                 "head", "toLocalIterator")
                     if (
                         isinstance(f, ast.Attribute)
                         and f.attr in fetchers
                         and not (
-                            isinstance(f.value, ast.Name)
+                            f.attr == "first"
+                            and isinstance(f.value, ast.Name)
                             and f.value.id in ("F", "functions", "sf")
                         )
                     ):
@@ -179,6 +183,136 @@ def driver_collect_sites(package_dir: str) -> list[tuple[str, int, str, str]]:
                     self.generic_visit(node)
 
             _V().visit(tree)
+    return sites
+
+
+# Ordering / extreme-value constructs: a statistic computed ACROSS
+# keys (top-k, rank, argmax, permutation order) — the class where the
+# affine lattice hash has now shipped four real bugs (r10 MinHash
+# mask; r11 HLL sequential-key collapse and Gumbel lattice coupling;
+# r12 A-ES weighted sampling). least/greatest are deliberately absent:
+# they clamp a value against literals/config, not across keys.
+_JOINT_CONSTRUCTS = frozenset({
+    "orderBy", "sort", "sortWithinPartitions",
+    "row_number", "rank", "dense_rank", "ntile", "percent_rank",
+    "min", "max", "min_by", "max_by",
+    "array_min", "array_max", "array_sort", "sort_array",
+})
+_AFFINE_SOURCES = frozenset({"hash_bucket", "sql_hash_bucket"})
+# ordering text inside a SQL fragment (lowercased substring match)
+_SQL_ORDER_MARKERS = ("order by", "row_number", "rank()", "min(", "max(")
+
+
+def joint_hash_sites(
+    package_dir: str,
+) -> list[tuple[str, int, str, tuple[str, ...]]]:
+    """The marginal-vs-joint hash screen (round 12; VERDICT r11 next
+    #1): every function (or module body) under ``package_dir`` that
+    calls the AFFINE portable hash — ``hash_bucket`` or
+    ``sql_hash_bucket`` — is a site, returned as ``(relpath, lineno,
+    "relpath:qualname", constructs)``. ``constructs`` is the sorted
+    tuple of ordering/extreme-value constructs co-occurring in the
+    SAME body (empty for a pure threshold/split marginal).
+
+    The enforced rule (tests/test_plan_doctor.py): a site with an
+    empty constructs tuple must be DECLARED in
+    plan_contracts.MARGINAL_CONTRACT_OK with a one-line justification
+    that its contract is a per-key marginal; a site whose body also
+    ranks/sorts/extremizes fails OUTRIGHT — no declaration accepted —
+    because an extreme-value statistic over the affine lattice is the
+    bug class that shipped four times in three rounds (MinHash mask,
+    HLL, Gumbel, A-ES). Use ``avalanche_bucket`` there instead. If a
+    function legitimately mixes a marginal hash with an unrelated
+    sort, split it into helpers — the granularity is the screen.
+
+    Two detection layers: (1) AST call co-occurrence per body; (2)
+    inside a single f-string, a ``sql_hash_bucket`` call whose
+    surrounding literal text carries ordering SQL ("ORDER BY",
+    "row_number", ...) adds the construct ``sql-ordering-string`` —
+    catching the oracle-twin form of the same bug (the pre-r12
+    ``_order_ctes`` shape). Cross-statement dataflow (hash stored in a
+    module constant, ordered elsewhere) is out of AST reach — that is
+    what the declare-every-affine-site rule covers: the declaration
+    forces a human to restate the marginal claim at each site."""
+    import ast
+    import os
+
+    sites: list[tuple[str, int, str, tuple[str, ...]]] = []
+    for dirpath, _dirs, files in os.walk(package_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, package_dir)
+            with open(path) as f:
+                tree = ast.parse(f.read())
+            stack: list[str] = []
+            # per-qualname: (first affine-call lineno, constructs set)
+            bodies: dict[str, list] = {}
+
+            def _call_name(node: "ast.Call") -> str | None:
+                f = node.func
+                if isinstance(f, ast.Attribute):
+                    return f.attr
+                if isinstance(f, ast.Name):
+                    return f.id
+                return None
+
+            class _V(ast.NodeVisitor):
+                def visit_FunctionDef(self, node):
+                    stack.append(node.name)
+                    self.generic_visit(node)
+                    stack.pop()
+
+                visit_AsyncFunctionDef = visit_FunctionDef
+
+                def visit_Call(self, node):
+                    name = _call_name(node)
+                    qual = ".".join(stack) or "<module>"
+                    rec = bodies.setdefault(qual, [None, set()])
+                    if name in _AFFINE_SOURCES and rec[0] is None:
+                        rec[0] = node.lineno
+                    # constructs count only in Attribute form (F.min,
+                    # df.orderBy): a bare-name min()/max() is the
+                    # Python builtin clamping scalars (house style
+                    # reaches pyspark functions via the F alias)
+                    if name in _JOINT_CONSTRUCTS and isinstance(
+                        node.func, ast.Attribute
+                    ):
+                        rec[1].add(name)
+                    self.generic_visit(node)
+
+                def visit_JoinedStr(self, node):
+                    # layer 2: sql_hash_bucket interpolated into an
+                    # f-string whose literal parts carry ordering SQL
+                    has_affine = any(
+                        isinstance(sub, ast.Call)
+                        and _call_name(sub) == "sql_hash_bucket"
+                        for part in node.values
+                        if isinstance(part, ast.FormattedValue)
+                        for sub in ast.walk(part.value)
+                    )
+                    if has_affine:
+                        text = "".join(
+                            part.value.lower()
+                            for part in node.values
+                            if isinstance(part, ast.Constant)
+                            and isinstance(part.value, str)
+                        )
+                        if any(m in text for m in _SQL_ORDER_MARKERS):
+                            qual = ".".join(stack) or "<module>"
+                            rec = bodies.setdefault(qual, [None, set()])
+                            if rec[0] is None:
+                                rec[0] = node.lineno
+                            rec[1].add("sql-ordering-string")
+                    self.generic_visit(node)
+
+            _V().visit(tree)
+            for qual, (lineno, constructs) in bodies.items():
+                if lineno is not None:
+                    sites.append(
+                        (rel, lineno, f"{rel}:{qual}", tuple(sorted(constructs)))
+                    )
     return sites
 
 

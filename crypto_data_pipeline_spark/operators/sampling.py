@@ -48,7 +48,7 @@ def hash_bucket(key: Column, salt: int = 0) -> Column:
     return (h1 * _A2) % MOD
 
 
-def avalanche_bucket(key: Column, salt: int = 0) -> Column:
+def avalanche_bucket(key: Column, salt: int | Column = 0) -> Column:
     """`hash_bucket` with TWO xorshift rounds woven between the
     affines — use where the JOINT distribution across keys carries
     the semantics, not just the per-key marginal. `hash_bucket` is
@@ -63,8 +63,11 @@ def avalanche_bucket(key: Column, salt: int = 0) -> Column:
     second round lands (0.0999, 0.2003, 0.2997, 0.4000)
     (round 11, tools/stat_contract_probe.py). Same exact-int64
     portability class as hash_bucket (every product < 2^62); the SQL
-    twin is `sql_avalanche_bucket`."""
-    h1 = (F.pmod(key + F.lit(salt), F.lit(MOD)) * _A1 + _B1) % MOD
+    twin is `sql_avalanche_bucket`. ``salt`` may be a Column for
+    per-row salts (repeated-draw statistical probes)."""
+    if isinstance(salt, int):
+        salt = F.lit(salt)
+    h1 = (F.pmod(key + salt, F.lit(MOD)) * _A1 + _B1) % MOD
     h2 = (h1.bitwiseXOR(F.shiftright(h1, 15)) * _A2) % MOD
     return (h2.bitwiseXOR(F.shiftright(h2, 13)) * _A1 + _B1) % MOD
 
@@ -160,11 +163,18 @@ def stratified_fixed_n(
     on the stratum; the rank<=n filter rides Spark's WindowGroupLimit,
     so each map task forwards at most ``n`` rows per stratum and the
     Exchange carries O(strata x n) rows — this stays cheap even when
-    one stratum is 90% of a 100 TB corpus."""
+    one stratum is 90% of a 100 TB corpus.
+
+    The rank hash is ``avalanche_bucket`` (round 12): "the n smallest
+    hashes" is a top-n ACROSS keys — a joint statistic — and the
+    affine `hash_bucket` lattice makes that selection systematic, not
+    uniform (a quota drawn from sequential ids would be an arithmetic
+    stride, exactly the HLL/Gumbel bug class). The SQL twin is
+    `sql_avalanche_bucket` with the same salt."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(stratum).orderBy(
-        hash_bucket(F.col(key), salt), F.col(key)
+        avalanche_bucket(F.col(key), salt), F.col(key)
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -226,11 +236,24 @@ def training_order(
     the output-file partition key). No global sort ever happens, which
     is the point: a naive ORDER BY rand() is a single-ordering total
     sort AND unstable under retries.
+
+    Both hashes are ``avalanche_bucket`` (round 12): a permutation is
+    the ultimate JOINT statistic, and ordering by the affine
+    `hash_bucket` is not a pseudorandom order at all — sorting
+    sequential keys by an affine map walks an arithmetic lattice
+    (three-distance theorem: measured 7 distinct consecutive-id gaps
+    at 100k docs where iid gives ~n/2 = 73,714, with lag-1 id
+    autocorrelation -0.123 vs the 0.006 iid bound —
+    tools/stat_contract_probe.py:probe_training_order, round 12). A
+    training order whose neighbors sit a few fixed strides apart
+    re-correlates whatever the id encodes (time, source, crawl
+    shard). The avalanche order measures iid-like on the same probe.
+    SQL twin: `sql_avalanche_bucket`, same salts.
     """
     from pyspark.sql import Window
 
-    hs = hash_bucket(F.col(key), salt=salt)
-    ho = hash_bucket(F.col(key), salt=salt + 1)
+    hs = avalanche_bucket(F.col(key), salt=salt)
+    ho = avalanche_bucket(F.col(key), salt=salt + 1)
     staged = df.select(
         F.col(key),
         F.pmod(hs, F.lit(n_shards)).cast("int").alias("shard"),
@@ -308,16 +331,25 @@ def weighted_sample(
     uniform u and weight w; the n SMALLEST priorities win. Inclusion
     probability is proportional to weight, the decision is stable
     under retries/AQE like every sampler here, and the oracle can
-    replay the exact draw (the LCG uniform and ln are both
+    replay the exact draw (the avalanche uniform and ln are both
     engine-portable; priorities are rounded 9 dp with the key as
     tiebreak before ranking, absorbing last-ulp libm differences).
+
+    The uniform comes from ``avalanche_bucket`` (round 12, ADVICE):
+    A-ES is the same extreme-value/top-k-across-keys class as
+    Gumbel-top-k — "the n smallest -ln(u)/w" only delivers inclusion
+    ∝ weight when the u's are independent ACROSS keys, and the affine
+    `hash_bucket` lattice measurably breaks that (the Gumbel twin's
+    win frequencies were 0.235/0.255/0.255/0.255 vs a 0.1/0.2/0.3/0.4
+    softmax target). Contract pinned in
+    tests/test_stat_contracts.py::test_aes_inclusion_tracks_weight.
 
     Scale: orderBy(priority).limit(n) plans as TakeOrdered — each
     partition ships only its local top-n candidates, no global sort,
     no shuffle of the corpus."""
     w = F.col(weight) if isinstance(weight, str) else weight
     # u in (0, 1]: +1 keeps ln away from 0; exact-int hash then one division
-    u = (hash_bucket(F.col(key), salt) + F.lit(1)).cast("double") / F.lit(float(MOD) + 1.0)
+    u = (avalanche_bucket(F.col(key), salt) + F.lit(1)).cast("double") / F.lit(float(MOD) + 1.0)
     priority = F.round(-F.log(u) / w, 9)
     out = (
         df.where(w > 0)
@@ -333,9 +365,9 @@ def weighted_sample(
 
 
 def sql_weighted_priority(key_expr: str, weight_expr: str, salt: int = 0) -> str:
-    """ANSI-SQL twin of the A-ES priority — identical hash, ln and
-    rounding, so ORDER BY (priority, key) LIMIT n reproduces the exact
-    sample membership."""
-    h2 = sql_hash_bucket(key_expr, salt)
+    """ANSI-SQL twin of the A-ES priority — identical avalanche hash,
+    ln and rounding, so ORDER BY (priority, key) LIMIT n reproduces
+    the exact sample membership."""
+    h2 = sql_avalanche_bucket(key_expr, salt)
     u = f"(CAST(({h2}) + 1 AS DOUBLE) / {float(MOD) + 1.0})"
     return f"round(-ln({u}) / ({weight_expr}), 9)"

@@ -148,3 +148,42 @@ DECLARED_DRIVER_SCALARS = {
     "streaming/ingest.py:_bootstrap_covers":
         "1-row min/max bounds of the already-ingested store",
 }
+
+
+# The marginal-vs-joint hash screen (round 12; VERDICT r11 next #1):
+# every call site of the AFFINE portable hash (hash_bucket /
+# sql_hash_bucket) must be declared here with a one-line justification
+# that its contract is a PER-KEY MARGINAL — a keep/split threshold
+# compared against a constant or per-group literal, where the affine
+# lattice is harmless (often preferable: systematic sampling). A site
+# whose body ALSO ranks/sorts/extremizes over the hash fails the suite
+# outright with no declaration accepted (observability.joint_hash_sites
+# — the class that shipped the r10 MinHash-mask, r11 HLL + Gumbel, and
+# r12 A-ES bugs). Joint/extreme-value statistics must use
+# avalanche_bucket / sql_avalanche_bucket instead. Keys are
+# "relpath:qualname".
+MARGINAL_CONTRACT_OK = {
+    "operators/sampling.py:deterministic_sample":
+        "keep iff hash < fraction*MOD — per-key threshold marginal",
+    "operators/sampling.py:split_column":
+        "split label from hash vs cumulative-weight cutpoints — "
+        "per-key threshold marginal",
+    "operators/sampling.py:weighted_mix":
+        "keep iff hash < per-stratum literal rate — per-key threshold "
+        "marginal (strata thresholds are CASE literals, not ranks)",
+    "operators/sampling.py:sql_split_case":
+        "SQL twin of split_column — same cutpoint thresholds",
+    "operators/sampling.py:temperature_mix_flags":
+        "keep iff hash < per-language census threshold — per-key "
+        "threshold marginal; realized proportions probed vs the "
+        "temperature target (tools/stat_contract_probe.py, round 12)",
+    "plans/extension_queries.py:sample_hash_10pct":
+        "oracle twin of deterministic_sample's threshold",
+    "plans/extension_queries.py:mix_rebalance_langs":
+        "oracle twin of weighted_mix's per-stratum threshold",
+    "plans/extension_queries.py:_mix_keep_sql":
+        "oracle twin of temperature_mix_flags' census threshold",
+    "plans/extension_queries.py:sampling_membership":
+        "all three membership flags are threshold/split marginals "
+        "(10% keep, 80/10/10 split, language rebalance)",
+}

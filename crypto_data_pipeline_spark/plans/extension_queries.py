@@ -1557,12 +1557,16 @@ def _ivf_index_at_rest(
         import tempfile
 
         index_dir = tempfile.mkdtemp(prefix=prefix)
+        # register the dir BEFORE building: an exception mid-write
+        # would otherwise leak the half-built dir past the
+        # _cleanup_model_dirs atexit sweep (round 12, ADVICE; the
+        # sweep's rmtree is ignore_errors, so tracking early is safe)
+        dirs[key] = index_dir
         built = build()
         similarity.write_ivf_index(built, index_dir, nprobe=4)
         built.assigned.unpersist()
         index = similarity.read_ivf_index(spark, index_dir)
         _cache_put(cache, key, index, lambda ix: ix.assigned, dirs=dirs)
-        dirs[key] = index_dir
     return index
 
 
@@ -2763,11 +2767,13 @@ def _order_ctes(source: str, h: str = "h", ord_: str = "ord",
                 n_shards: int = 8, salt_shard: int = 13, salt_order: int = 14) -> str:
     """CTE chain for the reproducible training order (shard + in-shard
     rank) over ``source`` — shared by training_order_shuffle and the
-    curation oracle."""
+    curation oracle. Avalanche hashes (round 12), in lockstep with
+    sampling.training_order: a permutation is a joint statistic and
+    the affine order is a 3-gap lattice, not a shuffle."""
     return f"""{h} AS (
   SELECT doc_id,
-         {sampling.sql_hash_bucket('doc_id', salt=salt_shard)} AS hs,
-         {sampling.sql_hash_bucket('doc_id', salt=salt_order)} AS ho
+         {sampling.sql_avalanche_bucket('doc_id', salt=salt_shard)} AS hs,
+         {sampling.sql_avalanche_bucket('doc_id', salt=salt_order)} AS ho
   FROM {source}
 ),
 {ord_} AS (
@@ -3122,7 +3128,7 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis
     A-ES, exponential-jumps form): 50 documents drawn with inclusion
     probability proportional to text length, the draw decided by the
-    engine-portable LCG uniform — so the oracle replays EXACT sample
+    engine-portable avalanche uniform — so the oracle replays EXACT sample
     membership, priorities included, not just counts
     (`operators/sampling.py:weighted_sample`). Plans as TakeOrdered:
     each partition ships only its local candidates, no global sort."""
@@ -3309,7 +3315,9 @@ def zorder_cluster_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FIXED_N_HASH = sampling.sql_hash_bucket("doc_id", salt=19)
+# avalanche (round 12), in lockstep with stratified_fixed_n: a quota
+# is a top-n across keys — the affine rank order is systematic
+_FIXED_N_HASH = sampling.sql_avalanche_bucket("doc_id", salt=19)
 
 
 @register(
@@ -3332,7 +3340,7 @@ def stratified_sample_fixed_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed counts, not rates (operators/sampling.py stratified_fixed_n:
     deterministic hash order, WindowGroupLimit caps each map task at n
     rows per stratum before the shuffle). The oracle replays every
-    selection decision bit-for-bit via the shared LCG hash."""
+    selection decision bit-for-bit via the shared avalanche hash."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     return sampling.stratified_fixed_n(docs, "doc_id", "lang", 20, salt=19)
 

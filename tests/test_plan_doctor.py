@@ -24,6 +24,7 @@ from crypto_data_pipeline_spark.plan_contracts import (
     BNLJ_OK,
     DECLARED_DRIVER_SCALARS,
     GLOBAL_WINDOW_OK,
+    MARGINAL_CONTRACT_OK,
 )
 from crypto_data_pipeline_spark.plans.registry import load_with_extras
 
@@ -113,6 +114,84 @@ def test_driver_collect_screen_detects_the_antipattern(tmp_path):
         ("bad.py:leaky_query", "collect"),
         ("bad.py:sneaky_query", "take"),
     ]
+
+
+def test_affine_hash_sites_are_marginal_and_declared():
+    """The marginal-vs-joint hash rule as a screen, not a docstring
+    (round 12; the class shipped four real bugs in three rounds —
+    MinHash mask, HLL, Gumbel, A-ES). Every affine hash_bucket /
+    sql_hash_bucket site must (a) carry NO co-occurring ordering /
+    extreme-value construct — those must avalanche, no declaration
+    accepted — and (b) be declared in MARGINAL_CONTRACT_OK with its
+    per-key-marginal justification."""
+    import os
+
+    from crypto_data_pipeline_spark import observability
+
+    pkg = os.path.dirname(observability.__file__)
+    sites = observability.joint_hash_sites(pkg)
+    assert sites, "sweep found no affine-hash sites — the detector broke"
+
+    joint = sorted(
+        f"{key} uses {list(constructs)} at {rel}:{ln}"
+        for rel, ln, key, constructs in sites
+        if constructs
+    )
+    assert not joint, (
+        "extreme-value/ordering construct over the AFFINE lattice hash — "
+        "this is the HLL/Gumbel/A-ES bug class; switch to avalanche_bucket "
+        f"(and its SQL twin, in lockstep): {joint}"
+    )
+    undeclared = sorted(
+        f"{key} ({rel}:{ln})"
+        for rel, ln, key, _c in sites
+        if key not in MARGINAL_CONTRACT_OK
+    )
+    assert not undeclared, (
+        "affine hash sites without a marginal-contract declaration — state "
+        "the per-key-marginal justification in MARGINAL_CONTRACT_OK, or use "
+        f"avalanche_bucket: {undeclared}"
+    )
+    live = {key for _rel, _ln, key, _c in sites}
+    stale = sorted(set(MARGINAL_CONTRACT_OK) - live)
+    assert not stale, f"MARGINAL_CONTRACT_OK entries with no live site: {stale}"
+
+
+def test_joint_hash_screen_detects_the_antipattern(tmp_path):
+    """The screen itself is live: a planted affine-argmax function and
+    a planted affine-ordering oracle f-string are both flagged with
+    their constructs named; a pure threshold marginal is a site with
+    no constructs — so a refactor of the walker cannot blunt the
+    screen into a false negative."""
+    from crypto_data_pipeline_spark.observability import joint_hash_sites
+
+    (tmp_path / "planted.py").write_text(
+        "from pyspark.sql import Window, functions as F\n"
+        "from crypto_data_pipeline_spark.operators.sampling import (\n"
+        "    hash_bucket, sql_hash_bucket)\n"
+        "\n"
+        "def affine_argmax(df):\n"  # the r11 Gumbel shape: rank over affine
+        "    w = Window.partitionBy('g').orderBy(hash_bucket(F.col('id')))\n"
+        "    return df.withColumn('rn', F.row_number().over(w))\n"
+        "\n"
+        "def affine_sql_order():\n"  # the pre-r12 _order_ctes shape
+        "    return f'''SELECT id, row_number() OVER (ORDER BY\n"
+        "      {sql_hash_bucket('id', salt=1)}) AS pos FROM t'''\n"
+        "\n"
+        "def clean_threshold(df):\n"
+        "    return df.where(hash_bucket(F.col('id')) < 1000)\n"
+    )
+    by_key = {key: constructs for _r, _l, key, constructs in
+              joint_hash_sites(str(tmp_path))}
+    assert set(by_key) == {
+        "planted.py:affine_argmax",
+        "planted.py:affine_sql_order",
+        "planted.py:clean_threshold",
+    }, by_key
+    assert "orderBy" in by_key["planted.py:affine_argmax"]
+    assert "row_number" in by_key["planted.py:affine_argmax"]
+    assert by_key["planted.py:affine_sql_order"] == ("sql-ordering-string",)
+    assert by_key["planted.py:clean_threshold"] == ()
 
 
 def test_global_window_screen_detects_the_antipattern(spark):

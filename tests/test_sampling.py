@@ -140,10 +140,14 @@ def test_weighted_sample_inclusion_tracks_weight(spark):
     10 items where item 0 has 20x the weight of the rest, item 0 must
     be included far more often than any unit-weight item. All 200
     draws evaluate in ONE job: explode the salt range, recompute the
-    priority per (item, salt), rank within each salt."""
+    priority per (item, salt), rank within each salt. The uniform is
+    the AVALANCHE hash, mirroring weighted_sample itself (round 12 —
+    top-k across keys is a joint statistic; the affine lattice form
+    this test originally used is exactly what the operator no longer
+    ships)."""
     from pyspark.sql import Window, functions as F
 
-    from crypto_data_pipeline_spark.operators.sampling import MOD
+    from crypto_data_pipeline_spark.operators.sampling import MOD, avalanche_bucket
 
     items = spark.createDataFrame(
         [(i, 20.0 if i == 0 else 1.0) for i in range(10)], "k long, w double"
@@ -151,10 +155,7 @@ def test_weighted_sample_inclusion_tracks_weight(spark):
     drawn = items.select(
         "k", "w", F.explode(F.sequence(F.lit(0), F.lit(199))).alias("salt")
     )
-    # salted uniform, column-salt form of hash_bucket (the scalar-salt
-    # helper can't take a per-row salt column)
-    h1 = (F.pmod(F.col("k") + F.col("salt") * 7919, F.lit(MOD)) * 1103515245 + 12345) % MOD
-    hb = (h1 * 48271) % MOD
+    hb = avalanche_bucket(F.col("k"), salt=F.col("salt") * 7919)
     u = (hb + F.lit(1)).cast("double") / F.lit(float(MOD) + 1.0)
     pr = -F.log(u) / F.col("w")
     win = Window.partitionBy("salt").orderBy(pr, F.col("k"))

@@ -219,3 +219,123 @@ def test_cms_overcount_bound_on_heavy_tail_stream(spark):
     # e^{-3} per probe over 12 probes -> expected 0.6 failures; 3 is
     # already a >3-sigma Poisson excursion
     assert over_budget <= 3, [(r["term"], r["overcount"]) for r in out]
+
+
+def test_training_order_is_a_shuffle_not_a_lattice(spark):
+    """Round-12 regression pin (the A-ES/training-order round): the
+    training order's JOINT contract is that reading shards in (shard,
+    pos) order looks iid in id space. Pre-r12 the order came from the
+    affine hash_bucket — sorting sequential keys by an affine map is
+    an arithmetic walk (three-distance theorem): at 20k docs the
+    counterfactual below measures ≤ a HANDFUL of distinct
+    consecutive-id gaps and |lag-1| far above the iid bound, while
+    the shipped avalanche order must land near n/2 distinct gaps with
+    |lag-1| inside a loose 5× band (fixed hashes — deterministic, no
+    flake margin needed beyond the band)."""
+    from pyspark.sql import Window
+
+    from crypto_data_pipeline_spark.operators import sampling
+
+    n = 20_000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+
+    def order_stats(ordered):
+        w = Window.partitionBy("shard").orderBy("pos")
+        seq = ordered.select(
+            "shard",
+            F.col("doc_id").cast("double").alias("x"),
+            F.lag("doc_id").over(w).cast("double").alias("xp"),
+        ).where(F.col("xp").isNotNull())
+        r = seq.agg(
+            F.countDistinct(F.col("x") - F.col("xp")).alias("n_gaps"),
+            F.corr("x", "xp").alias("lag1"),
+        ).collect()[0]
+        return int(r["n_gaps"]), float(r["lag1"])
+
+    gaps, lag1 = order_stats(sampling.training_order(docs, key="doc_id"))
+    assert gaps > n // 4, f"shipped order has only {gaps} distinct gaps"
+    assert abs(lag1) < 5 * 2 / math.sqrt(n), f"shipped lag-1 {lag1:.4f}"
+
+    # the pre-r12 affine counterfactual, re-derived inline: the screen
+    # (observability.joint_hash_sites) forbids this shape in shipped
+    # code; this pin proves the structure it forbids is real
+    hs = sampling.hash_bucket(F.col("doc_id"), salt=13)
+    ho = sampling.hash_bucket(F.col("doc_id"), salt=14)
+    staged = docs.select(
+        "doc_id", F.pmod(hs, F.lit(8)).cast("int").alias("shard"), ho.alias("_ho")
+    )
+    w0 = Window.partitionBy("shard").orderBy("_ho", "doc_id")
+    affine = staged.withColumn("pos", F.row_number().over(w0)).drop("_ho")
+    gaps_a, lag1_a = order_stats(affine)
+    assert gaps_a < 50, f"affine counterfactual unexpectedly rich: {gaps_a}"
+    assert abs(lag1_a) > 5 * 2 / math.sqrt(n), (
+        f"affine counterfactual lag-1 {lag1_a:.4f} — probe lost its teeth"
+    )
+
+
+def test_winnowing_density_matches_paper(spark):
+    """Schleimer/Wilkerson/Aiken contract quoted in
+    operators/text.py:with_winnowing: expected fingerprint density is
+    2/(window+1). Pseudorandom 26-letter text (xxhash64 chars,
+    deterministic); at 30 docs × 1500 chars the probe-scale run
+    (tools/stat_contract_probe.py, 1000 docs × 2000) measured
+    0.39958 vs 0.4 — the suite pins a ±7.5% band, far tighter than a
+    degenerate selector (density 1/window = 0.25 for always-first, or
+    ~1/26 for a constant-collapse hash) can reach."""
+    from crypto_data_pipeline_spark.operators import text as T
+
+    doc_len, k, window = 1500, 8, 4
+    chars = F.transform(
+        F.sequence(F.lit(0), F.lit(doc_len - 1)),
+        lambda i: F.chr(
+            F.lit(97) + F.pmod(F.xxhash64(F.col("id") * doc_len + i), F.lit(26))
+        ),
+    )
+    docs = spark.range(30).select(F.concat_ws("", chars).alias("text"))
+    density = float(
+        T.with_winnowing(docs, "text", k=k, window=window)
+        .agg(F.avg(F.col("n_fps") / F.lit(doc_len - k + 1)))
+        .collect()[0][0]
+    )
+    theory = 2 / (window + 1)
+    assert abs(density - theory) < 0.075 * theory, (
+        f"density {density:.4f} vs 2/(w+1) = {theory}"
+    )
+
+
+def test_mix_temperature_realized_proportions(spark):
+    """temperature_mix_flags' MARGINAL contract (the declaration the
+    round-12 joint-hash screen records for it): each language's kept
+    count matches n_l × its census threshold within binomial noise.
+    xxhash64-assigned languages at 70/15/9/5/1% over 50k sequential
+    ids — saturated tails (threshold 1.0) must keep EVERYTHING, and
+    the sub-threshold languages (en, de) must land within 4σ."""
+    from crypto_data_pipeline_spark.operators import sampling
+
+    n, alpha, budget = 50_000, 0.3, 0.5
+    u = F.pmod(F.xxhash64("id"), F.lit(1000))
+    lang = (
+        F.when(u < 700, "en").when(u < 850, "de").when(u < 940, "fr")
+        .when(u < 990, "ja").otherwise("sw")
+    )
+    docs = spark.range(n).select(F.col("id").alias("doc_id"), lang.alias("lang"))
+    flags = sampling.temperature_mix_flags(
+        docs, group_col="lang", key="doc_id", alpha=alpha, budget_frac=budget
+    )
+    got = {
+        r["lang"]: (int(r["n"]), int(r["kept"]))
+        for r in flags.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("keep_temp").alias("kept")
+        ).collect()
+    }
+    ns = {l: c[0] for l, c in got.items()}
+    tot, zraw = sum(ns.values()), sum(c ** alpha for c in ns.values())
+    for l, (nl, kept) in sorted(got.items()):
+        p = min(1.0, budget * tot * (nl ** alpha / zraw) / nl)
+        if p == 1.0:
+            assert kept == nl, f"{l}: saturated threshold must keep all"
+            continue
+        sd = math.sqrt(nl * p * (1 - p))
+        assert abs(kept - p * nl) < 4 * sd, (
+            f"{l}: kept {kept} vs target {p * nl:.1f} (4σ = {4 * sd:.1f})"
+        )

@@ -145,17 +145,20 @@ def probe_sf(spark, sf_dir: str) -> list[dict]:
                 S.ivf_topk(embs, queries, k=K, nprobe=nprobe, index=ivf,
                            n_centroids=n_centroids)
             )
-            est = S.ivf_expected_candidate_fraction(ivf, nprobe)
+            # the SHIPPED guard, not a re-derivation: its verdict IS
+            # the recorded one, so a future warn_above change cannot
+            # desynchronize the probe from the gate it validates
+            # (round 12, ADVICE). Its warning on degenerate geometries
+            # is the guard speaking — left audible in probe stderr.
+            check = S.ivf_config_check(ivf, nprobe)
             emit(
                 "ivf",
                 f"n_centroids={n_centroids},nprobe={nprobe}",
                 _recall(got, truth),
                 n_cand,
             )
-            rows[-1]["guard_est_fraction"] = est["expected_candidate_fraction"]
-            rows[-1]["guard_verdict"] = (
-                "warn" if est["expected_candidate_fraction"] > 0.10 else "ok"
-            )
+            rows[-1]["guard_est_fraction"] = check["expected_candidate_fraction"]
+            rows[-1]["guard_verdict"] = check["verdict"]
         ivf.assigned.unpersist()
 
     return rows

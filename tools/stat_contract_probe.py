@@ -237,6 +237,156 @@ def probe_gumbel(spark, n_draws: int) -> dict:
     }
 
 
+def probe_training_order(spark, n_docs: int, n_shards: int = 8) -> list[dict]:
+    """Training-order permutation contract (round 12; VERDICT r11 next
+    #2a): reading shards in (shard, pos) order must look iid — the
+    statistic is JOINT (a permutation), so the affine lattice is the
+    adversary. Two measurements over sequential doc_ids, for both the
+    SHIPPED order (avalanche, round 12) and the pre-r12 affine
+    counterfactual re-derived inline:
+
+    - distinct consecutive-id gaps along the order: sorting sequential
+      keys by an AFFINE map yields at most 3 distinct gaps (the
+      three-distance theorem) — a rigid arithmetic walk, not a
+      shuffle. An iid permutation of n keys has ~n/2 distinct gaps
+      among n-1 draws from the two-sided geometric.
+    - lag-1 autocorrelation of the doc_id sequence read in order:
+      iid bound ~2/sqrt(n); the affine walk re-correlates whatever
+      the id encodes (time, source, crawl shard).
+    """
+    from pyspark.sql import Window
+
+    from crypto_data_pipeline_spark.operators import sampling
+
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    rows = []
+    for variant in ("avalanche_shipped", "affine_counterfactual"):
+        if variant == "avalanche_shipped":
+            ordered = sampling.training_order(docs, key="doc_id",
+                                              n_shards=n_shards)
+        else:
+            hs = sampling.hash_bucket(F.col("doc_id"), salt=13)
+            ho = sampling.hash_bucket(F.col("doc_id"), salt=14)
+            staged = docs.select(
+                "doc_id",
+                F.pmod(hs, F.lit(n_shards)).cast("int").alias("shard"),
+                ho.alias("_ho"),
+            )
+            w0 = Window.partitionBy("shard").orderBy("_ho", "doc_id")
+            ordered = staged.withColumn(
+                "pos", F.row_number().over(w0).cast("int")
+            ).drop("_ho")
+        w = Window.partitionBy("shard").orderBy("pos")
+        seq = ordered.select(
+            "shard",
+            F.col("doc_id").cast("double").alias("x"),
+            F.lag("doc_id").over(w).cast("double").alias("xp"),
+        ).where(F.col("xp").isNotNull())
+        stats = seq.agg(
+            F.countDistinct(F.col("x") - F.col("xp")).alias("n_gaps"),
+            F.corr("x", "xp").alias("lag1"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        rows.append({
+            "probe": "training_order_permutation", "variant": variant,
+            "n_docs": n_docs, "n_shards": n_shards,
+            "n_distinct_gaps": int(stats["n_gaps"]),
+            "iid_gap_scale": n_docs // 2,
+            "lag1_autocorr": round(float(stats["lag1"]), 5),
+            "iid_lag1_bound": round(2 / math.sqrt(stats["n"]), 5),
+        })
+    return rows
+
+
+def probe_winnowing(spark, n_docs: int, doc_len: int = 2000,
+                    k: int = 8, window: int = 4) -> dict:
+    """Winnowing density contract (round 12; VERDICT r11 next #2b):
+    the expected fraction of gram positions selected as fingerprints
+    is 2/(window+1) (Schleimer/Wilkerson/Aiken §3 — quoted in
+    operators/text.py:with_winnowing). Measured on pseudorandom
+    26-letter text (xxhash64-derived chars, deterministic): with k=8
+    gram values collide with probability ~L²/26⁸ per doc, so distinct
+    selected VALUES ≈ distinct selected positions and density =
+    n_fps / (L - k + 1) must land on the curve."""
+    from crypto_data_pipeline_spark.operators import text as T
+
+    chars = F.transform(
+        F.sequence(F.lit(0), F.lit(doc_len - 1)),
+        lambda i: F.chr(
+            F.lit(97) + F.pmod(F.xxhash64(F.col("id") * doc_len + i), F.lit(26))
+        ),
+    )
+    docs = spark.range(n_docs).select(F.concat_ws("", chars).alias("text"))
+    got = (
+        T.with_winnowing(docs, "text", k=k, window=window)
+        .agg(
+            F.avg(F.col("n_fps") / F.lit(doc_len - k + 1)).alias("density"),
+            F.stddev(F.col("n_fps")).alias("sd_fps"),
+        )
+        .collect()[0]
+    )
+    return {
+        "probe": "winnowing_density", "n_docs": n_docs, "doc_len": doc_len,
+        "k": k, "window": window,
+        "density": round(float(got["density"]), 5),
+        "theory": round(2 / (window + 1), 5),
+        "sd_fps": round(float(got["sd_fps"] or 0.0), 2),
+    }
+
+
+def probe_mix_temperature(spark, n_docs: int, alpha: float = 0.3,
+                          budget: float = 0.5) -> dict:
+    """Temperature-mix realized proportions (round 12; VERDICT r11
+    next #2c): each language's kept count must match n_l × its census
+    threshold within binomial noise. Language assignment comes from
+    xxhash64 (independent of the keep hash family), with a heavy-tail
+    census (70/15/9/5/1%): the tail languages are where temperature
+    up-sampling acts hardest, so that is where a biased keep hash
+    would show. Reports the worst per-language z-score — this is a
+    MARGINAL contract, so the affine hash_bucket must pass it (the
+    declaration the joint-hash screen records for this operator)."""
+    from crypto_data_pipeline_spark.operators import sampling
+
+    cuts = [(700, "en"), (850, "de"), (940, "fr"), (990, "ja"), (1000, "sw")]
+    lang = F.lit(None).cast("string")
+    expr = None
+    u = F.pmod(F.xxhash64("id"), F.lit(1000))
+    for cut, name in cuts:
+        cond = u < cut
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), expr.alias("lang")
+    )
+    flags = sampling.temperature_mix_flags(
+        docs, group_col="lang", key="doc_id", alpha=alpha, budget_frac=budget
+    )
+    got = {
+        r["lang"]: (int(r["n"]), int(r["kept"]))
+        for r in flags.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("keep_temp").alias("kept")
+        ).collect()
+    }
+    # recompute each language's threshold exactly as the operator does
+    ns = {l: n for l, (n, _) in got.items()}
+    tot = sum(ns.values())
+    zraw = sum(n ** alpha for n in ns.values())
+    worst = 0.0
+    per_lang = {}
+    for l, (n, kept) in sorted(got.items()):
+        p = min(1.0, budget * tot * (n ** alpha / zraw) / n)
+        exp_kept = p * n
+        sd = math.sqrt(n * p * (1 - p)) or 1.0
+        z = (kept - exp_kept) / sd
+        worst = max(worst, abs(z))
+        per_lang[l] = {"n": n, "kept": kept, "target": round(exp_kept, 1),
+                       "z": round(z, 3)}
+    return {
+        "probe": "mix_temperature_proportions", "n_docs": n_docs,
+        "alpha": alpha, "budget": budget, "per_lang": per_lang,
+        "worst_abs_z": round(worst, 3),
+    }
+
+
 def main() -> None:
     small = "--small" in sys.argv
     spark = get_spark("stat-contract-probe")
@@ -247,6 +397,11 @@ def main() -> None:
     print(json.dumps(probe_hll(spark, n_per_group=62_500 * scale)), flush=True)
     print(json.dumps(probe_cms(spark, n_tokens=50_000 * scale * 20)), flush=True)
     print(json.dumps(probe_gumbel(spark, n_draws=25_000 * scale)), flush=True)
+    for row in probe_training_order(spark, n_docs=100_000 * scale):
+        print(json.dumps(row), flush=True)
+    print(json.dumps(probe_winnowing(spark, n_docs=50 * scale)), flush=True)
+    print(json.dumps(probe_mix_temperature(spark, n_docs=100_000 * scale)),
+          flush=True)
 
 
 if __name__ == "__main__":
