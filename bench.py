@@ -193,6 +193,35 @@ def main() -> None:
     prior = prior_bench_shuffle_bytes(os.path.dirname(os.path.abspath(__file__)), sf=sf)
     regressions = shuffle_regressions(shuffle_bytes, prior[1]) if prior else {}
 
+    # Round-12 additions (VERDICT r11 next #5 and #7):
+    # wall_vs_rebase — the comparable wall against the RE-BASED r11
+    # figure (BASELINE.md "re-based comparable wall"): the r9-r11
+    # series 4.517→5.027→5.443/4.908 moved on byte-identical shuffles,
+    # i.e. environment, so the narrative stops here — one ratio,
+    # byte gate stays the only hard regression authority.
+    REBASED_WALL_SF01 = 4.908  # driver run, BENCH_r11, loadavg 12.3→4.8
+    # cold_build_deltas — cold builds are one-time but shipped costs:
+    # flag any cold row that moved >25% against the prior round's
+    # artifact, the way shuffle bytes are gated (the r11 IVF guard +
+    # at-rest write added +46% cold silently; this field ends that).
+    from crypto_data_pipeline_spark.observability import prior_bench_map
+
+    prior_cold = prior_bench_map(
+        os.path.dirname(os.path.abspath(__file__)), "cold_build_seconds", sf=sf
+    )
+    cold_build_deltas: dict[str, dict[str, float]] = {}
+    if prior_cold:
+        for name, cur in cold.items():
+            old = prior_cold[1].get(name)
+            if old is None or old <= 0 or cur <= 0:
+                continue
+            pct = 100.0 * (cur - old) / old
+            if abs(pct) > 25.0:
+                cold_build_deltas[name] = {
+                    "prior": round(old, 3), "current": round(cur, 3),
+                    "growth_pct": round(pct, 1),
+                }
+
     # the 3 rows added after BENCH_r01 was recorded — kept out of the
     # baseline-comparable subtotal so round-over-round and vs-baseline
     # comparisons need no manual exclusion arithmetic
@@ -205,6 +234,9 @@ def main() -> None:
     comparable = round(
         sum(t for q, t in timings.items() if q not in post_baseline), 3
     )
+    # the rebase ratio is sf0.1-specific (the re-based wall was
+    # recorded there); other SFs report null rather than a cross-SF lie
+    wall_vs_rebase = round(comparable / REBASED_WALL_SF01, 3) if sf == 0.1 else None
 
     # Full record → a committed repo file; COMPACT line → stdout. The
     # driver keeps only the last ~2000 chars of stdout, and the full
@@ -247,8 +279,14 @@ def main() -> None:
         "loadavg_before": load_before,
         "loadavg_after": load_after,
         "baseline_comparable_seconds": comparable,
+        # vs the re-based r11 comparable wall (BASELINE.md); None off
+        # sf0.1. Informational — bytes are the hard gate.
+        "wall_vs_rebase": wall_vs_rebase,
         "queries": timings,
         "cold_build_seconds": cold,
+        # cold rows that moved >25% vs the prior round's artifact —
+        # one-time costs, but shipped ones (round 12)
+        "cold_build_deltas": cold_build_deltas,
         "recall_at_k": recall_at_k,
         "shuffle_bytes_written": shuffle_bytes,
         "shuffle_regressions_vs": prior[0] if prior else None,
@@ -284,7 +322,19 @@ def main() -> None:
                  "rho_excess_perplexity_select (round 11): gate-seated "
                  "RHO-loss selection; serve-only steady row (LM caches "
                  "shared with the lm rows, scored frame persisted), "
-                 "cold row = residual score+cutoff — post-baseline.",
+                 "cold row = residual score+cutoff — post-baseline. "
+                 "embedding_ann_ivf (round 12): now serves the "
+                 "GUARD-RECOMMENDED geometry (~sqrt(N) cells, nprobe "
+                 "chosen under the guard threshold, sidecar verdict "
+                 "ok) — its recall_at_k is the honest pruned-frontier "
+                 "point, NOT comparable to the r11 0.66 which scanned "
+                 "29% of the corpus on the 16-cell demo geometry (that "
+                 "geometry lives on as embedding_ann_ivf_fixed, the "
+                 "hash-checked twin). Retroactive r11 attribution: the "
+                 "IVF cold build rose 4.77→6.96s (+46%) when the "
+                 "config-check sample pass + at-rest partitioned write "
+                 "landed — a bounded one-time cost this record's "
+                 "cold_build_deltas field now gates at ±25%.",
     }
     with open(os.path.join(repo_root, local_name), "w") as f:
         json.dump(full_record, f, indent=2)
@@ -293,10 +343,11 @@ def main() -> None:
     compact = {
         k: full_record[k]
         for k in (
-            "metric", "value", "unit", "timing",
+            "metric", "value", "unit", "timing", "wall_vs_rebase",
             "loadavg_before", "loadavg_after",
             "full_suite_seconds", "n_bench_queries",
-            "sf", "queries", "cold_build_seconds", "recall_at_k",
+            "sf", "queries", "cold_build_seconds", "cold_build_deltas",
+            "recall_at_k",
             "shuffle_regressions_vs", "shuffle_regressions",
         )
     }

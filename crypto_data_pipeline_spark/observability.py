@@ -356,26 +356,42 @@ def prior_bench_shuffle_bytes(
     at a DIFFERENT scale factor are rejected — shuffle volume scales
     with data size, so a cross-SF diff would flag (or mask) nothing
     but the SF change itself."""
+    got = prior_bench_map(repo_root, "shuffle_bytes_written", sf=sf)
+    if got is None:
+        return None
+    fn, m = got
+    return fn, {k: int(v) for k, v in m.items()}
+
+
+def prior_bench_map(
+    repo_root: str, field: str, sf: float | None = None
+) -> tuple[str, dict[str, float]] | None:
+    """Newest prior bench artifact's per-query map for ``field``
+    (``shuffle_bytes_written``, ``cold_build_seconds``, ...) —
+    the round-ordering, driver-first precedence, and tail-recovery
+    rules shared by every round-over-round bench diff (round 12
+    generalized this from the shuffle-bytes reader so the cold-build
+    delta gate reuses the same prior-selection logic)."""
     import json
     import os
     import re
 
     def extract(doc: object) -> tuple[dict, object] | None:
-        """(shuffle_bytes_written, sf) from an artifact in any of its
-        three shapes: driver {tail, parsed}, driver with parsed=null
-        (the line outgrew the stdout tail — recover the map from the
-        tail string, where it survives clipping because it sits near
-        the end), or a committed BENCH_LOCAL full record."""
+        """(field map, sf) from an artifact in any of its three
+        shapes: driver {tail, parsed}, driver with parsed=null (the
+        line outgrew the stdout tail — recover the map from the tail
+        string, where it survives clipping because it sits near the
+        end), or a committed BENCH_LOCAL full record."""
         if not isinstance(doc, dict):
             return None
-        parsed = doc.get("parsed", doc if "shuffle_bytes_written" in doc else None)
+        parsed = doc.get("parsed", doc if field in doc else None)
         if isinstance(parsed, dict):
-            bm = parsed.get("shuffle_bytes_written")
+            bm = parsed.get(field)
             if isinstance(bm, dict) and bm:
                 return bm, parsed.get("sf")
         tail = doc.get("tail")
         if isinstance(tail, str):
-            m = re.search(r'"shuffle_bytes_written":\s*(\{[^{}]*\})', tail)
+            m = re.search(rf'"{field}":\s*(\{{[^{{}}]*\}})', tail)
             if m:
                 try:
                     bm = json.loads(m.group(1))
@@ -420,11 +436,11 @@ def prior_bench_shuffle_bytes(
                     got = extract(json.load(f))
                 if got is None:
                     continue
-                bytes_map, prior_sf = got
+                field_map, prior_sf = got
                 # coercion stays inside the try: a malformed artifact
                 # (null / non-numeric entry) must degrade to "no
                 # prior", never crash the bench before its line prints
-                coerced = {str(k): int(v) for k, v in bytes_map.items()}
+                coerced = {str(k): float(v) for k, v in field_map.items()}
             except (OSError, json.JSONDecodeError, AttributeError, TypeError, ValueError):
                 continue
             if sf is not None and prior_sf != sf:

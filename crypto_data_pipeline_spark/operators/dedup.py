@@ -338,30 +338,25 @@ def portable_hashed_shingle_sets(
     return staged.select("id", hs.alias("hs"))
 
 
-def minhash_dedup_pairs_portable(
+def portable_minhash_signatures(
     df: DataFrame,
-    threshold: float = 0.5,
     id_col: str = "doc_id",
     text: str = "text",
     shingle_k: int = 3,
     num_hashes: int = 16,
-    bands: int = 4,
-    max_bucket: int = 200,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs with EVERY stage engine-portable:
-    polynomial shingle hashes, (a·x+b) mod P signature rows, polynomial
-    band keys, bucket pairing, exact-Jaccard verify — so the whole
-    lossy pipeline (not just its exactness baseline) hash-checks
-    against a DuckDB oracle. Same one-shuffle banding plan as the
-    xxhash64 fast path (lsh_candidate_pairs); the fast path remains
-    the production default, this twin is the differential proof."""
-    if num_hashes % bands:
-        raise ValueError("num_hashes must divide into equal bands")
-    r = num_hashes // bands
-    # no persist: the twin recomputes the (cheap at check SF) shingle
-    # pass rather than managing cache lifecycle inside a library call
+    """(id, hs, sig): the per-document COMPUTE stage of the portable
+    MinHash pipeline — distinct shingle hashes plus the num_hashes
+    (a·x+b) mod P signature — factored out of
+    `minhash_dedup_pairs_portable` (round 12; VERDICT r11 next #6) so
+    that (a) the scale probe can attribute the near-dup stage's cost
+    between signature compute, the band shuffle, and verification,
+    and (b) callers can land this frame AT REST keyed by content and
+    reuse it across re-curations: the signature is a pure function of
+    the text, so an incremental pipeline recomputes it only for novel
+    documents instead of re-paying the per-corpus compute (stage
+    attribution measured in docs/SCALE_PROBE.md, round 12)."""
     sets = portable_hashed_shingle_sets(df, id_col, text, shingle_k)
-
     params = portable_minhash_params(num_hashes)
 
     def affine(a: int, b: int):
@@ -372,8 +367,64 @@ def minhash_dedup_pairs_portable(
     sig = F.array(
         *[F.array_min(F.transform(F.col("hs"), affine(a, b))) for a, b in params]
     )
+    return sets.select("id", "hs", sig.alias("sig"))
+
+
+def minhash_dedup_pairs_portable(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 200,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with EVERY stage engine-portable:
+    polynomial shingle hashes, (a·x+b) mod P signature rows, polynomial
+    band keys, bucket pairing, exact-Jaccard verify — so the whole
+    lossy pipeline (not just its exactness baseline) hash-checks
+    against a DuckDB oracle. Same one-shuffle banding plan as the
+    xxhash64 fast path (lsh_candidate_pairs); the fast path remains
+    the production default, this twin is the differential proof.
+
+    ``signatures``: a precomputed `portable_minhash_signatures` frame
+    (id, hs, sig) — pass it to serve signatures from rest/cache
+    instead of recomputing the corpus (the incremental re-curation
+    path; it must have been built with the SAME shingle_k/num_hashes,
+    which the caller owns since the frame may come from storage)."""
+    # no persist: the twin recomputes the (cheap at check SF) shingle
+    # pass rather than managing cache lifecycle inside a library call
+    sigs = (
+        signatures
+        if signatures is not None
+        else portable_minhash_signatures(df, id_col, text, shingle_k, num_hashes)
+    )
+    sets = sigs.select("id", "hs")
+    pairs = portable_lsh_candidate_pairs(sigs, num_hashes, bands, max_bucket)
+    # prune verification to candidate docs only, as in minhash_dedup_pairs
+    cand_ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("_cid")).distinct()
+    pruned = sets.join(F.broadcast(cand_ids), F.col("id") == F.col("_cid"), "left_semi")
+    return jaccard_verified_pairs(pruned, pairs, threshold)
+
+
+def portable_lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """The SHUFFLE stage of the portable pipeline, factored out
+    (round 12) so the probe attributes band-join cost separately from
+    signature compute and verification: polynomial band keys over the
+    (id, sig) frame, one groupBy on (band_idx, band_hash), hot buckets
+    capped, upper-triangular pair explosion, distinct."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must divide into equal bands")
+    r = num_hashes // bands
     banded = (
-        sets.select("id", sig.alias("sig"))
+        signatures.select("id", "sig")
         .select(
             "id",
             F.explode(
@@ -395,7 +446,7 @@ def minhash_dedup_pairs_portable(
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    pairs = buckets.select(
+    return buckets.select(
         F.explode(
             F.flatten(
                 F.transform(
@@ -408,10 +459,6 @@ def minhash_dedup_pairs_portable(
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b").distinct()
-    # prune verification to candidate docs only, as in minhash_dedup_pairs
-    cand_ids = pairs.select(F.explode(F.array("id_a", "id_b")).alias("_cid")).distinct()
-    pruned = sets.join(F.broadcast(cand_ids), F.col("id") == F.col("_cid"), "left_semi")
-    return jaccard_verified_pairs(pruned, pairs, threshold)
 
 
 def minhash_dedup_pairs(

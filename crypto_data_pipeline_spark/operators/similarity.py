@@ -630,8 +630,96 @@ def ivf_expected_candidate_fraction(
     }
 
 
+# the single source of the IVF guard threshold: ivf_config_check's
+# default, the serving chooser's default, and tools/ann_probe.py all
+# reference this name (round 12 — a change here moves every consumer)
+IVF_WARN_ABOVE = 0.10
+
+
+def ivf_candidate_fraction_curve(
+    index: IvfIndex, max_nprobe: int = 8, sample_cap: int = 4096
+) -> list[float]:
+    """`ivf_expected_candidate_fraction` for EVERY nprobe in
+    [1, max_nprobe] in one estimator pass: the per-vector argsort
+    already orders all cells, so the cumulative probed occupancy gives
+    the whole curve for the cost of one sample scan (the sweep the
+    serving-nprobe chooser and the probe tool need — point-by-point
+    calls would re-read the sample max_nprobe times)."""
+    import numpy as np
+
+    n_cells = len(index.centers)
+    max_nprobe = max(1, min(int(max_nprobe), n_cells))
+    hist_rows = (
+        index.assigned.groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # ≤ n_centroids rows — bounded by build config
+    )
+    occ = {int(r._cell): int(r.n) for r in hist_rows}
+    total = sum(occ.values())
+    if total == 0:
+        return [0.0] * max_nprobe
+    id_col = index.id_col
+    # the same deterministic residue sample as the point estimator
+    stride = max(1, -(-total // sample_cap))
+    sample = index.assigned.select(id_col, "_cv").where(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0
+    )
+    C = np.asarray(index.centers, dtype=np.float64)
+    occ_arr = np.zeros(n_cells, dtype=np.float64)
+    for ci, n in occ.items():
+        occ_arr[ci] = n
+
+    def probed_mass(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vs = np.stack(pdf["_cv"].to_numpy())
+            dists = np.empty((len(pdf), len(C)), dtype=np.float64)
+            for ci in range(len(C)):
+                dists[:, ci] = np.square(vs - C[ci][None, :]).sum(axis=1)
+            cells = np.argsort(dists, axis=1, kind="stable")[:, :max_nprobe]
+            cum = np.cumsum(occ_arr[cells], axis=1)
+            yield pd.DataFrame(
+                {f"c{j}": cum[:, j] for j in range(max_nprobe)}
+            )
+
+    schema = ", ".join(f"c{j} double" for j in range(max_nprobe))
+    row = (
+        sample.mapInPandas(probed_mass, schema)
+        .agg(*[F.avg(f"c{j}").alias(f"c{j}") for j in range(max_nprobe)])
+        .collect()[0]  # one scalar row of max_nprobe averages
+    )
+    return [round(float(row[f"c{j}"] or 0.0) / total, 4) for j in range(max_nprobe)]
+
+
+def ivf_serving_nprobe(
+    index: IvfIndex, max_nprobe: int = 8,
+    warn_above: float | None = None, sample_cap: int = 4096,
+) -> dict:
+    """The guard's own recommendation turned into a SERVING config
+    (round 12; VERDICT r11 next #3): the largest nprobe whose expected
+    candidate fraction stays under the guard threshold — maximum
+    recall the geometry affords without the index ceasing to prune.
+    Floors at nprobe=1: if even one cell exceeds the threshold the
+    geometry itself is wrong (too few cells) and `ivf_config_check`
+    will say so at write time. Threshold defaults to the module's
+    IVF_WARN_ABOVE — the ONE constant `ivf_config_check` also uses, so
+    chooser and guard cannot disagree."""
+    if warn_above is None:
+        warn_above = IVF_WARN_ABOVE
+    curve = ivf_candidate_fraction_curve(index, max_nprobe, sample_cap)
+    nprobe = 1
+    for j, frac in enumerate(curve, start=1):
+        if frac <= warn_above:
+            nprobe = j
+    return {"nprobe": nprobe, "fraction_curve": curve,
+            "warn_above": warn_above}
+
+
 def ivf_config_check(
-    index: IvfIndex, nprobe: int = 4, warn_above: float = 0.10,
+    index: IvfIndex, nprobe: int = 4, warn_above: float = IVF_WARN_ABOVE,
     sample_cap: int = 4096,
 ) -> dict:
     """The IVF analog of `lsh_config_check` (round-11; VERDICT r10

@@ -128,6 +128,9 @@ DECLARED_DRIVER_SCALARS = {
         "n_centroids centroid rows — build config, not corpus",
     "operators/similarity.py:ivf_expected_candidate_fraction":
         "cell histogram ≤ n_centroids rows + one scalar average row",
+    "operators/similarity.py:ivf_candidate_fraction_curve":
+        "cell histogram ≤ n_centroids rows + one max_nprobe-wide "
+        "scalar row (the whole curve in one pass)",
     "operators/similarity.py:lsh_expected_candidate_fraction":
         "per-table moments — exactly `tables` rows",
     "operators/similarity.py:build_fixed_pq_codebook":

@@ -1397,17 +1397,20 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.near_dup_pairs_by_cosine(_embs(spark, sf_dir), threshold=0.3)
 
 
-_IVF_CACHE: dict[tuple[str, str], "similarity.IvfIndex"] = {}
+# value: (index, serving nprobe, n_cells) — the guard-recommended
+# operating point chosen at build time (round 12)
+_IVF_CACHE: dict[tuple[str, str], tuple] = {}
 _CURATION_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _release_curation(staged: tuple):
-    """Unpersist the curation stage frames (q, exk, dominated — ex is
-    derived, never persisted); returns q for _cache_put's final
+    """Unpersist the curation stage frames (q, exk, dominated, sigs —
+    ex is derived, never persisted); returns q for _cache_put's final
     unpersist call."""
-    q, _ex, exk, dominated = staged
+    q, _ex, exk, dominated, sigs = staged
     exk.unpersist()
     dominated.unpersist()
+    sigs.unpersist()
     return q
 _IVF_FIXED_CACHE: dict[tuple[str, str], "similarity.IvfIndex"] = {}
 # index-at-rest temp dirs for the IVF caches (round 11): the indexes
@@ -1570,6 +1573,43 @@ def _ivf_index_at_rest(
     return index
 
 
+def _ivf_recommended_index(
+    spark: SparkSession, sf_dir: str, embs: DataFrame
+) -> tuple:
+    """The KMeans IVF index at the guard's own recommended operating
+    point (round 12; VERDICT r11 next #3): n_centroids = max(16,
+    round(sqrt(N))) — the production scale rule `ivf_config_check`'s
+    warning quotes — and serving nprobe = the largest probe depth the
+    fraction curve keeps under the guard threshold
+    (`similarity.ivf_serving_nprobe`, one estimator pass). The sidecar
+    records the check at THAT nprobe, so the at-rest verdict for this
+    index is `ok` by construction unless even nprobe=1 fails — in
+    which case the warning fires and names the geometry. Same
+    build-once/serve-from-rest and eviction contract as
+    `_ivf_index_at_rest`; returns (index, serving_nprobe, n_cells)."""
+    import math as _math
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _IVF_CACHE.get(key)
+    if got is None:
+        import tempfile
+
+        n = embs.count()
+        cells = max(16, round(_math.sqrt(n)))
+        index_dir = tempfile.mkdtemp(prefix="ivf_index_")
+        # registered before building — same leak guard as the sibling
+        _IVF_DIRS[key] = index_dir
+        built = similarity.build_ivf_index(embs, n_centroids=cells)
+        serve = similarity.ivf_serving_nprobe(built)
+        similarity.write_ivf_index(built, index_dir, nprobe=serve["nprobe"])
+        built.assigned.unpersist()
+        index = similarity.read_ivf_index(spark, index_dir)
+        got = (index, serve["nprobe"], cells)
+        _cache_put(_IVF_CACHE, key, got, lambda t: t[0].assigned,
+                   dirs=_IVF_DIRS)
+    return got
+
+
 def _ivf_fixed_index(spark: SparkSession, sf_dir: str) -> "similarity.IvfIndex":
     """The deterministic fixed-quantizer index (centroids = normalized
     vectors of vec_id 0..15) at rest — shared by every hash-checked
@@ -1584,19 +1624,26 @@ def _ivf_fixed_index(spark: SparkSession, sf_dir: str) -> "similarity.IvfIndex":
 @register("embedding_ann_ivf", survey_ids=("EXT-sim",), oracle=None, bench=True,
           extra=True)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-5 via an IVF index (KMeans coarse quantizer, nprobe=4).
-    The index builds ONCE per (session, corpus) and is cached — the
-    FAISS train/add vs search split — so repeated query batches pay
-    only the nprobe-cell probe, not the quantizer fit. Rows-only: the
-    quantizer is iterative ML, not SQL; recall is tested against the
-    brute-force baseline."""
+    """ANN top-5 via an IVF index at the GUARD-RECOMMENDED operating
+    point (round 12; VERDICT r11 next #3): ≈sqrt(N) KMeans cells —
+    the production scale rule the guard's own warning quotes — with
+    nprobe chosen by `ivf_serving_nprobe` as the largest probe depth
+    whose expected candidate fraction stays under the guard threshold.
+    The bench row therefore records what the tier achieves when a
+    user FOLLOWS the guard (sidecar verdict ok), not the 16-cell demo
+    geometry (which lives on as `embedding_ann_ivf_fixed`, the
+    hash-checked SQL twin, warning by design). Index builds ONCE per
+    (session, corpus), lands at rest partitioned by cell, and serves
+    from the reloaded scan — the FAISS train/add vs search split.
+    Rows-only: the quantizer is iterative ML, not SQL; recall is
+    recorded against the brute-force baseline in every bench artifact
+    and swept along the frontier by tools/ann_probe.py."""
     embs = _embs(spark, sf_dir)
-    index = _ivf_index_at_rest(
-        spark, sf_dir, _IVF_CACHE, _IVF_DIRS, "ivf_index_",
-        lambda: similarity.build_ivf_index(embs),
-    )
+    index, serve_nprobe, cells = _ivf_recommended_index(spark, sf_dir, embs)
     queries = embs.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.ivf_topk(embs, queries, k=5, index=index)
+    return similarity.ivf_topk(
+        embs, queries, k=5, index=index, n_centroids=cells, nprobe=serve_nprobe
+    )
 
 
 def _plane_literal(plane: list[float]) -> str:
@@ -3437,13 +3484,25 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = _CURATION_CACHE.get(key)
     if staged is None:
         staged = curation_stages(_docs(spark, sf_dir))
+        # The signature frame's only consumer is `dominated`:
+        # materialize it (executes the frame's own QueryExecution,
+        # no rows to the driver) and release sigs immediately — at
+        # 20M docs the ~12 GB cached signature frame otherwise
+        # pressures the storage pool through every later assembly
+        # (measured — docs/SCALE_PROBE.md round 12). The tuple keeps
+        # the released handle; _release_curation's second unpersist
+        # is a no-op.
+        staged[3]._jdf.queryExecution().toRdd().count()
+        staged[4].unpersist()
         _cache_put(_CURATION_CACHE, key, staged, frame_of=_release_curation)
     return curation_decision_record(staged)
 
 
-def curation_stages(docs: DataFrame) -> tuple:
-    """The pipeline's persisted stage frames — (q, ex, exk, dominated)
-    — extracted (round 11) so tools/curation_scale_probe.py measures
+def curation_stages(
+    docs: DataFrame, max_rows_per_cache_partition: int | None = 100_000
+) -> tuple:
+    """The pipeline's persisted stage frames — (q, ex, exk, dominated,
+    sigs) — extracted (round 11) so tools/curation_scale_probe.py measures
     the COMPOSED pipeline on the operator's own code path, not a
     probe-local copy. q fans out to 2 consumers and exk to 3 (pairs,
     anti join, and the decision-record join) — both persist so the
@@ -3453,27 +3512,73 @@ def curation_stages(docs: DataFrame) -> tuple:
     branch (mix census, final join, training order) re-runs the
     banding+verify pipeline. Callers own the persists: the registered
     query parks them in _CURATION_CACHE (evict -> unpersist via
-    _release_curation); the probe unpersists explicitly per N."""
+    _release_curation); the probe unpersists explicitly per N.
+
+    ``max_rows_per_cache_partition`` (round 12; VERDICT r11 next #4)
+    bounds the PERSISTED stages' partition sizes: the full-text q and
+    exk frames inherit the input's partitioning, and a wide-partition
+    corpus (e.g. a generated 20M-doc frame in spark.range's 32
+    partitions — 625k rows ≈ 300 MB deserialized PER CACHED BLOCK)
+    GC-thrashed a 16g heap to OOM in the round-11 probe before the
+    probe repartitioned around it. The bound now lives in the
+    pipeline: when ceil(n_docs / bound) exceeds the input's partition
+    count, q and exk repartition to it before persisting (one
+    round-robin Exchange in the BUILD, amortized like the persists
+    themselves); otherwise the plan is untouched — parquet scans are
+    already byte-bounded by maxPartitionBytes, so the bench plans gain
+    no Exchange. Heap math for a single 64 GiB JVM at 20M docs
+    (docs/SCALE_PROBE.md round 11): ~3 resident text copies (docs, q,
+    exk) ⇒ ≤100k rows/partition keeps every cached block at tens of
+    MB; on a real cluster the copies spread across executors and the
+    same bound just sets sane task granularity."""
     from pyspark.sql import Window
 
-    q = text.with_quality_filter(text.with_text_stats(docs)).select(
-        "doc_id", "lang", "text", F.col("keep").alias("q_keep")
+    bound_parts = None
+    if max_rows_per_cache_partition:
+        n_docs = docs.count()
+        needed = -(-n_docs // max_rows_per_cache_partition)
+        if needed > docs.rdd.getNumPartitions():
+            bound_parts = int(needed)
+
+    def bounded(df: DataFrame) -> DataFrame:
+        return df.repartition(bound_parts) if bound_parts else df
+
+    q = bounded(
+        text.with_quality_filter(text.with_text_stats(docs)).select(
+            "doc_id", "lang", "text", F.col("keep").alias("q_keep")
+        )
     ).persist()
     qk = q.where(F.col("q_keep") == 1)
     w = Window.partitionBy(F.md5(text.normalized("text"))).orderBy("doc_id")
     ex = qk.withColumn(
         "ex_keep", (F.row_number().over(w) == 1).cast("int")
     )
-    exk = ex.where(F.col("ex_keep") == 1).select("doc_id", "lang", "text").persist()
-    pairs = dedup.minhash_dedup_pairs_portable(exk, threshold=0.5)
+    exk = bounded(
+        ex.where(F.col("ex_keep") == 1).select("doc_id", "lang", "text")
+    ).persist()
+    # Signatures computed ONCE and persisted (round 12; VERDICT r11
+    # next #6): the unpersisted near-dup DAG evaluated the shingle +
+    # signature pass ~3x (once under the banding branch, once per
+    # verify side) — measured 318.5s vs 65.3 + 4.9 + 11.9 = 82.1s for
+    # sig + band-shuffle + verify at 2M docs
+    # (tools/curation_scale_probe.py, docs/SCALE_PROBE.md round 12).
+    # The frame carries (id, hs, sig) — no text — and inherits exk's
+    # bounded partitioning; it is also the at-rest reuse hook: the
+    # signature is a pure function of the text, so an incremental
+    # re-curation can land this frame keyed by content hash and pass
+    # it back through `signatures=` instead of recomputing the corpus.
+    sigs = dedup.portable_minhash_signatures(exk).persist()
+    pairs = dedup.minhash_dedup_pairs_portable(exk, threshold=0.5, signatures=sigs)
     dominated = pairs.select(F.col("id_b").alias("doc_id")).distinct().persist()
-    return (q, ex, exk, dominated)
+    return (q, ex, exk, dominated, sigs)
 
 
 def curation_decision_record(staged: tuple) -> DataFrame:
     """The per-document decision record over prepared stage frames —
-    the steady-state assembly the bench times (stages cached)."""
-    q, ex, exk, dominated = staged
+    the steady-state assembly the bench times (stages cached). The
+    signature frame rides the tuple for lifecycle only (the pairs in
+    ``dominated`` already consumed it)."""
+    q, ex, exk, dominated, _sigs = staged
     ndk = exk.join(F.broadcast(dominated), "doc_id", "left_anti")
     mix = sampling.temperature_mix_flags(ndk)
     final = ndk.join(mix.where(F.col("keep_temp") == 1).select("doc_id"), "doc_id")

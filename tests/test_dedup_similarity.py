@@ -416,6 +416,33 @@ def test_ivf_config_guard_pins_two_fixture_geometries(spark, sf_dir):
     sharp.assigned.unpersist()
 
 
+def test_ivf_fraction_curve_and_serving_chooser(spark, sf_dir):
+    """Round 12 (VERDICT r11 next #3): the one-pass fraction curve
+    must agree with the point estimator at every nprobe (same sample,
+    same argsort — cumulative vs sliced), be monotone nondecreasing,
+    and the serving chooser must return the LARGEST nprobe under the
+    guard threshold — the operating point the bench embedding_ann_ivf
+    row now serves. The chooser's threshold is the module's
+    IVF_WARN_ABOVE constant (single source with ivf_config_check),
+    so this test also fails if the two ever desynchronize."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    ix = similarity.build_fixed_ivf_index(embs, list(range(16)))
+    curve = similarity.ivf_candidate_fraction_curve(ix, max_nprobe=6)
+    assert len(curve) == 6
+    assert all(b >= a for a, b in zip(curve, curve[1:])), curve
+    for nprobe in (1, 3, 6):
+        point = similarity.ivf_expected_candidate_fraction(ix, nprobe)
+        assert abs(curve[nprobe - 1] - point["expected_candidate_fraction"]) < 1e-9
+
+    serve = similarity.ivf_serving_nprobe(ix, max_nprobe=6)
+    np_pick, thr = serve["nprobe"], serve["warn_above"]
+    assert thr == similarity.IVF_WARN_ABOVE
+    assert curve[np_pick - 1] <= thr or np_pick == 1
+    if np_pick < 6:
+        assert curve[np_pick] > thr  # largest ok, not merely an ok
+    ix.assigned.unpersist()
+
+
 def test_ivf_write_lands_config_verdict_in_sidecar(spark, sf_dir, tmp_path):
     """write_ivf_index (the production at-rest boundary) runs the
     guard by default at the declared serving nprobe and lands the
@@ -956,9 +983,13 @@ def test_ann_registry_recall_floor_sf001(spark):
     benched IVF and LSH probes must keep a minimum recall@5 against
     the exact brute-force twin on the same 10 fixed queries.
     Deterministic — fixed index build, fixed queries — so the floor is
-    a regression gate, not a flake: measured 0.72 (IVF) / 0.56 (LSH) /
-    0.94 (LSH multiprobe) at sf0.01; floors leave margin for
-    intentional re-tuning but catch a collapse."""
+    a regression gate, not a flake: measured 0.30 (IVF — round 12
+    moved the query to the guard-RECOMMENDED operating point, √N
+    cells with nprobe chosen under the guard threshold; the old 0.72
+    was the 16-cell demo geometry scanning ~33% of the corpus on a
+    warn verdict) / 0.56 (LSH) / 0.94 (LSH multiprobe) at sf0.01;
+    floors leave margin for intentional re-tuning but catch a
+    collapse."""
     import os
 
     sf = "/root/testdata/sf0.01"
@@ -978,7 +1009,7 @@ def test_ann_registry_recall_floor_sf001(spark):
     # it must stay clearly ABOVE its single-probe sibling, not just
     # above a collapse threshold
     floors = {
-        "embedding_ann_ivf": 0.5,
+        "embedding_ann_ivf": 0.2,  # recommended point, verdict-ok pruning
         "embedding_ann_lsh": 0.4,
         "embedding_ann_lsh_multiprobe": 0.8,
     }

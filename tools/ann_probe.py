@@ -125,11 +125,21 @@ def probe_sf(spark, sf_dir: str) -> list[dict]:
     # recommends along. Each row also records the guard's build-time
     # candidate-fraction estimate next to the measured fraction, so
     # the estimator that gates production builds is validated against
-    # ground truth on every probe run.
-    for n_centroids in (16, 41, 64):
+    # ground truth on every probe run. Round 12 adds the RECOMMENDED
+    # operating point — n_centroids = round(sqrt(N)), the geometry the
+    # guard's own warning quotes and the bench embedding_ann_ivf row
+    # now serves — with nprobe swept through the recall knee and the
+    # serving chooser's pick (largest nprobe under the guard
+    # threshold) marked on its row.
+    rec_cells = max(16, round(n_corpus ** 0.5))
+    for n_centroids in sorted({16, rec_cells, 64}):
         ivf = S.build_ivf_index(embs, n_centroids=n_centroids)
         q_n = S._unit_normed(queries, "query_id", "embedding").withColumnRenamed("_v", "_qv")
-        nprobes = (1, 2, 4, 8) if n_centroids == 16 else (1, 2, 4)
+        nprobes = (1, 2, 4, 8) if n_centroids == 16 else (1, 2, 3, 4, 6, 8)
+        chosen = (
+            S.ivf_serving_nprobe(ivf)["nprobe"] if n_centroids == rec_cells
+            else None
+        )
         for nprobe in nprobes:
             scored_centers = S._cell_scores(F.col("_qv"), S._centers_expr(ivf.centers))
             probes = F.slice(F.array_sort(scored_centers), 1, nprobe)
@@ -159,6 +169,9 @@ def probe_sf(spark, sf_dir: str) -> list[dict]:
             )
             rows[-1]["guard_est_fraction"] = check["expected_candidate_fraction"]
             rows[-1]["guard_verdict"] = check["verdict"]
+            if n_centroids == rec_cells:
+                rows[-1]["recommended_geometry"] = True
+                rows[-1]["serving_pick"] = nprobe == chosen
         ivf.assigned.unpersist()
 
     return rows

@@ -108,13 +108,47 @@ def probe_n(spark, n: int) -> dict:
     docs = synth_corpus(spark, n).repartition(max(32, n // 100_000)).persist()
     docs.count()  # materialize; generation is not what we time
 
-    q, ex, exk, dominated = curation_stages(docs)
+    q, ex, exk, dominated, sigs = curation_stages(docs)
     t_q, n_q, sb_q = _timed_count(q)
     n_qk = q.where(F.col("q_keep") == 1).count()
     t_ex, n_exk, sb_ex = _timed_count(exk)
-    t_nd, n_dom, sb_nd = _timed_count(dominated)
 
-    record = curation_decision_record((q, ex, exk, dominated))
+    # Near-dup stage ATTRIBUTION (round 12; VERDICT r11 next #6): the
+    # LSH stage dominated the composed pipeline (3,118 s of the 20M
+    # run in round 11) but nothing said where it went. The pipeline
+    # now persists the signature stage itself (curation_stages —
+    # measured 318.5s for the old recompute-per-branch DAG vs
+    # 65.3 + 4.9 + 11.9 = 82.1s split at 2M docs), so the probe times
+    # the operator's own three factored stages: signature compute
+    # (sigs — per-doc shingle + 16 affine mins, no shuffle), the band
+    # shuffle + pair explosion over the CACHED signatures, and
+    # exact-Jaccard verification (dominated's residual wall over the
+    # cached signatures, minus the candidate stage).
+    from crypto_data_pipeline_spark.operators.dedup import (
+        portable_lsh_candidate_pairs,
+    )
+
+    t_sig, n_sig, _sb = _timed_count(sigs)
+    cand = portable_lsh_candidate_pairs(sigs)
+    t_cand, n_cand, sb_cand = _timed_count(cand)
+    t_nd, n_dom, sb_nd = _timed_count(dominated)
+    nd_breakdown = {
+        "signatures_sec": t_sig,
+        "band_shuffle_pairs_sec": t_cand,
+        "verify_sec": round(max(0.0, t_nd - t_cand), 2),
+        "candidate_pairs": n_cand,
+        "band_shuffle_bytes": sb_cand,
+    }
+    t_nd = round(t_sig + t_nd, 2)  # stage total = sig + band+verify
+    # sigs' only consumer (dominated) is now materialized — release
+    # it before timing the record assembly, exactly as the registered
+    # query does (corpus_curation_pipeline): at 20M the ~12 GB cached
+    # signature frame otherwise evicts the stage caches the assembly
+    # scans (measured 110s resident vs the released figure recorded
+    # in docs/SCALE_PROBE.md round 12)
+    sigs.unpersist()
+
+    record = curation_decision_record((q, ex, exk, dominated, sigs))
     # steady-state assembly over warm stages — execute the record's
     # own QueryExecution without collecting rows (bench-identical)
     t0 = time.perf_counter()
@@ -128,7 +162,7 @@ def probe_n(spark, n: int) -> dict:
         F.sum("mix_keep").alias("mix"),
     ).collect()[0]
 
-    for frame in (q, exk, dominated, docs):
+    for frame in (q, exk, dominated, sigs, docs):
         frame.unpersist()
     return {
         "n_docs": n,
@@ -140,6 +174,7 @@ def probe_n(spark, n: int) -> dict:
             "quality": sb_q, "exact_dedup": sb_ex,
             "near_dup_lsh": sb_nd, "record_assembly": sb_rec,
         },
+        "near_dup_breakdown": nd_breakdown,
         "survivors": {
             "input": n, "q_keep": n_qk, "ex_keep": n_exk,
             "nd_dominated": n_dom,
