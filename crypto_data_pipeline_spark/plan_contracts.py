@@ -57,6 +57,7 @@ BNLJ_OK = {
     "dsir_resample_gumbel",        # same fit path, same totals frames
     "dsir_resample_gumbel_quantile",  # same fit path, same totals frames
     "dedup_minhash_portable",      # broadcast candidate-id prune
+    "dedup_minhash_incremental",   # same prune over the at-rest sigs
     "dedup_staged_pipeline",       # same portable-minhash candidate prune
     "corpus_curation_pipeline",    # minhash prune + census-totals frames
     "contamination_ngram",

@@ -377,6 +377,53 @@ def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_incremental",
+    survey_ids=("EXT-dedup",),
+    extra=True,
+    oracle=_portable_minhash_oracle(),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental re-curation path for near-dup detection (round
+    12; VERDICT r11 next #6): the STORE corpus's MinHash signatures —
+    76-81% of the near-dup stage cost (docs/SCALE_PROBE.md) — are
+    written to parquet ONCE per (session, corpus) and served from the
+    reloaded scan; only the arriving DELIVERY (doc_id % 10 == 0, ~10%)
+    computes signatures fresh. The union feeds the same banding +
+    verify pipeline via `signatures=`
+    (operators/dedup.py:minhash_dedup_pairs_portable). The oracle
+    recomputes EVERYTHING from text in DuckDB, so a hash match proves
+    the at-rest/reuse path is value-identical to a full fresh run —
+    the property that makes signature reuse safe at 100 TB, where
+    re-signing an unchanged corpus per delivery is the dominant
+    avoidable cost."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    store = docs.where(F.col("doc_id") % 10 != 0)
+    delivery = docs.where(F.col("doc_id") % 10 == 0)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sigs_store = _SIG_STORE_CACHE.get(key)
+    if sigs_store is None:
+        import tempfile
+
+        store_dir = tempfile.mkdtemp(prefix="sig_store_")
+        # registered before writing — same leak guard as the indexes
+        _SIG_STORE_DIRS[key] = store_dir
+        path = os.path.join(store_dir, "sigs")
+        dedup.portable_minhash_signatures(store).write.mode(
+            "overwrite"
+        ).parquet(path)
+        sigs_store = spark.read.parquet(path)
+        # an at-rest scan holds no persist; unpersist-on-evict is a no-op
+        _cache_put(_SIG_STORE_CACHE, key, sigs_store,
+                   frame_of=lambda df: df, dirs=_SIG_STORE_DIRS)
+    all_sigs = sigs_store.unionByName(
+        dedup.portable_minhash_signatures(delivery)
+    )
+    return dedup.minhash_dedup_pairs_portable(docs, signatures=all_sigs)
+
+
+@register(
     "split_leakage_report",
     extra=True,
     survey_ids=("EXT-dedup", "EXT-sample"),
@@ -1429,6 +1476,12 @@ _LSH_CACHE: dict[tuple[str, str], "similarity.LshIndex"] = {}
 # dirs in /tmp
 _NB_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
 _NB_MODEL_DIRS: dict[tuple[str, str], str] = {}
+# MinHash signature store at rest (round 12): the store corpus's
+# (id, hs, sig) frame written to parquet once per (session, corpus)
+# and SERVED from the reloaded scan — the incremental re-curation
+# reuse path measured in docs/SCALE_PROBE.md round 12
+_SIG_STORE_CACHE: dict[tuple[str, str], "DataFrame"] = {}
+_SIG_STORE_DIRS: dict[tuple[str, str], str] = {}
 # fitted bigram LM (grid, ctx), same contract; shared by the
 # perplexity-bucket query and the source curation report
 _LM_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
@@ -1447,7 +1500,7 @@ def _cleanup_model_dirs() -> None:
     import shutil
 
     for dirs in (_LM_MODEL_DIRS, _LM_KN_MODEL_DIRS, _NB_MODEL_DIRS,
-                 _IVF_DIRS, _IVF_FIXED_DIRS):
+                 _IVF_DIRS, _IVF_FIXED_DIRS, _SIG_STORE_DIRS):
         for d in dirs.values():
             shutil.rmtree(d, ignore_errors=True)
         dirs.clear()
