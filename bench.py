@@ -100,6 +100,11 @@ def main() -> None:
         # (session, corpus) — the cold row is the residual score+cutoff
         # build, steady rows are serve-only
         "rho_excess_perplexity_select",
+        # round 13: the PQ codes column (the index, 8 bytes/vector at
+        # rest) now builds once per (session, corpus) like the IVF/LSH
+        # indexes — the cold row is the encode+write, steady rows are
+        # the ADC compressed scan + rank (the serving path)
+        "embedding_pq_topk",
     }
     cold: dict[str, float] = {}
     for spec in specs:

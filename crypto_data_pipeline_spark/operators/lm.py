@@ -58,7 +58,12 @@ _BUCKETS = {1: "head", 2: "middle", 3: "tail"}
 
 
 def _unscored_docs(
-    docs: DataFrame, ctx: DataFrame, lang: str, text: str, doc_id: str
+    docs: DataFrame,
+    ctx: DataFrame,
+    lang: str,
+    text: str,
+    doc_id: str,
+    trained: DataFrame | None = None,
 ) -> DataFrame:
     """Docs that CANNOT score, as sentinel rows: fewer than 2 tokens
     (``coalesce(size, -1)`` — under ANSI, size(NULL text) is NULL, not
@@ -66,8 +71,22 @@ def _unscored_docs(
     language, or a language absent from the fitted model (broadcast
     anti-join against the |langs|-row frame). Exactly the complement
     of the scorable set, so the union in the callers is disjoint and
-    complete."""
-    trained = ctx.select(F.col("lang").alias("_tl"), F.lit(1).alias("_trained")).distinct()
+    complete.
+
+    ``trained`` (round 13): a |langs|-row frame with a ``lang`` column
+    naming the model's languages. The scorers already aggregate ctx
+    down to exactly such a frame (vocab / totals); passing it here
+    makes this trained-language set the SAME subtree, so the plan pays
+    one ctx aggregation (reused exchange) instead of two per serve.
+    Default (None) derives it from ctx as before."""
+    if trained is not None:
+        trained = trained.select(
+            F.col("lang").alias("_tl"), F.lit(1).alias("_trained")
+        )
+    else:
+        trained = ctx.select(
+            F.col("lang").alias("_tl"), F.lit(1).alias("_trained")
+        ).distinct()
     short = F.coalesce(F.size(tokens(text)), F.lit(-1)) < 2
     return (
         docs.join(F.broadcast(trained), F.col(lang) == F.col("_tl"), "left")
@@ -178,6 +197,7 @@ def bigram_lm_perplexity(
     lang: str = "lang",
     text: str = "text",
     doc_id: str = "doc_id",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document with its language's LM:
     ``(doc_id, lang, n_bigrams, ppl)``. Unseen context -> c1 = 0
@@ -197,8 +217,13 @@ def bigram_lm_perplexity(
     broadcasts; an over-threshold model falls back to a shuffled hash
     join instead of OOMing the driver the way an unconditional
     ``F.broadcast`` hint would (round-8 fix; the same medicine as the
-    islands/risk/pg_compat hint removals)."""
-    vocab = ctx.select("lang", "vsize").distinct()
+    islands/risk/pg_compat hint removals).
+
+    ``vocab`` (round 13): pass the (lang, vsize) frame when the caller
+    also needs the trained-language set — sharing one frame lets the
+    plan reuse a single ctx aggregation across both consumers."""
+    if vocab is None:
+        vocab = ctx.select("lang", "vsize").distinct()
     scored = (
         _bigrams(docs.select(doc_id, F.col(lang).alias("lang"), text), text)
         .join(F.broadcast(vocab), "lang")
@@ -315,6 +340,7 @@ def bigram_lm_kn_perplexity(
     lang: str = "lang",
     text: str = "text",
     doc_id: str = "doc_id",
+    totals: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document with its language's KN model:
     ``(doc_id, lang, n_bigrams, ppl)``, same output contract as the
@@ -322,8 +348,11 @@ def bigram_lm_kn_perplexity(
     totals frame is hint-broadcast; grid/ctx/cont are
     vocabulary-proportional, so their joins are the planner's call
     (broadcast when measured small — serve from parquet at rest for
-    accurate statistics — shuffled past the threshold)."""
-    totals = ctx.select("lang", "n1p_all", "vsize").distinct()
+    accurate statistics — shuffled past the threshold). ``totals`` —
+    same single-ctx-aggregation sharing hook as the add-one scorer's
+    ``vocab`` (round 13)."""
+    if totals is None:
+        totals = ctx.select("lang", "n1p_all", "vsize").distinct()
     d = F.lit(KN_DISCOUNT)
     pcont = (F.coalesce("n1p_w2", F.lit(0)) + F.lit(1.0)) / (
         F.col("n1p_all") + F.col("vsize")
@@ -367,8 +396,12 @@ def kn_perplexity_buckets(
     grid, ctx, cont = model if model is not None else bigram_lm_kn_train(
         docs, lang=lang, text=text
     )
+    # one ctx aggregation shared by the scorer's totals AND the
+    # unscored complement's trained set (round 13 — the two distincts
+    # were separate subtrees, costing two ctx scans per serve)
+    totals = ctx.select("lang", "n1p_all", "vsize").distinct()
     ppl = bigram_lm_kn_perplexity(
-        docs, grid, ctx, cont, lang=lang, text=text, doc_id=doc_id
+        docs, grid, ctx, cont, lang=lang, text=text, doc_id=doc_id, totals=totals
     )
     w = Window.partitionBy("lang").orderBy(F.col("ppl").asc(), F.col(doc_id).asc())
     scored = ppl.withColumn(
@@ -380,7 +413,9 @@ def kn_perplexity_buckets(
             F.ntile(3).over(w),
         ),
     )
-    return scored.unionByName(_unscored_docs(docs, ctx, lang, text, doc_id))
+    return scored.unionByName(
+        _unscored_docs(docs, ctx, lang, text, doc_id, trained=totals)
+    )
 
 
 def save_lm_model(
@@ -450,7 +485,13 @@ def perplexity_buckets(
     grid, ctx = model if model is not None else bigram_lm_train(
         docs, lang=lang, text=text
     )
-    ppl = bigram_lm_perplexity(docs, grid, ctx, lang=lang, text=text, doc_id=doc_id)
+    # one ctx aggregation shared by the scorer's vocab AND the
+    # unscored complement's trained set (round 13 — the two distincts
+    # were separate subtrees, costing two ctx scans per serve)
+    vocab = ctx.select("lang", "vsize").distinct()
+    ppl = bigram_lm_perplexity(
+        docs, grid, ctx, lang=lang, text=text, doc_id=doc_id, vocab=vocab
+    )
     w = Window.partitionBy("lang").orderBy(F.col("ppl").asc(), F.col(doc_id).asc())
     scored = ppl.withColumn(
         "bucket",
@@ -465,7 +506,9 @@ def perplexity_buckets(
     # anti-join (short / NULL-text / untrained-language), so no join
     # back against the scored output is needed — a trained-language
     # doc with >= 2 tokens always emits >= 1 bigram and always scores
-    return scored.unionByName(_unscored_docs(docs, ctx, lang, text, doc_id))
+    return scored.unionByName(
+        _unscored_docs(docs, ctx, lang, text, doc_id, trained=vocab)
+    )
 
 
 def _bucket_by_bounds(ppl: DataFrame, bounds: DataFrame) -> DataFrame:

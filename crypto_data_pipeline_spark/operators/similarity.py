@@ -1402,6 +1402,73 @@ def pq_encode(
     return src.mapInPandas(encode, out_schema)
 
 
+def pq_query_dist_tables(
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, _dt array<array<double>>): the per-query ADC distance
+    tables dt[j][c] = ||u_j - books[j][c]||², computed in ONE Arrow
+    ``mapInPandas`` instead of the ``_pq_dist_table`` expression form.
+
+    Why (round 13, guide §1.2/§3.3): the expression form inlines the
+    whole m×k×d codebook as a plan literal (8·16·8 = 1024 doubles ≈
+    30 KB of plan text at the demo geometry, 16× that at a production
+    k=256) wrapped in nested higher-order lambdas. That tree is
+    re-parsed and re-optimized by Catalyst on EVERY call and the
+    projection is evaluated interpreted (HOFs don't codegen), with the
+    query normalization re-evaluated inside the innermost lambda — per
+    call the driver paid seconds of analysis on a 10-row side. Here
+    the codebook travels in the function closure (zero plan bytes) and
+    the plan node is a single MapInPandas.
+
+    Bit-exactness with the expression form (and the DuckDB twin): the
+    norm and every squared-distance sum are explicit sequential left
+    folds over Python/IEEE doubles — the same order as the JVM
+    ``F.aggregate`` fold and DuckDB's ``list_sum`` — and float32
+    inputs widen exactly to double. Division by a zero norm follows
+    IEEE (inf/nan) via numpy scalars, matching the JVM."""
+    import numpy as np
+    import pandas as pd
+
+    m, d = len(books), len(books[0][0])
+    # plain Python floats (IEEE doubles), code-ordered like _books_expr
+    cb = [[[float(x) for x in ctr] for ctr in book] for book in books]
+    id_type = queries.schema[query_id_col].dataType.simpleString()
+
+    def tables(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for vec in pdf[vec_col]:
+                r = np.asarray(vec, dtype=np.float64)
+                s = 0.0
+                for x in r:
+                    s += x * x
+                nrm = np.sqrt(s)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    u = r / nrm
+                dt = []
+                for j in range(m):
+                    su = u[j * d : (j + 1) * d]
+                    row = []
+                    for ctr in cb[j]:
+                        acc = 0.0
+                        for i in range(d):
+                            diff = su[i] - ctr[i]
+                            acc += diff * diff
+                        row.append(float(acc))
+                    dt.append(row)
+                out.append(dt)
+            yield pd.DataFrame({query_id_col: pdf[query_id_col], "_dt": out})
+
+    return queries.select(query_id_col, vec_col).mapInPandas(
+        tables, f"{query_id_col} {id_type}, _dt array<array<double>>"
+    )
+
+
 def _pq_dist_table(u: Column | str, books: list[list[list[float]]]) -> Column:
     """ADC distance table array<array<double>> for a unit-normalized
     query column: dt[j][c] = ||u_j - books[j][c]||², positional in code
@@ -1457,8 +1524,10 @@ def pq_topk(
     from pyspark.sql import Window
 
     enc = codes if codes is not None else pq_encode(corpus, books, id_col, vec_col)
-    q = _unit_normed(queries, query_id_col, vec_col)
-    qt = q.select(query_id_col, _pq_dist_table("_v", books).alias("_dt"))
+    # round 13: distance tables via numpy (pq_query_dist_tables) — the
+    # _pq_dist_table expression form put the whole codebook in the plan
+    # as a literal and cost seconds of Catalyst work per call
+    qt = pq_query_dist_tables(queries, books, query_id_col, vec_col)
     scored = (
         enc.crossJoin(F.broadcast(qt))
         .where(F.col(query_id_col) != F.col(id_col))

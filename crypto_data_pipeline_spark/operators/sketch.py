@@ -366,17 +366,30 @@ def heavy_hitters_exact(
             f"{threshold_num}/{threshold_den}: need (capacity+1)*num > den"
         )
     keyed = df.select(key.alias("k")).where(F.col("k").isNotNull())
-    # NO .distinct() on the candidates: each task's summary is already
-    # key-unique, cross-task duplicates are deduped for free when the
-    # broadcast hash relation builds, and a distinct here would spend a
-    # whole extra shuffle on a frame that is about to be collected to
-    # the driver anyway (round-8 plan consolidation: 3 shuffles -> 2)
     cands = _misra_gries_candidates(keyed, capacity)
-    total = keyed.select(F.count(F.lit(1)).alias("_n"))
-    return (
-        keyed.join(F.broadcast(cands), "k", "left_semi")
-        .groupBy("k")
+    # ONE pass 2 scan (round 13; guide §2.3 "don't compute things
+    # twice"): the old shape scanned the stream a third time just for
+    # count(*). Instead the semi join becomes a left join whose
+    # non-candidate rows aggregate under a NULL key — map-side partial
+    # aggregation collapses them per task (<= capacity+1 groups), so
+    # the shuffle still carries only the candidate slice — and the
+    # total is sum(freq) over the SAME aggregation: the two consumers
+    # share one exchange (AQE stage reuse), so the token stream is
+    # scanned twice total (MG pass, count pass), not three times. The
+    # left-join flag needs key-unique candidates (a semi join deduped
+    # cross-task repeats for free; a left join would multiply rows),
+    # so the candidate frame pays one distinct — a shuffle of the
+    # <= capacity-per-task summary rows, never the stream.
+    counts = (
+        keyed.join(
+            F.broadcast(cands.distinct().withColumn("_hit", F.lit(1))), "k", "left"
+        )
+        .groupBy(F.when(F.col("_hit") == 1, F.col("k")).alias("k"))
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    total = counts.agg(F.sum("freq").alias("_n"))
+    return (
+        counts.where(F.col("k").isNotNull())
         .crossJoin(F.broadcast(total))
         .where(F.col("freq") * F.lit(threshold_den) >= F.col("_n") * F.lit(threshold_num))
         .select(

@@ -1482,6 +1482,16 @@ _NB_MODEL_DIRS: dict[tuple[str, str], str] = {}
 # reuse path measured in docs/SCALE_PROBE.md round 12
 _SIG_STORE_CACHE: dict[tuple[str, str], "DataFrame"] = {}
 _SIG_STORE_DIRS: dict[tuple[str, str], str] = {}
+# PQ codebook + corpus codes at rest (round 13): the m-byte code
+# column is the PQ INDEX — FAISS's add()/search split, the same
+# build-once/serve-from-rest contract the IVF and LSH rows already
+# implement. Encoding every corpus vector per probe call re-paid the
+# index build on each search; now the encode lands to parquet once
+# per (session, corpus), the steady row measures the ADC compressed
+# scan + rank (the serving path), and the encode cost is a
+# cold_build_seconds row in bench.py like the other index builds.
+_PQ_CODES_CACHE: dict[tuple[str, str], tuple] = {}
+_PQ_CODES_DIRS: dict[tuple[str, str], str] = {}
 # fitted bigram LM (grid, ctx), same contract; shared by the
 # perplexity-bucket query and the source curation report
 _LM_MODEL_CACHE: dict[tuple[str, str], tuple] = {}
@@ -1500,7 +1510,8 @@ def _cleanup_model_dirs() -> None:
     import shutil
 
     for dirs in (_LM_MODEL_DIRS, _LM_KN_MODEL_DIRS, _NB_MODEL_DIRS,
-                 _IVF_DIRS, _IVF_FIXED_DIRS, _SIG_STORE_DIRS):
+                 _IVF_DIRS, _IVF_FIXED_DIRS, _SIG_STORE_DIRS,
+                 _PQ_CODES_DIRS):
         for d in dirs.values():
             shutil.rmtree(d, ignore_errors=True)
         dirs.clear()
@@ -3630,15 +3641,30 @@ def curation_decision_record(staged: tuple) -> DataFrame:
     """The per-document decision record over prepared stage frames —
     the steady-state assembly the bench times (stages cached). The
     signature frame rides the tuple for lifecycle only (the pairs in
-    ``dominated`` already consumed it)."""
-    q, ex, exk, dominated, _sigs = staged
+    ``dominated`` already consumed it).
+
+    ``ex_keep`` is derived from the PERSISTED survivor frame ``exk``
+    (round 13, guide §2.4): the ``ex`` window column is
+    row_number-over-md5(text)==1, so re-projecting it here re-ran the
+    md5-keyed Exchange — a full-text corpus shuffle plus sort — inside
+    every steady-state assembly, for information the cold build already
+    materialized: a quality-kept doc has ex_keep=1 iff its id is in
+    ``exk``. The presence join against exk's (doc_id) is
+    value-identical (non-survivors and quality-dropped docs both
+    coalesce to 0) and shuffles ids, not text. ``ex`` stays in the
+    tuple for the probe's stage-attribution timings."""
+    q, _ex, exk, dominated, _sigs = staged
     ndk = exk.join(F.broadcast(dominated), "doc_id", "left_anti")
     mix = sampling.temperature_mix_flags(ndk)
     final = ndk.join(mix.where(F.col("keep_temp") == 1).select("doc_id"), "doc_id")
     order = sampling.training_order(final)
     return (
         q.select("doc_id", "lang", "q_keep")
-        .join(ex.select("doc_id", "ex_keep"), "doc_id", "left")
+        .join(
+            exk.select("doc_id").withColumn("ex_keep", F.lit(1)),
+            "doc_id",
+            "left",
+        )
         .join(ndk.select("doc_id").withColumn("nd_keep", F.lit(1)), "doc_id", "left")
         .join(mix.select("doc_id", F.col("keep_temp").alias("mix_keep")), "doc_id", "left")
         .join(order, "doc_id", "left")
@@ -4268,13 +4294,34 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table broadcast — the compressed-scan ANN path that reads 8 bytes
     per corpus vector. Whole pipeline (encode + ADC + rank)
     hash-checked against the derived-codebook DuckDB twin; recall vs
-    the exact baseline pinned in tests/test_dedup_similarity.py."""
+    the exact baseline pinned in tests/test_dedup_similarity.py.
+
+    Round 13: the codes column (the PQ index — 8 bytes/vector at rest)
+    is built once per (session, corpus) and served from parquet, the
+    same FAISS add()/search split as the IVF and LSH rows; re-encoding
+    the whole corpus per probe call was paying the index build on
+    every search. The encode rides bench.py's cold_build_seconds; the
+    steady row is the serving path (ADC scan + rank). The DuckDB twin
+    still recomputes everything from the raw embeddings, so the hash
+    match proves served codes ≡ fresh encode."""
     embs = _embs(spark, sf_dir)
-    books = similarity.build_fixed_pq_codebook(embs, list(range(16)), m=8)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _PQ_CODES_CACHE.get(key)
+    if got is None:
+        import tempfile
+
+        codes_dir = tempfile.mkdtemp(prefix="pq_codes_")
+        # registered before building — same leak guard as the siblings
+        _PQ_CODES_DIRS[key] = codes_dir
+        books = similarity.build_fixed_pq_codebook(embs, list(range(16)), m=8)
+        similarity.pq_encode(embs, books).write.mode("overwrite").parquet(codes_dir)
+        got = (books, spark.read.parquet(codes_dir))
+        _cache_put(_PQ_CODES_CACHE, key, got, lambda t: t[1], dirs=_PQ_CODES_DIRS)
+    books, codes = got
     queries = embs.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.pq_topk(embs, queries, books, k=5)
+    return similarity.pq_topk(embs, queries, books, k=5, codes=codes)
 
 
 @register(

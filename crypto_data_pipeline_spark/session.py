@@ -50,6 +50,24 @@ def get_spark(
         # which Spark rejects by default; read as long and convert in
         # the loader (truncation to micros matches DuckDB's behavior)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # round 13 (guide §1.2 step 3): a session that cycles through
+        # many distinct queries (the bench runs 24, a real analytics
+        # session runs more) overflows the 100-entry generated-class
+        # cache, so every query's FIRST re-run after a full cycle pays
+        # Janino recompilation of each of its codegen units (~0.1-0.5s
+        # per unit of pure driver time). Generated classes are tens of
+        # KB; 1000 entries is a few tens of MB of driver heap. Same
+        # knob applies unchanged on a cluster (driver-side cache).
+        .config("spark.sql.codegen.cache.maxEntries",
+                os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "1000"))
+        # round 13: stale broadcasts/accumulators are only reclaimed
+        # when a driver GC runs; long many-query sessions on a big
+        # driver heap can go the default 30 min without one, letting
+        # executor-side broadcast blocks pile up (observed as late-run
+        # slowdown across a 100+-execution bench session). 5 min keeps
+        # the cleaner live at negligible cost.
+        .config("spark.cleaner.periodicGC.interval",
+                os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"))
         # local[_] has no external shuffle service; keep shuffle spill local
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
     )
