@@ -512,29 +512,119 @@ def build_fixed_ivf_index(
     return IvfIndex(assigned=assigned, centers=centers, id_col=id_col, seed=-1)
 
 
+def kmeans_fit_sample(
+    c_n: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str = "_cv",
+    sample_cap: int | None = None,
+    seed: int = 42,
+    max_iter: int = 25,
+    tol: float = 1e-6,
+    n_total: int | None = None,
+) -> list[list[float]]:
+    """Coarse-quantizer training the way FAISS does it: k-means++ init
+    plus Lloyd iterations over a BOUNDED training sample, in-process
+    (numpy), not as distributed jobs.
+
+    Why (round 13, guide §1.2 step 1): the MLlib fit runs ~max_iter
+    distributed jobs — at bench scale each iteration is almost pure
+    scheduling overhead (the 45-cell fit was ~9s of the 11.4s IVF cold
+    build for 2,000 vectors), and at 100 TB nobody trains a coarse
+    quantizer on the full corpus anyway: FAISS trains on min(N, 256·k)
+    points by design (quantizer quality saturates in the sample size,
+    not the corpus size). The sample here is the SAME deterministic
+    hash-stride residue filter the fraction estimators use (executor-
+    side, inclusion a pure function of the id — no orderBy/limit
+    driver funnel), its size is a function of CONFIG (``sample_cap``,
+    default max(4096, 256·k)), never of corpus size, and the collect
+    is declared in plan_contracts.DECLARED_DRIVER_SCALARS. Lloyd runs
+    vectorized via the ||x||²+||c||²−2x·c expansion (n·k floats, a few
+    MB at the default cap); empty clusters re-seed at the point
+    farthest from its center (the standard repair). Deterministic
+    given (corpus ids, seed)."""
+    import numpy as np
+
+    cap = int(sample_cap) if sample_cap else max(4096, 256 * k)
+    total = int(n_total) if n_total is not None else c_n.count()
+    stride = max(1, -(-total // cap))
+    rows = (
+        c_n.select(vec_col)
+        .where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+        .collect()  # ≤ ~sample_cap rows — bounded by config
+    )
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if len(X) < k:
+        raise ValueError(
+            f"KMeans needs >= k={k} training points; sampled {len(X)} "
+            f"(corpus {total}, cap {cap})"
+        )
+    rng = np.random.default_rng(seed)
+    x2 = np.einsum("ij,ij->i", X, X)
+
+    # k-means++ seeding over the sample
+    centers = np.empty((k, X.shape[1]), dtype=np.float64)
+    centers[0] = X[rng.integers(len(X))]
+    d2 = np.maximum(x2 + centers[0] @ centers[0] - 2.0 * (X @ centers[0]), 0.0)
+    for j in range(1, k):
+        s = d2.sum()
+        if s <= 0.0:  # all mass on existing centers (degenerate sample)
+            centers[j] = X[rng.integers(len(X))]
+        else:
+            centers[j] = X[rng.choice(len(X), p=d2 / s)]
+        d2 = np.minimum(
+            d2,
+            np.maximum(x2 + centers[j] @ centers[j] - 2.0 * (X @ centers[j]), 0.0),
+        )
+
+    for _ in range(max_iter):
+        c2 = np.einsum("ij,ij->i", centers, centers)
+        D = x2[:, None] + c2[None, :] - 2.0 * (X @ centers.T)
+        assign = D.argmin(axis=1)
+        new = np.zeros_like(centers)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        np.add.at(new, assign, X)
+        nonempty = counts > 0
+        new[nonempty] /= counts[nonempty, None]
+        if not nonempty.all():
+            # re-seed each empty cluster at the currently worst-fit point
+            worst = np.argsort(D[np.arange(len(X)), assign])[::-1]
+            for slot, pi in zip(np.flatnonzero(~nonempty), worst):
+                new[slot] = X[pi]
+        shift = float(np.max(np.einsum("ij,ij->i", new - centers, new - centers)))
+        centers = new
+        if shift < tol:
+            break
+    return [[float(x) for x in c] for c in centers]
+
+
 def build_ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
     seed: int = 42,
+    sample_cap: int | None = None,
+    n_total: int | None = None,
 ) -> IvfIndex:
     """Train the coarse quantizer and assign every corpus vector to its
     cell — the one-off indexing pass. KMeans runs over L2-normalized
     vectors (L2 on the unit sphere orders like cosine); the assigned
-    frame is persisted so repeated probes never re-pay the fit."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    frame is persisted so repeated probes never re-pay the fit.
 
+    Round 13: the fit is `kmeans_fit_sample` (k-means++ + Lloyd over a
+    config-bounded deterministic sample, in-process) instead of the
+    MLlib estimator, and full-corpus assignment reuses the Arrow
+    `_assign_cells` pass — the fit no longer costs ~max_iter
+    distributed jobs, and the one corpus-sized pass left in the build
+    is the assignment (which is irreducible: every vector must learn
+    its cell)."""
     c_n = _unit_normed(corpus, id_col, vec_col).withColumnRenamed("_v", "_cv")
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="_cell")
-    model = km.fit(c_n.select(array_to_vector("_cv").alias("_fv")))
-    assigned = (
-        model.transform(c_n.withColumn("_fv", array_to_vector("_cv")))
-        .select(id_col, "_cv", "_cell")
-        .persist()
+    centers = kmeans_fit_sample(
+        c_n, n_centroids, id_col, sample_cap=sample_cap, seed=seed,
+        n_total=n_total,
     )
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    assigned = _assign_cells(c_n, centers, id_col).persist()
     return IvfIndex(assigned=assigned, centers=centers, id_col=id_col, seed=seed)
 
 
@@ -637,14 +727,22 @@ IVF_WARN_ABOVE = 0.10
 
 
 def ivf_candidate_fraction_curve(
-    index: IvfIndex, max_nprobe: int = 8, sample_cap: int = 4096
-) -> list[float]:
+    index: IvfIndex, max_nprobe: int = 8, sample_cap: int = 4096,
+    with_stats: bool = False,
+):
     """`ivf_expected_candidate_fraction` for EVERY nprobe in
     [1, max_nprobe] in one estimator pass: the per-vector argsort
     already orders all cells, so the cumulative probed occupancy gives
     the whole curve for the cost of one sample scan (the sweep the
     serving-nprobe chooser and the probe tool need — point-by-point
-    calls would re-read the sample max_nprobe times)."""
+    calls would re-read the sample max_nprobe times).
+
+    ``with_stats`` (round 13) returns ``(curve, stats)`` where stats
+    carries everything the POINT estimator reports (n_sampled,
+    max_cell_fraction, n_cells, n_cells_empty, sample_cap) — so a
+    caller that needs both the sweep and a config-check verdict pays
+    ONE pass, and an empty residue sample is visible (n_sampled=0)
+    instead of masquerading as an all-zero curve (round-12 ADVICE)."""
     import numpy as np
 
     n_cells = len(index.centers)
@@ -657,7 +755,14 @@ def ivf_candidate_fraction_curve(
     occ = {int(r._cell): int(r.n) for r in hist_rows}
     total = sum(occ.values())
     if total == 0:
-        return [0.0] * max_nprobe
+        zero = [0.0] * max_nprobe
+        if with_stats:
+            return zero, {
+                "n_sampled": 0, "n_cells": n_cells,
+                "n_cells_empty": n_cells, "max_cell_fraction": 0.0,
+                "sample_cap": sample_cap,
+            }
+        return zero
     id_col = index.id_col
     # the same deterministic residue sample as the point estimator
     stride = max(1, -(-total // sample_cap))
@@ -688,10 +793,22 @@ def ivf_candidate_fraction_curve(
     schema = ", ".join(f"c{j} double" for j in range(max_nprobe))
     row = (
         sample.mapInPandas(probed_mass, schema)
-        .agg(*[F.avg(f"c{j}").alias(f"c{j}") for j in range(max_nprobe)])
+        .agg(
+            *[F.avg(f"c{j}").alias(f"c{j}") for j in range(max_nprobe)],
+            F.count(F.lit(1)).alias("_n_sampled"),
+        )
         .collect()[0]  # one scalar row of max_nprobe averages
     )
-    return [round(float(row[f"c{j}"] or 0.0) / total, 4) for j in range(max_nprobe)]
+    curve = [round(float(row[f"c{j}"] or 0.0) / total, 4) for j in range(max_nprobe)]
+    if with_stats:
+        return curve, {
+            "n_sampled": int(row._n_sampled),
+            "n_cells": n_cells,
+            "n_cells_empty": int(n_cells - len(occ)),
+            "max_cell_fraction": round(max(occ_arr) / total, 4),
+            "sample_cap": sample_cap,
+        }
+    return curve
 
 
 def ivf_serving_nprobe(
@@ -704,23 +821,30 @@ def ivf_serving_nprobe(
     recall the geometry affords without the index ceasing to prune.
     Floors at nprobe=1: if even one cell exceeds the threshold the
     geometry itself is wrong (too few cells) and `ivf_config_check`
-    will say so at write time. Threshold defaults to the module's
+    will say so at write time; likewise when the residue sample is
+    EMPTY (n_sampled=0 — round-12 ADVICE: an all-zero curve must not
+    read as 'everything prunes'). Threshold defaults to the module's
     IVF_WARN_ABOVE — the ONE constant `ivf_config_check` also uses, so
-    chooser and guard cannot disagree."""
+    chooser and guard cannot disagree. The returned dict carries the
+    one-pass estimator stats so callers (e.g. the at-rest write) can
+    derive the config-check verdict without a second sample pass."""
     if warn_above is None:
         warn_above = IVF_WARN_ABOVE
-    curve = ivf_candidate_fraction_curve(index, max_nprobe, sample_cap)
+    curve, stats = ivf_candidate_fraction_curve(
+        index, max_nprobe, sample_cap, with_stats=True
+    )
     nprobe = 1
-    for j, frac in enumerate(curve, start=1):
-        if frac <= warn_above:
-            nprobe = j
+    if stats["n_sampled"] > 0:
+        for j, frac in enumerate(curve, start=1):
+            if frac <= warn_above:
+                nprobe = j
     return {"nprobe": nprobe, "fraction_curve": curve,
-            "warn_above": warn_above}
+            "warn_above": warn_above, **stats}
 
 
 def ivf_config_check(
     index: IvfIndex, nprobe: int = 4, warn_above: float = IVF_WARN_ABOVE,
-    sample_cap: int = 4096,
+    sample_cap: int = 4096, stats: dict | None = None,
 ) -> dict:
     """The IVF analog of `lsh_config_check` (round-11; VERDICT r10
     what's-missing #1 — IVF was the one ANN tier with recorded recall
@@ -741,7 +865,10 @@ def ivf_config_check(
     import math
     import warnings
 
-    stats = ivf_expected_candidate_fraction(index, nprobe, sample_cap)
+    if stats is None:
+        stats = ivf_expected_candidate_fraction(index, nprobe, sample_cap)
+    # round 13: a verdict computed from a precomputed one-pass curve
+    # costs zero additional estimator passes (see the `stats` param)
     est = stats["expected_candidate_fraction"]
     verdict = "warn" if est > warn_above else "ok"
     rec = stats["n_cells"]
@@ -767,7 +894,8 @@ def ivf_config_check(
 
 
 def write_ivf_index(
-    index: IvfIndex, path: str, check_config: bool = True, nprobe: int = 4
+    index: IvfIndex, path: str, check_config: bool = True, nprobe: int = 4,
+    config_check: dict | None = None,
 ) -> None:
     """Persist the index at rest: the assigned corpus partitioned BY
     CELL (hive layout — a probe of nprobe cells reads nprobe
@@ -787,7 +915,12 @@ def write_ivf_index(
         os.path.join(path, "assigned")
     )
     params = {"centers": index.centers, "id_col": index.id_col, "seed": index.seed}
-    if check_config:
+    if config_check is not None:
+        # round 13: a caller that already measured the serving point
+        # (ivf_serving_nprobe's one-pass curve) passes the verdict in —
+        # the sidecar contract is identical, the second sample pass gone
+        params["config_check"] = config_check
+    elif check_config:
         params["config_check"] = ivf_config_check(index, nprobe=nprobe)
     with open(os.path.join(path, "centers.json"), "w") as f:
         json.dump(params, f)
@@ -976,6 +1109,92 @@ def multiprobe_query_keys(
             F.explode(_multiprobe_keys_from_dots("_ds", bits, tables, n_flip)).alias("tb"),
         )
         .select(query_id_col, "tb.t", "tb.b")
+    )
+
+
+def lsh_query_keys(
+    queries: DataFrame,
+    query_id_col: str,
+    vec_col: str,
+    dim: int,
+    bits: int,
+    tables: int,
+    seed: int,
+    n_flip: int = 0,
+) -> DataFrame:
+    """Query-side (query_id, t, b) probe keys — single-probe
+    (``n_flip=0``) or multi-probe — computed in ONE Arrow
+    ``mapInPandas`` instead of the ``_table_buckets`` /
+    ``_multiprobe_keys_from_dots`` expression forms.
+
+    Why (round 13, same class as ``pq_query_dist_tables``): the
+    expression forms inline the whole plane family as plan literals
+    (50 planes × 64 doubles ≈ 80 KB of plan text) wrapped in
+    interpreted HOFs — Catalyst re-parses and re-optimizes that tree
+    on EVERY probe call, which profiled at ~0.9–1.2s of pure
+    driver-side build latency per probe against a 10-row query batch.
+    Here the planes travel in the function closure (zero plan bytes).
+
+    Bit-exactness with the expression form (and the DuckDB twins —
+    `embedding_ann_lsh_multiprobe` is hash-gated): each dot is an
+    explicit sequential left fold over IEEE doubles in plane order —
+    identical rounding sequence to the JVM
+    ``aggregate(zip_with(...))`` fold — with float32 inputs widening
+    exactly to double; sign decisions, bit packing, XOR flips are
+    integer-exact; and the flip ranking sorts by ``(margin, bit)``
+    exactly like ``array_sort`` on ``struct(m, i)``. A NULL vector
+    reproduces the SQL semantics: every dot is NULL → sign bit 0 and
+    NULL margins rank last."""
+    import pandas as pd
+
+    planes = _hyperplanes(dim, bits * tables, seed)
+    idt = queries.schema[query_id_col].dataType.simpleString()
+
+    def keys(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_q, out_t, out_b = [], [], []
+            for qid, vec in zip(pdf[query_id_col], pdf[vec_col]):
+                if vec is None:
+                    ds = [None] * (bits * tables)
+                else:
+                    v = [float(x) for x in vec]
+                    ds = []
+                    for p in planes:
+                        acc = 0.0
+                        for x, y in zip(v, p):
+                            acc += x * y
+                        ds.append(acc)
+                for t in range(tables):
+                    base = 0
+                    for i in range(bits):
+                        d = ds[t * bits + i]
+                        if d is not None and d > 0.0:
+                            base |= 1 << i
+                    out_q.append(qid)
+                    out_t.append(t)
+                    out_b.append(base)
+                    if n_flip > 0:
+                        ranked = sorted(
+                            range(bits),
+                            key=lambda i: (
+                                ds[t * bits + i] is None,
+                                abs(ds[t * bits + i])
+                                if ds[t * bits + i] is not None else 0.0,
+                                i,
+                            ),
+                        )
+                        for i in ranked[:n_flip]:
+                            out_q.append(qid)
+                            out_t.append(t)
+                            out_b.append(base ^ (1 << i))
+            yield pd.DataFrame(
+                {query_id_col: out_q, "t": out_t, "b": out_b}
+            ).astype({"t": "int32", "b": "int64"})
+
+    return queries.select(query_id_col, vec_col).mapInPandas(
+        keys, f"{query_id_col} {idt}, t int, b long"
     )
 
 
@@ -1226,15 +1445,13 @@ def lsh_topk(
             f"probes_per_table must be in [0, bits={bits}], got {probes_per_table}"
         )
     id_col = corpus_keys.id_col
-    if probes_per_table == 0:
-        q_keys = queries.select(
-            F.col(query_id_col),
-            F.explode(_table_buckets(vec_col, dim, bits, tables, seed)).alias("tb"),
-        ).select(query_id_col, "tb.t", "tb.b")
-    else:
-        q_keys = multiprobe_query_keys(
-            queries, query_id_col, vec_col, dim, bits, tables, seed, probes_per_table
-        )
+    # round 13: query keys via the Arrow fold (lsh_query_keys) — the
+    # expression forms cost ~1s of per-call Catalyst work on an 80 KB
+    # plane-literal tree (see lsh_query_keys docstring; bit-identical)
+    q_keys = lsh_query_keys(
+        queries, query_id_col, vec_col, dim, bits, tables, seed,
+        n_flip=probes_per_table,
+    )
     cands = corpus_keys.keys.join(F.broadcast(q_keys), ["t", "b"])
     if exclude_self:
         # see brute_force_topk: only valid when ids share a namespace

@@ -129,6 +129,10 @@ DECLARED_DRIVER_SCALARS = {
         "n_centroids centroid rows — build config, not corpus",
     "operators/similarity.py:ivf_expected_candidate_fraction":
         "cell histogram ≤ n_centroids rows + one scalar average row",
+    "operators/similarity.py:kmeans_fit_sample":
+        "hash-stride training sample ≤ ~sample_cap rows (config: "
+        "max(4096, 256·k)) — FAISS-style bounded quantizer training, "
+        "never corpus-proportional",
     "operators/similarity.py:ivf_candidate_fraction_curve":
         "cell histogram ≤ n_centroids rows + one max_nprobe-wide "
         "scalar row (the whole curve in one pass)",

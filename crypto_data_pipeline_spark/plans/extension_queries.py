@@ -1663,9 +1663,28 @@ def _ivf_recommended_index(
         index_dir = tempfile.mkdtemp(prefix="ivf_index_")
         # registered before building — same leak guard as the sibling
         _IVF_DIRS[key] = index_dir
-        built = similarity.build_ivf_index(embs, n_centroids=cells)
+        built = similarity.build_ivf_index(embs, n_centroids=cells, n_total=n)
         serve = similarity.ivf_serving_nprobe(built)
-        similarity.write_ivf_index(built, index_dir, nprobe=serve["nprobe"])
+        # round 13: the chooser's one-pass curve already measured the
+        # serving point — derive the sidecar verdict from it instead of
+        # paying a second histogram+sample estimator pass in
+        # write_ivf_index's default ivf_config_check
+        check = similarity.ivf_config_check(
+            built,
+            stats={
+                "expected_candidate_fraction":
+                    serve["fraction_curve"][serve["nprobe"] - 1],
+                "max_cell_fraction": serve["max_cell_fraction"],
+                "n_cells": serve["n_cells"],
+                "n_cells_empty": serve["n_cells_empty"],
+                "nprobe": serve["nprobe"],
+                "sample_cap": serve["sample_cap"],
+                "n_sampled": serve["n_sampled"],
+            },
+        )
+        similarity.write_ivf_index(
+            built, index_dir, nprobe=serve["nprobe"], config_check=check
+        )
         built.assigned.unpersist()
         index = similarity.read_ivf_index(spark, index_dir)
         got = (index, serve["nprobe"], cells)

@@ -283,6 +283,35 @@ def test_multiprobe_key_set_is_superset_of_single_probe(spark, sf_dir):
     assert len(m) == 3 * len(s)  # (1 + n_flip) distinct buckets per (query, table)
 
 
+def test_lsh_query_keys_arrow_matches_expression_forms(spark, sf_dir):
+    """The round-13 Arrow query-key path (lsh_query_keys — sequential
+    Python folds, planes in the closure) must reproduce the expression
+    forms KEY FOR KEY, at single-probe and multi-probe, including
+    multiplicity: lsh_topk's candidate sets — and the hash-gated
+    multiprobe driver row — depend on it bit for bit."""
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 10").selectExpr("vec_id AS query_id", "embedding")
+    expr_single = queries.select(
+        "query_id",
+        F.explode(similarity._table_buckets("embedding", 64, 5, 10, 42)).alias("tb"),
+    ).select("query_id", "tb.t", "tb.b")
+    arrow_single = similarity.lsh_query_keys(
+        queries, "query_id", "embedding", 64, 5, 10, 42, n_flip=0
+    )
+    assert sorted(map(tuple, expr_single.collect())) == sorted(
+        map(tuple, arrow_single.collect())
+    )
+    expr_multi = similarity.multiprobe_query_keys(
+        queries, "query_id", "embedding", dim=64, bits=5, tables=10, seed=42, n_flip=2
+    )
+    arrow_multi = similarity.lsh_query_keys(
+        queries, "query_id", "embedding", 64, 5, 10, 42, n_flip=2
+    )
+    assert sorted(map(tuple, expr_multi.collect())) == sorted(
+        map(tuple, arrow_multi.collect())
+    )
+
+
 def test_duplicated_spans_merges_maximal_runs(spark):
     """Lee-et-al span semantics on a hand fixture: a 4-token phrase
     shared by two docs yields one merged span per doc (two overlapping

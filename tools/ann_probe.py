@@ -140,6 +140,11 @@ def probe_sf(spark, sf_dir: str) -> list[dict]:
             S.ivf_serving_nprobe(ivf)["nprobe"] if n_centroids == rec_cells
             else None
         )
+        if chosen is not None:
+            # the chooser can legally pick a depth outside the default
+            # sweep (e.g. 5 or 7); include it so the serving_pick marker
+            # always lands on a probed row (round-12 ADVICE)
+            nprobes = tuple(sorted(set(nprobes) | {chosen}))
         for nprobe in nprobes:
             scored_centers = S._cell_scores(F.col("_qv"), S._centers_expr(ivf.centers))
             probes = F.slice(F.array_sort(scored_centers), 1, nprobe)
