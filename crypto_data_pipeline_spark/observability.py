@@ -233,7 +233,16 @@ def joint_hash_sites(
     ``_order_ctes`` shape). Cross-statement dataflow (hash stored in a
     module constant, ordered elsewhere) is out of AST reach — that is
     what the declare-every-affine-site rule covers: the declaration
-    forces a human to restate the marginal claim at each site."""
+    forces a human to restate the marginal claim at each site.
+
+    Granularity limit (round-12 ADVICE, documented): attribution is to
+    the INNERMOST enclosing FunctionDef, so an affine call in an outer
+    function whose ordering construct lives in a nested ``def`` of the
+    same lexical body splits into two 'clean' sites. Like the
+    cross-statement case, the declare-every-affine-site rule is the
+    backstop: the outer site still needs its marginal declaration, and
+    the reviewer restating that claim is looking at the nested def two
+    lines away."""
     import ast
     import os
 

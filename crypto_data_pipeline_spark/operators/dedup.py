@@ -24,6 +24,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from crypto_data_pipeline_spark.exprcache import memo_expr
 from crypto_data_pipeline_spark.operators.text import normalized, tokens
 
 
@@ -122,23 +123,34 @@ def hashed_shingle_sets(df: DataFrame, id_col: str = "doc_id", text: str = "text
     hashes under position-distinct rotations (order-sensitive, no
     string materialization). ~3× cheaper than string shingling and the
     downstream minhash consumes longs directly."""
-    th = F.transform(tokens(text), lambda t: F.xxhash64(t))
-    staged = df.select(F.col(id_col).alias("id"), th.alias("th"))
-    t_col = F.col("th")
-    n = F.size(t_col)
-
-    def shingle_hash(i: Column) -> Column:
-        h = _rotl(F.element_at(t_col, i + 1), k - 1)
-        for j in range(1, k):
-            e = F.element_at(t_col, i + j + 1)
-            h = h.bitwiseXOR(_rotl(e, k - 1 - j) if k - 1 - j > 0 else e)
-        return h
-
-    whole_doc = F.aggregate(t_col, F.lit(0).cast("long"), lambda a, x: _rotl(a, 1).bitwiseXOR(x))
-    hs = F.when(n >= k, F.transform(F.sequence(F.lit(0), n - k), shingle_hash)).otherwise(
-        F.array(whole_doc)
+    # expression fragments memoized per session (exprcache): identical
+    # trees over the named refs, rebuilt 0 times instead of per call
+    th = memo_expr(
+        ("dedup.token_hashes", text),
+        lambda: F.transform(tokens(text), lambda t: F.xxhash64(t)),
     )
-    return staged.select("id", F.array_distinct(hs).alias("hs"))
+    staged = df.select(F.col(id_col).alias("id"), th.alias("th"))
+
+    def build_hs() -> Column:
+        t_col = F.col("th")
+        n = F.size(t_col)
+
+        def shingle_hash(i: Column) -> Column:
+            h = _rotl(F.element_at(t_col, i + 1), k - 1)
+            for j in range(1, k):
+                e = F.element_at(t_col, i + j + 1)
+                h = h.bitwiseXOR(_rotl(e, k - 1 - j) if k - 1 - j > 0 else e)
+            return h
+
+        whole_doc = F.aggregate(
+            t_col, F.lit(0).cast("long"), lambda a, x: _rotl(a, 1).bitwiseXOR(x)
+        )
+        hs = F.when(
+            n >= k, F.transform(F.sequence(F.lit(0), n - k), shingle_hash)
+        ).otherwise(F.array(whole_doc))
+        return F.array_distinct(hs)
+
+    return staged.select("id", memo_expr(("dedup.xx_shingles", k), build_hs).alias("hs"))
 
 
 def _perm_masks(num_hashes: int) -> list[int]:
@@ -195,23 +207,27 @@ def lsh_band_buckets(
     an inference from the dropped pairs."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = _signature_from_hashes(F.col("hs"), num_hashes)
+    sig = memo_expr(
+        ("dedup.xx_signature", num_hashes),
+        lambda: _signature_from_hashes(F.col("hs"), num_hashes),
+    )
+    band_arr = memo_expr(
+        ("dedup.xx_bands", num_hashes, bands),
+        lambda: F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ),
+    )
     banded = (
         sets.select(F.col("id"), sig.alias("sig"))
-        .select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            F.xxhash64(F.slice(F.col("sig"), b * r + 1, r)).alias("band_hash"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band"),
-        )
+        .select("id", band_arr.alias("band"))
         .select("id", "band.band_idx", "band.band_hash")
     )
     return banded.groupBy("band_idx", "band_hash").agg(
@@ -243,8 +259,16 @@ def lsh_candidate_pairs(
     buckets = lsh_band_buckets(sets, num_hashes, bands).where(
         (F.size("ids") >= 2) & (F.size("ids") <= max_bucket)
     )
-    pairs = buckets.select(
-        F.explode(
+    pairs = buckets.select(_pair_expansion().alias("p"))
+    return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def _pair_expansion() -> Column:
+    """Upper-triangular pair explosion of a sorted ``ids`` array —
+    shared (and session-memoized) by both banding pipelines."""
+    return memo_expr(
+        ("dedup.pair_expansion",),
+        lambda: F.explode(
             F.flatten(
                 F.transform(
                     F.col("ids"),
@@ -254,9 +278,8 @@ def lsh_candidate_pairs(
                     ),
                 )
             )
-        ).alias("p")
+        ),
     )
-    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def jaccard_verified_pairs(
@@ -329,12 +352,24 @@ def portable_hashed_shingle_sets(
     both engines execute bit-identically (the same family the rolling
     fingerprint proves portable). The CHECKABLE twin of
     hashed_shingle_sets' xxhash64 fast path."""
-    shingle_hash = lambda s: _poly_fold(F.transform(F.split(s, ""), F.ascii))  # noqa: E731
     # two staging hops (tokens, then shingles) so neither array
-    # expression re-evaluates inside a downstream lambda
-    staged = df.select(F.col(id_col).alias("id"), tokens(text).alias("_tk"))
-    staged = staged.select("id", word_shingles(k=k, toks=F.col("_tk")).alias("_sh"))
-    hs = F.array_distinct(F.transform(F.col("_sh"), shingle_hash))
+    # expression re-evaluates inside a downstream lambda; each hop's
+    # expression is session-memoized (exprcache)
+    tk = memo_expr(("text.tokens", text), lambda: tokens(text))
+    staged = df.select(F.col(id_col).alias("id"), tk.alias("_tk"))
+    sh = memo_expr(
+        ("dedup.port_shingles", k), lambda: word_shingles(k=k, toks=F.col("_tk"))
+    )
+    staged = staged.select("id", sh.alias("_sh"))
+    hs = memo_expr(
+        ("dedup.port_shingle_hashes",),
+        lambda: F.array_distinct(
+            F.transform(
+                F.col("_sh"),
+                lambda s: _poly_fold(F.transform(F.split(s, ""), F.ascii)),
+            )
+        ),
+    )
     return staged.select("id", hs.alias("hs"))
 
 
@@ -357,16 +392,20 @@ def portable_minhash_signatures(
     documents instead of re-paying the per-corpus compute (stage
     attribution measured in docs/SCALE_PROBE.md, round 12)."""
     sets = portable_hashed_shingle_sets(df, id_col, text, shingle_k)
-    params = portable_minhash_params(num_hashes)
 
-    def affine(a: int, b: int):
-        # closure factory, NOT default-arg lambdas: pyspark reads the
-        # function's parameter count as the HOF lambda arity
-        return lambda h: (h * a + b) % F.lit(PORTABLE_MOD)
+    def build_sig() -> Column:
+        params = portable_minhash_params(num_hashes)
 
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("hs"), affine(a, b))) for a, b in params]
-    )
+        def affine(a: int, b: int):
+            # closure factory, NOT default-arg lambdas: pyspark reads
+            # the function's parameter count as the HOF lambda arity
+            return lambda h: (h * a + b) % F.lit(PORTABLE_MOD)
+
+        return F.array(
+            *[F.array_min(F.transform(F.col("hs"), affine(a, b))) for a, b in params]
+        )
+
+    sig = memo_expr(("dedup.port_signature", num_hashes), build_sig)
     return sets.select("id", "hs", sig.alias("sig"))
 
 
@@ -423,22 +462,23 @@ def portable_lsh_candidate_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must divide into equal bands")
     r = num_hashes // bands
+    band_arr = memo_expr(
+        ("dedup.port_bands", num_hashes, bands),
+        lambda: F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        _poly_fold(F.slice(F.col("sig"), b * r + 1, r)).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ),
+    )
     banded = (
         signatures.select("id", "sig")
-        .select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band_idx"),
-                            _poly_fold(F.slice(F.col("sig"), b * r + 1, r)).alias("band_hash"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band"),
-        )
+        .select("id", band_arr.alias("band"))
         .select("id", "band.band_idx", "band.band_hash")
     )
     buckets = (
@@ -446,19 +486,9 @@ def portable_lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_set("id")).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    return buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b").distinct()
+    return buckets.select(_pair_expansion().alias("p")).select(
+        "p.id_a", "p.id_b"
+    ).distinct()
 
 
 def minhash_dedup_pairs(
@@ -478,7 +508,10 @@ def minhash_dedup_pairs(
     # candidates are a tiny pair list but an expensive plan (the full
     # minhash pipeline); they are consumed three times downstream (id
     # census + two pair-join sides) — persist so the signature pass
-    # runs once.
+    # runs once. (Round 13 re-measured the persist-free alternative —
+    # ReusedExchange does NOT reliably dedupe the subtree across the
+    # broadcast consumer, walls 0.84 → 1.7-2.5s — so the persist
+    # stays.)
     cands = lsh_candidate_pairs(sets, num_hashes, bands).persist()
     # prune the RAW docs to candidate ids BEFORE shingling (a semi-join
     # cannot be pushed below the shingle projection by the optimizer),

@@ -93,6 +93,13 @@ ARROW_OK = {
     "semantic_dedup",              # same fixed-quantizer assignment
     "heavy_hitter_tokens",         # bounded-memory Misra-Gries prune (mapInPandas)
     "embedding_rp_topk",           # vectorized numpy JL matmul (mapInPandas)
+    # round 13: query-side LSH probe keys via one Arrow mapInPandas
+    # over the 10-row query batch (similarity.lsh_query_keys) — the
+    # expression forms cost ~1s/call of Catalyst work on an 80 KB
+    # plane-literal tree; keys pinned bit-identical in
+    # tests/test_dedup_similarity.py
+    "embedding_ann_lsh",
+    "embedding_ann_lsh_multiprobe",
 }
 
 

@@ -3675,8 +3675,14 @@ def curation_decision_record(staged: tuple) -> DataFrame:
     q, _ex, exk, dominated, _sigs = staged
     ndk = exk.join(F.broadcast(dominated), "doc_id", "left_anti")
     mix = sampling.temperature_mix_flags(ndk)
-    final = ndk.join(mix.where(F.col("keep_temp") == 1).select("doc_id"), "doc_id")
-    order = sampling.training_order(final)
+    # round 13 (guide §2.4): the former
+    # `ndk.join(mix.where(keep_temp==1).select("doc_id"), "doc_id")`
+    # was an identity filter — mix is computed FROM ndk (inner joins
+    # only shrink), so the kept ids are already a subset of ndk and
+    # training_order reads nothing but doc_id. Feeding the kept slice
+    # of mix directly removes a corpus×corpus doc_id join (two
+    # Exchanges + a sort at 100 TB) from every steady assembly.
+    order = sampling.training_order(mix.where(F.col("keep_temp") == 1))
     return (
         q.select("doc_id", "lang", "q_keep")
         .join(
@@ -4127,6 +4133,14 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(text.normalized("text")).alias("ch"),
         "keep",
     )
+    # round 13: a scored-rows-only left join (skip the unscored union
+    # branch, coalesce misses to 0) was tried here and MEASURED WORSE —
+    # LeftOuter only allows BuildRight, the window'd scored frame's
+    # size estimate is planner-opaque, so the initial plan went
+    # SortMergeJoin and the base side paid a doc_id Exchange it never
+    # pays today (shuffle bytes 385,984 → 626,333 at sf0.1). The inner
+    # join against the full bucket frame keeps BuildLeft available and
+    # the base side broadcast: zero doc-keyed exchange.
     lmb = perplexity_buckets(docs, model=_lm_model(spark, sf_dir)).select(
         "doc_id", (F.col("bucket") == "tail").cast("int").alias("is_tail")
     )
