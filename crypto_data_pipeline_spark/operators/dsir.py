@@ -268,8 +268,14 @@ def dsir_kth_weight(
     aggregate over the (persisted) weighted frame, walks the collected
     histogram from the top to find the bin holding the k-th rank, and
     narrows the range to that bin. The range shrinks ×n_bins per round,
-    so rounds = ceil(log_n_bins(weight_range·1e6)) — 3-4 at ANY corpus
-    size — and the driver only ever sees ≤ n_bins histogram rows per
+    so rounds = ceil(log_n_bins(weight_range·1e6)) — 1-4 at ANY corpus
+    size, because the range is set by the weight DOMAIN (log-ratios of
+    two bounded models), not by corpus size: measured 1 round at sf0.1
+    for both the dsir and rho cutoffs (round 13). Each round is a full
+    corpus scan at 100 TB, so a corpus whose weight range exceeds
+    n_bins²·1e-6 ≈ 16.7 units should raise ``n_bins`` (the driver
+    histogram stays CONFIG-bounded; 64Ki bins ≈ 1.5 MB collected) — and
+    the driver only ever sees ≤ n_bins histogram rows per
     round, never doc rows, never a global sort (the WindowExec-shaped
     alternative puts the whole corpus through one task; see
     dsir_resample, now the driver-SF twin). The final round groups the

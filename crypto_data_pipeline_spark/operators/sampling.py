@@ -270,6 +270,7 @@ def temperature_mix_flags(
     alpha: float = 0.3,
     budget_frac: float = 0.5,
     salt: int = 17,
+    keep_all: bool = False,
 ) -> DataFrame:
     """Temperature-scaled multilingual sampling (the mT5/XLM-R alpha
     mix): target share of group l is p_l ∝ (n_l/N)^alpha, which
@@ -284,6 +285,15 @@ def temperature_mix_flags(
     frame, and a broadcast join of the per-group thresholds back onto
     the scan — the corpus itself never shuffles. At 100 TB the census
     is the only aggregation and it is |languages|-sized.
+
+    ``keep_all`` (round 13, guide §3): join the thresholds LEFT instead
+    of inner, so the output carries one row per input row even when
+    ``group_col`` is NULL (NULL groups never equi-join; their
+    ``keep_temp`` comes out NULL). The kept slice
+    (``keep_temp == 1``) is identical either way — the point is that
+    presence-in-output becomes presence-in-input, letting a consumer
+    that needs both "row existed" and "row sampled" flags read ONE
+    frame instead of joining this one back onto its own input.
     """
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     totals = counts.agg(
@@ -308,7 +318,7 @@ def temperature_mix_flags(
         .cast("long")
         .alias("_thresh"),
     )
-    return df.join(F.broadcast(rates), group_col).select(
+    return df.join(F.broadcast(rates), group_col, "left" if keep_all else "inner").select(
         key,
         group_col,
         (hash_bucket(F.col(key), salt=salt) < F.col("_thresh"))

@@ -121,7 +121,7 @@ DECLARED_DRIVER_SCALARS = {
         "py4j Scala Seq .head() on a plan node's expression list — "
         "not a DataFrame fetch at all",
     "operators/dsir.py:dsir_kth_weight":
-        "≤ n_bins histogram rows per refinement round, 3-4 rounds total",
+        "≤ n_bins histogram rows per refinement round, 1-4 rounds total",
     "operators/expectations.py:check":
         "1 row of rule-violation counters per expectation battery",
     "operators/expectations.py:enforce":

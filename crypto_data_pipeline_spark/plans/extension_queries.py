@@ -3674,14 +3674,19 @@ def curation_decision_record(staged: tuple) -> DataFrame:
     tuple for the probe's stage-attribution timings."""
     q, _ex, exk, dominated, _sigs = staged
     ndk = exk.join(F.broadcast(dominated), "doc_id", "left_anti")
-    mix = sampling.temperature_mix_flags(ndk)
-    # round 13 (guide §2.4): the former
-    # `ndk.join(mix.where(keep_temp==1).select("doc_id"), "doc_id")`
-    # was an identity filter — mix is computed FROM ndk (inner joins
-    # only shrink), so the kept ids are already a subset of ndk and
-    # training_order reads nothing but doc_id. Feeding the kept slice
-    # of mix directly removes a corpus×corpus doc_id join (two
-    # Exchanges + a sort at 100 TB) from every steady assembly.
+    # keep_all=True (round 13, guide §3): mix carries one row per ndk
+    # row structurally (NULL-lang rows ride with keep_temp NULL), so
+    # presence-in-mix IS presence-in-ndk and one joined frame serves
+    # both the nd_keep and mix_keep flags — two corpus×corpus doc_id
+    # joins removed from every steady assembly vs round 12 (the
+    # ndk-presence join, plus the identity filter the old
+    # `ndk.join(mix.where(keep_temp==1)...)` paid before
+    # training_order; mix is computed FROM ndk, so the kept ids are
+    # already a subset and training_order reads nothing but doc_id).
+    # Value-identity: absent-then-coalesce(0) ≡ NULL-then-coalesce(0)
+    # for mix_keep, and where(keep_temp==1) filters NULL the same as
+    # absence.
+    mix = sampling.temperature_mix_flags(ndk, keep_all=True)
     order = sampling.training_order(mix.where(F.col("keep_temp") == 1))
     return (
         q.select("doc_id", "lang", "q_keep")
@@ -3690,8 +3695,15 @@ def curation_decision_record(staged: tuple) -> DataFrame:
             "doc_id",
             "left",
         )
-        .join(ndk.select("doc_id").withColumn("nd_keep", F.lit(1)), "doc_id", "left")
-        .join(mix.select("doc_id", F.col("keep_temp").alias("mix_keep")), "doc_id", "left")
+        .join(
+            mix.select(
+                "doc_id",
+                F.lit(1).alias("nd_keep"),
+                F.col("keep_temp").alias("mix_keep"),
+            ),
+            "doc_id",
+            "left",
+        )
         .join(order, "doc_id", "left")
         .select(
             "doc_id",
@@ -4127,10 +4139,16 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_spark.operators.lm import perplexity_buckets
 
     docs = _docs(spark, sf_dir)
+    # unhex (round 13, guide §2.3 — shuffle narrower types): ch only
+    # feeds countDistinct, and unhex is bijective on md5 hex, so the
+    # distinct-(source, ch) exchange carries 16 binary bytes per pair
+    # instead of a 32-char UTF8 string — same count, same report,
+    # measured 385,984 → 310,973 shuffle bytes at sf0.1 (that exchange
+    # is corpus-sized at 100 TB; the report itself is |sources| rows).
     base = text.with_quality_filter(text.with_text_stats(docs)).select(
         "source",
         "doc_id",
-        F.md5(text.normalized("text")).alias("ch"),
+        F.unhex(F.md5(text.normalized("text"))).alias("ch"),
         "keep",
     )
     # round 13: a scored-rows-only left join (skip the unscored union

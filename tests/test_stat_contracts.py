@@ -339,3 +339,38 @@ def test_mix_temperature_realized_proportions(spark):
         assert abs(kept - p * nl) < 4 * sd, (
             f"{l}: kept {kept} vs target {p * nl:.1f} (4σ = {4 * sd:.1f})"
         )
+
+
+def test_mix_keep_all_presence_contract(spark):
+    """keep_all=True (round 13): the output carries EVERY input row —
+    including NULL-group rows, which never equi-join the threshold
+    frame and must surface with keep_temp NULL — and the kept slice
+    (keep_temp == 1) is row-identical to the default inner-join form.
+    This is the contract curation_decision_record leans on when it
+    reads nd_keep as presence-in-mix."""
+    from crypto_data_pipeline_spark.operators import sampling
+
+    lang = (
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("id") % 3 == 0, "de")
+        .otherwise("en")
+    )
+    docs = spark.range(2_000).select(F.col("id").alias("doc_id"), lang.alias("lang"))
+    inner = sampling.temperature_mix_flags(docs)
+    full = sampling.temperature_mix_flags(docs, keep_all=True)
+
+    assert full.count() == docs.count()
+    null_rows = full.where(F.col("lang").isNull())
+    assert null_rows.count() == docs.where(F.col("lang").isNull()).count()
+    assert null_rows.where(F.col("keep_temp").isNotNull()).count() == 0
+
+    kept_inner = sorted(r["doc_id"] for r in inner.where(F.col("keep_temp") == 1).collect())
+    kept_full = sorted(r["doc_id"] for r in full.where(F.col("keep_temp") == 1).collect())
+    assert kept_inner == kept_full
+    # non-null rows agree flag-for-flag with the inner form
+    joined = (
+        full.where(F.col("lang").isNotNull())
+        .select("doc_id", F.col("keep_temp").alias("kt_full"))
+        .join(inner.select("doc_id", F.col("keep_temp").alias("kt_inner")), "doc_id")
+    )
+    assert joined.where(F.col("kt_full") != F.col("kt_inner")).count() == 0
