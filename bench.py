@@ -106,12 +106,33 @@ def main() -> None:
         # the ADC compressed scan + rank (the serving path)
         "embedding_pq_topk",
     }
+    # Per-query process-tree CPU seconds beside the walls (round 13,
+    # VERDICT r12 next #4): walls on this box swing >1.7x on
+    # byte-identical plans under co-tenancy; CPU consumed by THIS
+    # process tree (driver + JVM + Python workers, from /proc) doesn't.
+    # Additive fields in the full record only — cold/steady walls and
+    # the printed compact line are unchanged.
+    from crypto_data_pipeline_spark.observability import (
+        host_steal_seconds,
+        proc_tree_cpu_seconds,
+    )
+
+    # Hypervisor steal bracketing (round 13): this box is a VM whose
+    # host sometimes withholds CPU — walls swung 7.7→18.2s across
+    # back-to-back runs at guest loadavg ~0.2, and only steal saw it.
+    # Recorded like loadavg: the artifact self-identifies, the shuffle
+    # -byte gate decides.
+    steal_before = host_steal_seconds()
+
     cold: dict[str, float] = {}
+    cold_cpu: dict[str, float] = {}
     for spec in specs:
         if spec.name in AMORTIZED:
+            c0 = proc_tree_cpu_seconds()
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cold[spec.name] = round(time.perf_counter() - t0, 3)
+            cold_cpu[spec.name] = round(proc_tree_cpu_seconds() - c0, 3)
     # Target-SF warm pass: parquet footers, the silver materialization,
     # and the ANN index builds (cached per sf_dir). Timed runs then
     # measure steady-state / probe-phase throughput — the FAISS
@@ -126,15 +147,21 @@ def main() -> None:
     # estimator and stays honest (unlike min, it can't ride a lucky
     # cache line-up).
     timings: dict[str, float] = {}
+    cpu_seconds: dict[str, float] = {}
     shuffle_bytes: dict[str, int] = {}
     from crypto_data_pipeline_spark.observability import plan_runtime_metrics
 
     for spec in specs:
         runs = []
+        c0 = proc_tree_cpu_seconds()
         for _ in range(3):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        # mean CPU per run over the same 3 executions the median wall
+        # summarizes — CPU has no scheduling-noise tail, so the mean is
+        # the stable estimator here
+        cpu_seconds[spec.name] = round((proc_tree_cpu_seconds() - c0) / 3, 3)
         timings[spec.name] = round(sorted(runs)[1], 3)
         # Untimed 4th pass for runtime truth alongside wall-clock:
         # shuffle volume is deterministic where seconds are not
@@ -154,6 +181,7 @@ def main() -> None:
     # Timed section over — snapshot load again (the recall/metadata
     # passes below are untimed, so they sit outside the bracket).
     load_after = [round(x, 2) for x in os.getloadavg()]
+    steal_during = round(host_steal_seconds() - steal_before, 1)
 
     # ANN quality next to ANN speed: recall@k of each benched ANN query
     # vs its exact brute-force twin on the SAME fixed queries/index —
@@ -283,12 +311,22 @@ def main() -> None:
         # class) — the artifact self-identifies, the byte gate decides.
         "loadavg_before": load_before,
         "loadavg_after": load_after,
+        # hypervisor steal seconds accumulated across the whole bench
+        # (warm + cold + timed): >0 means the host withheld CPU from
+        # this VM during the run — the wall-noise source guest loadavg
+        # cannot see (round 13)
+        "steal_seconds_during": steal_during,
         "baseline_comparable_seconds": comparable,
         # vs the re-based r11 comparable wall (BASELINE.md); None off
         # sf0.1. Informational — bytes are the hard gate.
         "wall_vs_rebase": wall_vs_rebase,
         "queries": timings,
+        # process-tree CPU (driver + JVM + workers, /proc, round 13):
+        # the co-tenancy-immune cost signal next to each wall — steady
+        # rows are mean-of-3, cold rows bracket the single build run
+        "cpu_seconds": cpu_seconds,
         "cold_build_seconds": cold,
+        "cold_build_cpu_seconds": cold_cpu,
         # cold rows that moved >25% vs the prior round's artifact —
         # one-time costs, but shipped ones (round 12)
         "cold_build_deltas": cold_build_deltas,
@@ -349,7 +387,7 @@ def main() -> None:
         k: full_record[k]
         for k in (
             "metric", "value", "unit", "timing", "wall_vs_rebase",
-            "loadavg_before", "loadavg_after",
+            "loadavg_before", "loadavg_after", "steal_seconds_during",
             "full_suite_seconds", "n_bench_queries",
             "sf", "queries", "cold_build_seconds", "cold_build_deltas",
             "recall_at_k",

@@ -22,6 +22,68 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+def proc_tree_cpu_seconds() -> float:
+    """Total CPU seconds of this process and every descendant (the JVM
+    + Python workers), from /proc — the co-tenancy-immune per-query
+    cost signal wall-clocks lack (round 13, VERDICT r12 next #4: walls
+    on a shared box swing >1.7x on byte-identical plans; CPU time
+    doesn't). Counts utime+stime of every LIVE tree member PLUS each
+    member's cutime+cstime (CPU of its already-reaped children) so the
+    measure stays monotone when short-lived Python workers exit between
+    snapshots — without the c-fields a worker's whole cost vanishes at
+    reap time and deltas can go negative. Linux-only by design (the
+    bench host); callers degrade to 0.0 where /proc is absent."""
+    import glob
+    import os
+
+    me = os.getpid()
+    procs: dict[int, tuple[int, int]] = {}
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            parts = open(stat).read().rsplit(") ", 1)
+            pid = int(parts[0].split(" ", 1)[0])
+            f = parts[1].split()
+            # post-comm fields: 1=ppid, 11=utime, 12=stime,
+            # 13=cutime, 14=cstime (reaped-children totals)
+            ppid = int(f[1])
+            ticks = int(f[11]) + int(f[12]) + int(f[13]) + int(f[14])
+            procs[pid] = (ppid, ticks)
+        except (OSError, ValueError, IndexError):
+            continue
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack = 0, [me]
+    while stack:
+        pid = stack.pop()
+        if pid in procs:
+            total += procs[pid][1]
+            stack.extend(kids.get(pid, []))
+    try:
+        return total / os.sysconf("SC_CLK_TCK")
+    except (ValueError, OSError):
+        return 0.0
+
+
+def host_steal_seconds() -> float:
+    """Cumulative hypervisor steal time from /proc/stat (field 8 of the
+    aggregate cpu line) — CPU the HOST withheld from this VM. Round 13:
+    walls on this box swung 7.7→18.2s across back-to-back bench runs
+    with guest loadavg ~0.2, and steal is the only signal that sees it
+    (loadavg is guest-local). Bracketing the timed section with this
+    lets the bench artifact self-identify a steal-noisy run the same
+    way loadavg identifies a co-tenant one. 0.0 where /proc is absent
+    or the field is missing (bare metal reports 0 steal)."""
+    import os
+
+    try:
+        with open("/proc/stat") as fh:
+            fields = fh.readline().split()
+        return int(fields[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 # executed-plan metric keys -> report keys (summed over the tree)
 _SUMMED = {
     "shuffleBytesWritten": "shuffle_bytes_written",

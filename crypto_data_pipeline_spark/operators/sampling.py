@@ -263,6 +263,44 @@ def training_order(
     return staged.withColumn("pos", F.row_number().over(w).cast("int")).drop("_ho")
 
 
+def temperature_mix_rates(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+) -> DataFrame:
+    """The |groups|-row threshold frame of ``temperature_mix_flags``,
+    exposed (round 13, guide §2.4) so a caller that flags the same
+    frame repeatedly — the curation decision record assembles per
+    call over persisted stages — can compute the census ONCE and pass
+    it back via ``rates=`` instead of paying a corpus aggregation per
+    assembly. Pure function of ``df``; same arithmetic as the inline
+    path (the cancelled n_l^a / sum n_m^a form, identical rounding)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    totals = counts.agg(
+        F.sum("_n").alias("_tot"),
+        F.sum(F.pow(F.col("_n").cast("double"), F.lit(alpha))).alias("_zraw"),
+    )
+    # p_l = (n_l/N)^a / sum_m (n_m/N)^a  ==  n_l^a / sum_m n_m^a
+    # (the N^a factors cancel — compute the cancelled form in BOTH
+    # engines so float noise cannot differ)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.col("_tot")
+                * (F.pow(F.col("_n").cast("double"), F.lit(alpha)) / F.col("_zraw"))
+                / F.col("_n"),
+            )
+            * MOD
+        )
+        .cast("long")
+        .alias("_thresh"),
+    )
+
+
 def temperature_mix_flags(
     df: DataFrame,
     group_col: str = "lang",
@@ -271,6 +309,7 @@ def temperature_mix_flags(
     budget_frac: float = 0.5,
     salt: int = 17,
     keep_all: bool = False,
+    rates: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-scaled multilingual sampling (the mT5/XLM-R alpha
     mix): target share of group l is p_l ∝ (n_l/N)^alpha, which
@@ -294,30 +333,18 @@ def temperature_mix_flags(
     presence-in-output becomes presence-in-input, letting a consumer
     that needs both "row existed" and "row sampled" flags read ONE
     frame instead of joining this one back onto its own input.
+
+    ``rates`` (round 13, guide §2.4): a precomputed
+    ``temperature_mix_rates(df, group_col, alpha, budget_frac)`` frame.
+    The caller owns the contract that it WAS computed from this ``df``
+    (it is a pure function of it, so reuse is value-identical); passing
+    it skips the census aggregation — the win when the same frame is
+    flagged many times over persisted stages.
     """
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
-    totals = counts.agg(
-        F.sum("_n").alias("_tot"),
-        F.sum(F.pow(F.col("_n").cast("double"), F.lit(alpha))).alias("_zraw"),
-    )
-    # p_l = (n_l/N)^a / sum_m (n_m/N)^a  ==  n_l^a / sum_m n_m^a
-    # (the N^a factors cancel — compute the cancelled form in BOTH
-    # engines so float noise cannot differ)
-    rates = counts.crossJoin(F.broadcast(totals)).select(
-        group_col,
-        F.round(
-            F.least(
-                F.lit(1.0),
-                F.lit(budget_frac)
-                * F.col("_tot")
-                * (F.pow(F.col("_n").cast("double"), F.lit(alpha)) / F.col("_zraw"))
-                / F.col("_n"),
-            )
-            * MOD
+    if rates is None:
+        rates = temperature_mix_rates(
+            df, group_col=group_col, alpha=alpha, budget_frac=budget_frac
         )
-        .cast("long")
-        .alias("_thresh"),
-    )
     return df.join(F.broadcast(rates), group_col, "left" if keep_all else "inner").select(
         key,
         group_col,

@@ -1448,6 +1448,11 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operating point chosen at build time (round 12)
 _IVF_CACHE: dict[tuple[str, str], tuple] = {}
 _CURATION_CACHE: dict[tuple[str, str], tuple] = {}
+# the |langs|-row temperature-mix threshold frame, computed once per
+# staged tuple (round 13): a pure function of the near-dup survivor
+# set, so serving it from the cold build is value-identical and drops
+# one corpus aggregation (+2 jobs) from every steady assembly
+_CURATION_RATES: dict[tuple[str, str], DataFrame] = {}
 
 
 def _release_curation(staged: tuple):
@@ -3565,7 +3570,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stale entries)
     key = (spark.sparkContext.applicationId, sf_dir)
     staged = _CURATION_CACHE.get(key)
-    if staged is None:
+    rates = _CURATION_RATES.get(key)
+    if staged is None or rates is None:
         staged = curation_stages(_docs(spark, sf_dir))
         # The signature frame's only consumer is `dominated`:
         # materialize it (executes the frame's own QueryExecution,
@@ -3578,7 +3584,16 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged[3]._jdf.queryExecution().toRdd().count()
         staged[4].unpersist()
         _cache_put(_CURATION_CACHE, key, staged, frame_of=_release_curation)
-    return curation_decision_record(staged)
+        # Temperature-mix census once per staged tuple (round 13,
+        # guide §2.4): the threshold frame is a pure function of the
+        # near-dup survivor set (exk anti dominated), so the steady
+        # assembly was re-aggregating the persisted corpus per call
+        # for a |langs|-row frame the cold build can materialize once.
+        ndk = staged[2].join(F.broadcast(staged[3]), "doc_id", "left_anti")
+        rates = sampling.temperature_mix_rates(ndk).persist()
+        rates._jdf.queryExecution().toRdd().count()
+        _cache_put(_CURATION_RATES, key, rates, frame_of=lambda df: df)
+    return curation_decision_record(staged, rates=rates)
 
 
 def curation_stages(
@@ -3617,7 +3632,15 @@ def curation_stages(
     from pyspark.sql import Window
 
     bound_parts = None
-    if max_rows_per_cache_partition:
+    # File-backed inputs skip the sizing count outright (round 13;
+    # ADVICE r12): a parquet scan's partitions are already byte-bounded
+    # by spark.sql.files.maxPartitionBytes (128 MB default), so its
+    # cached blocks can never hit the wide-partition class this bound
+    # exists for (a GENERATED frame concentrating millions of rows in a
+    # handful of partitions) — and the count() here is a full input
+    # scan per cold build, which at 100 TB is a corpus pass spent
+    # confirming a bound the scan layout already guarantees.
+    if max_rows_per_cache_partition and not docs.inputFiles():
         n_docs = docs.count()
         needed = -(-n_docs // max_rows_per_cache_partition)
         if needed > docs.rdd.getNumPartitions():
@@ -3656,11 +3679,17 @@ def curation_stages(
     return (q, ex, exk, dominated, sigs)
 
 
-def curation_decision_record(staged: tuple) -> DataFrame:
+def curation_decision_record(
+    staged: tuple, rates: DataFrame | None = None
+) -> DataFrame:
     """The per-document decision record over prepared stage frames —
     the steady-state assembly the bench times (stages cached). The
     signature frame rides the tuple for lifecycle only (the pairs in
-    ``dominated`` already consumed it).
+    ``dominated`` already consumed it). ``rates`` optionally serves
+    the temperature-mix threshold frame precomputed from the SAME
+    survivor set (``temperature_mix_rates`` over exk anti dominated —
+    a pure function of it, so reuse is value-identical); default None
+    keeps the self-contained census for probe callers.
 
     ``ex_keep`` is derived from the PERSISTED survivor frame ``exk``
     (round 13, guide §2.4): the ``ex`` window column is
@@ -3686,7 +3715,7 @@ def curation_decision_record(staged: tuple) -> DataFrame:
     # Value-identity: absent-then-coalesce(0) ≡ NULL-then-coalesce(0)
     # for mix_keep, and where(keep_temp==1) filters NULL the same as
     # absence.
-    mix = sampling.temperature_mix_flags(ndk, keep_all=True)
+    mix = sampling.temperature_mix_flags(ndk, keep_all=True, rates=rates)
     order = sampling.training_order(mix.where(F.col("keep_temp") == 1))
     return (
         q.select("doc_id", "lang", "q_keep")

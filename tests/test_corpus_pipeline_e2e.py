@@ -122,3 +122,40 @@ def test_curation_stage_cache_partitions_are_bounded(spark):
                   unbounded[0], unbounded[2], unbounded[3], unbounded[4]):
         frame.unpersist()
     assert bounded_rows == plain_rows and bounded_rows
+
+
+def test_curation_stage_bound_skips_count_for_file_scans(spark, tmp_path):
+    """Round 13 (ADVICE r12): a file-backed input is already
+    byte-bounded by maxPartitionBytes, so curation_stages must not pay
+    the sizing count() (a full corpus scan per cold build) nor inject
+    the repartition — even when the row bound alone would demand one.
+    A 400-row single-file parquet with a 50-row bound keeps the scan's
+    own partitioning; the generated-frame path (previous test) still
+    repartitions."""
+    from crypto_data_pipeline_spark.plans.extension_queries import curation_stages
+
+    src = (
+        spark.range(400)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("the of and to in on document body "),
+                F.conv(F.col("id").cast("string"), 10, 26),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+        )
+    )
+    path = str(tmp_path / "docs_parquet")
+    src.coalesce(1).write.parquet(path)
+    docs = spark.read.parquet(path)
+    assert docs.inputFiles()
+
+    staged = curation_stages(docs, max_rows_per_cache_partition=50)
+    q = staged[0]
+    try:
+        # old behavior would repartition to ceil(400/50) = 8; the guard
+        # keeps the byte-bounded scan layout untouched
+        assert q.rdd.getNumPartitions() == docs.rdd.getNumPartitions()
+    finally:
+        for frame in (staged[0], staged[2], staged[3], staged[4]):
+            frame.unpersist()

@@ -171,3 +171,39 @@ def test_prior_bench_truncated_tail_and_local_fallback(tmp_path):
     )
     name, got = prior_bench_shuffle_bytes(str(tmp_path), sf=0.1)
     assert name == "BENCH_LOCAL_r07.json" and got == {"q1": 111}
+
+
+def test_proc_tree_cpu_seconds_monotone_across_child_exit():
+    """Round 13: the bench's per-query CPU metric must stay monotone
+    when a descendant exits between snapshots (Python workers are
+    short-lived) — the reaped child's burn must roll up via the
+    parent's cutime/cstime instead of vanishing from the live sum.
+    Also pins the basic contract: spinning CPU in a child moves the
+    counter by at least roughly what was burned."""
+    import subprocess
+
+    from crypto_data_pipeline_spark.observability import proc_tree_cpu_seconds
+
+    before = proc_tree_cpu_seconds()
+    assert before > 0.0
+    # burn ~0.3s of CPU in a child, then REAP it (its cost must land in
+    # our cutime) — the regression mode was a negative delta
+    subprocess.run(
+        ["python", "-c",
+         "t=0\nwhile t < 3_000_000: t += 1"],
+        check=True,
+    )
+    after = proc_tree_cpu_seconds()
+    assert after >= before  # monotone across the child's exit
+    assert after - before > 0.05  # and the child's burn is visible
+
+
+def test_host_steal_seconds_nonnegative():
+    """Steal is cumulative and non-negative (0.0 on bare metal or where
+    /proc is absent) — the bench brackets it, so the reader only ever
+    sees deltas >= 0."""
+    from crypto_data_pipeline_spark.observability import host_steal_seconds
+
+    s1 = host_steal_seconds()
+    s2 = host_steal_seconds()
+    assert s1 >= 0.0 and s2 >= s1

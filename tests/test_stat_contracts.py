@@ -374,3 +374,37 @@ def test_mix_keep_all_presence_contract(spark):
         .join(inner.select("doc_id", F.col("keep_temp").alias("kt_inner")), "doc_id")
     )
     assert joined.where(F.col("kt_full") != F.col("kt_inner")).count() == 0
+
+
+def test_mix_precomputed_rates_identical(spark):
+    """rates= (round 13): flags computed against a precomputed (and
+    persisted) temperature_mix_rates frame are row-identical to the
+    self-contained census path — the contract that lets the curation
+    pipeline compute the census once per staged tuple instead of per
+    decision-record assembly."""
+    from crypto_data_pipeline_spark.operators import sampling
+
+    lang = (
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("id") % 3 == 0, "de")
+        .otherwise("en")
+    )
+    docs = spark.range(2_000).select(F.col("id").alias("doc_id"), lang.alias("lang"))
+    rates = sampling.temperature_mix_rates(docs).persist()
+    try:
+        inline = sampling.temperature_mix_flags(docs, keep_all=True)
+        served = sampling.temperature_mix_flags(docs, keep_all=True, rates=rates)
+        # doc_id (position 0) is unique, so plain tuple sort never
+        # compares the NULL-able keep_temp slot
+        assert sorted(map(tuple, served.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+        # the rates frame itself matches the inline census arithmetic
+        # (same cancelled-form thresholds, same rounding)
+        inline_rates = sampling.temperature_mix_rates(docs)
+        rk = lambda t: ("" if t[0] is None else t[0], t[1])  # NULL-lang census row
+        assert sorted(map(tuple, rates.collect()), key=rk) == sorted(
+            map(tuple, inline_rates.collect()), key=rk
+        )
+    finally:
+        rates.unpersist()

@@ -24,7 +24,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from crypto_data_pipeline_spark import get_spark
-from crypto_data_pipeline_spark.observability import plan_runtime_metrics
+from crypto_data_pipeline_spark.observability import (
+    plan_runtime_metrics,
+    proc_tree_cpu_seconds,  # shared with bench.py (round 13)
+)
 from crypto_data_pipeline_spark.plans.registry import load_with_extras
 
 
@@ -34,35 +37,6 @@ def explain_formatted(df) -> str:
     jvm = df.sparkSession.sparkContext._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return df._jdf.queryExecution().explainString(mode)
-
-
-def proc_tree_cpu_seconds() -> float:
-    """Total CPU seconds (utime+stime) of this process and every live
-    descendant (the JVM + Python workers) — the co-tenancy-immune
-    per-query cost signal walls lack. /proc only; no psutil."""
-    import glob
-
-    me = os.getpid()
-    procs = {}
-    for stat in glob.glob("/proc/[0-9]*/stat"):
-        try:
-            parts = open(stat).read().rsplit(") ", 1)
-            pid = int(parts[0].split(" ", 1)[0])
-            f = parts[1].split()
-            ppid, utime, stime = int(f[1]), int(f[11]), int(f[12])
-            procs[pid] = (ppid, utime + stime)
-        except (OSError, ValueError, IndexError):
-            continue
-    kids: dict[int, list[int]] = {}
-    for pid, (ppid, _) in procs.items():
-        kids.setdefault(ppid, []).append(pid)
-    total, stack = 0, [me]
-    while stack:
-        pid = stack.pop()
-        if pid in procs:
-            total += procs[pid][1]
-            stack.extend(kids.get(pid, []))
-    return total / os.sysconf("SC_CLK_TCK")
 
 
 def main() -> None:
