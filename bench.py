@@ -132,7 +132,7 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cold[spec.name] = round(time.perf_counter() - t0, 3)
-            cold_cpu[spec.name] = round(proc_tree_cpu_seconds() - c0, 3)
+            cold_cpu[spec.name] = round(max(0.0, proc_tree_cpu_seconds() - c0), 3)
     # Target-SF warm pass: parquet footers, the silver materialization,
     # and the ANN index builds (cached per sf_dir). Timed runs then
     # measure steady-state / probe-phase throughput — the FAISS
@@ -160,8 +160,12 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         # mean CPU per run over the same 3 executions the median wall
         # summarizes — CPU has no scheduling-noise tail, so the mean is
-        # the stable estimator here
-        cpu_seconds[spec.name] = round((proc_tree_cpu_seconds() - c0) / 3, 3)
+        # the stable estimator here. Floored at 0: /proc snapshots can
+        # race a worker's reap (its ticks move to the parent's cutime
+        # between two reads), which once produced a small negative.
+        cpu_seconds[spec.name] = round(
+            max(0.0, proc_tree_cpu_seconds() - c0) / 3, 3
+        )
         timings[spec.name] = round(sorted(runs)[1], 3)
         # Untimed 4th pass for runtime truth alongside wall-clock:
         # shuffle volume is deterministic where seconds are not

@@ -83,17 +83,40 @@ def model_zoo(feature_cols: list[str], label: str = "next_day_price") -> dict[st
 def evaluate_models(
     train: DataFrame, test: DataFrame, feature_cols: list[str], label: str = "next_day_price"
 ) -> list[ModelResult]:
-    """M5/M6: fit each pipeline, score RMSE/MAE/R² on the holdout."""
+    """M5/M6: fit each pipeline, score RMSE/MAE/R² on the holdout.
+
+    The split frames persist for the duration of the zoo and each
+    model's prediction frame persists across its three evaluator
+    passes (round 13, guide §2.4/§5): without this every fit and every
+    metric pass re-executed the full upstream feature lineage — 16
+    lineage re-runs per comparison, measured ~20 CPU-s each at sf0.1
+    (578 CPU-s / 86 s wall for the whole table). Persisted rows are
+    byte-identical to recomputed rows (deterministic plans), so every
+    coefficient and metric is unchanged. Partitioning is deliberately
+    NOT touched: repartitioning the (global-split, single-partition)
+    train frame to 4/8/32 was measured SLOWER or CPU-multiplying for
+    the GBT fit (63→450 CPU-s at 32 parts — MLlib tree building is
+    per-iteration-scheduling-bound on small data), and at real scale
+    an entity-free chronological split is window-bound, not fit-bound."""
     out: list[ModelResult] = []
-    for name, pipe in model_zoo(feature_cols, label).items():
-        model = pipe.fit(train)
-        pred = model.transform(test)
-        metrics = {}
-        for m in ("rmse", "mae", "r2"):
-            metrics[m] = RegressionEvaluator(
-                labelCol=label, predictionCol="prediction", metricName=m
-            ).evaluate(pred)
-        out.append(ModelResult(name, metrics["rmse"], metrics["mae"], metrics["r2"]))
+    train = train.persist()
+    test = test.persist()
+    try:
+        for name, pipe in model_zoo(feature_cols, label).items():
+            model = pipe.fit(train)
+            pred = model.transform(test).persist()
+            try:
+                metrics = {}
+                for m in ("rmse", "mae", "r2"):
+                    metrics[m] = RegressionEvaluator(
+                        labelCol=label, predictionCol="prediction", metricName=m
+                    ).evaluate(pred)
+            finally:
+                pred.unpersist()
+            out.append(ModelResult(name, metrics["rmse"], metrics["mae"], metrics["r2"]))
+    finally:
+        train.unpersist()
+        test.unpersist()
     return out
 
 

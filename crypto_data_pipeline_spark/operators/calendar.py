@@ -81,11 +81,35 @@ def with_calendar_features(df: DataFrame, date: str = DATE) -> DataFrame:
 
 
 def holiday_dim(spark: SparkSession) -> DataFrame:
-    """Generated holiday dimension: (holiday_date, is_us, is_cn)."""
+    """Generated holiday dimension: (holiday_date, is_us, is_cn).
+
+    Built as a JVM literal-array explode, NOT ``createDataFrame`` over
+    Python rows (round 13, guide §4.1): a Python-list frame plans as a
+    Python-backed ``Scan ExistingRDD``, so every broadcast build that
+    consumes this dim spawned a Python worker wave per call — measured
+    19.5 CPU-s per calendar_features call at sf0.1 for three 59-row
+    broadcasts, vs ~2 for the literal plan. Same rows, same types."""
     rows = sorted(set(US_HOLIDAYS) | set(CN_HOLIDAYS))
-    data = [(d, int(d in set(US_HOLIDAYS)), int(d in set(CN_HOLIDAYS))) for d in rows]
-    df = spark.createDataFrame(data, "holiday_date string, is_us int, is_cn int")
-    return df.select(F.to_date("holiday_date").alias("holiday_date"), "is_us", "is_cn")
+    us, cn = set(US_HOLIDAYS), set(CN_HOLIDAYS)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.lit(int(d in us)).alias("is_us"),
+                F.lit(int(d in cn)).alias("is_cn"),
+            )
+            for d in rows
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(entries).alias("h"))
+        .select(
+            F.to_date("h.d").alias("holiday_date"),
+            F.col("h.is_us").alias("is_us"),
+            F.col("h.is_cn").alias("is_cn"),
+        )
+    )
 
 
 def with_holiday_flags(df: DataFrame, spark: SparkSession, date: str = DATE) -> DataFrame:

@@ -628,11 +628,19 @@ def simhash64(text: str = "text") -> Column:
     """Charikar simhash: per token take xxhash64, accumulate +1/-1 per
     bit across tokens, sign-pack into a 64-bit long. One aggregate over
     the token array with a 64-length accumulator — single pass, no
-    explode, no Python."""
-    toks = tokens(text)
+    explode, no Python.
 
-    def contrib(t: Column) -> Column:
-        h = F.xxhash64(t)
+    The per-token hash is staged through one ``transform`` pass (round
+    13, guide §4.2): higher-order-function lambdas are interpreted with
+    NO common-subexpression elimination, so hashing inside the 64
+    ``when`` branches of the bit-contribution array re-evaluated the
+    token hash 64x per token. Hashing once into an array<long> and
+    folding over the HASHES leaves only cheap shift/mask ops in the
+    hot lambda — value-identical (same hash per token, same
+    accumulation order)."""
+    hs = F.transform(tokens(text), lambda t: F.xxhash64(t))
+
+    def contrib(h: Column) -> Column:
         return F.array(
             *[
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -641,9 +649,9 @@ def simhash64(text: str = "text") -> Column:
         )
 
     acc = F.aggregate(
-        toks,
+        hs,
         F.array(*[F.lit(0) for _ in range(64)]),
-        lambda a, t: F.zip_with(a, contrib(t), lambda x, y: x + y),
+        lambda a, h: F.zip_with(a, contrib(h), lambda x, y: x + y),
     )
     # sign-pack: bit 63 is the two's-complement sign bit of the long
     packed = F.lit(0).cast("long")
@@ -707,18 +715,29 @@ def simhash_pairs_portable(
     candidates, exact bit_count(xor) verify — every value integer and
     reproducible in DuckDB, so the full lossy simhash pipeline
     hash-checks. Same plan shape as simhash_candidate_pairs; the
-    64-bit xxhash64 version stays the production fast path."""
+    64-bit xxhash64 version stays the production fast path.
+
+    Round 13 (guide §4.2, §2.1): the per-token polynomial fold is
+    staged through ONE ``transform`` pass before the bit accumulation —
+    interpreted HOF lambdas do no common-subexpression elimination, so
+    folding inside each of the ``bits`` ``when`` branches re-ran the
+    whole char-level fold 28x per token (measured 47.6 CPU-s / 46.9 s
+    single-task wall for 5k docs at sf0.1). The input also fans out to
+    cluster parallelism like the xxhash64 path — a no-op whenever the
+    scan is already multi-split."""
+    from crypto_data_pipeline_spark.sources.tables import fan_out
+
     if bits % bands:
         raise ValueError("bits must divide into equal bands")
     width = bits // bands
     mask = (1 << width) - 1
-    toks = tokens(text)
 
     def tok_hash(t: Column) -> Column:
         return _poly_fold(F.transform(F.split(t, ""), F.ascii))
 
-    def contrib(t: Column) -> Column:
-        h = tok_hash(t)
+    hs = F.transform(tokens(text), tok_hash)
+
+    def contrib(h: Column) -> Column:
         return F.array(
             *[
                 F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -727,9 +746,9 @@ def simhash_pairs_portable(
         )
 
     acc = F.aggregate(
-        toks,
+        hs,
         F.array(*[F.lit(0) for _ in range(bits)]),
-        lambda a, t: F.zip_with(a, contrib(t), lambda x, y: x + y),
+        lambda a, h: F.zip_with(a, contrib(h), lambda x, y: x + y),
     )
     packed = F.lit(0).cast("long")
     for i in range(bits):
@@ -738,7 +757,7 @@ def simhash_pairs_portable(
                 F.lit(0).cast("long")
             )
         )
-    sh = df.select(F.col(id_col).alias("id"), packed.alias("sh"))
+    sh = fan_out(df).select(F.col(id_col).alias("id"), packed.alias("sh"))
     banded = sh.select(
         "id",
         "sh",

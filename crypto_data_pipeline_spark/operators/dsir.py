@@ -368,7 +368,13 @@ def dsir_weight_cutoff(
     (keep_fraction == 0 / empty corpus) yields cutoff = +inf, so
     downstream ``weight >= cutoff`` stays a real boolean."""
     cutoff = dsir_kth_weight(weighted, keep_fraction, weight_col=weight_col)
-    return weighted.sparkSession.createDataFrame([(cutoff,)], "cutoff double")
+    # 1-row JVM literal frame, not createDataFrame (round 13, guide
+    # §4.1): the Python-list form plans a Python-backed RDD scan whose
+    # worker wave costs more than the whole serve join; F.lit carries
+    # +inf (the empty-kept-set sentinel) through DoubleType unchanged
+    return weighted.sparkSession.range(1).select(
+        F.lit(float(cutoff)).cast("double").alias("cutoff")
+    )
 
 
 def dsir_score_frozen(

@@ -137,7 +137,13 @@ def check(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
         report = spark.createDataFrame([], REPORT_SCHEMA)
 
     if fks:
+        # one JVM literal frame for ALL fk rows (round 13, guide §4.1):
+        # the per-fk createDataFrame unioned Python-backed scans into
+        # the report, paying a Python-worker wave per fk per action
+        from crypto_data_pipeline_spark.sources.tables import literal_frame
+
         wide_row = wide.collect()[0]
+        fk_rows = []
         for i, e in enumerate(fks):
             dim, dim_key = e.params
             col = e.cols[0]
@@ -151,10 +157,14 @@ def check(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
             )
             n_checked = int(wide_row[f"__fk{i}"] or 0)
             n_viol = missing.count()
-            fk_row = spark.createDataFrame(
-                [(e.name, e.kind, n_checked, n_viol, n_viol == 0)], REPORT_SCHEMA
+            fk_rows.append((e.name, e.kind, n_checked, n_viol, n_viol == 0))
+        report = report.unionByName(
+            literal_frame(
+                spark, fk_rows,
+                "expectation string, kind string, n_checked long, "
+                "n_violations long, passed boolean",
             )
-            report = report.unionByName(fk_row)
+        )
     return report
 
 

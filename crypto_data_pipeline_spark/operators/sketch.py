@@ -263,7 +263,12 @@ def cms_point_estimates(
     params = portable_minhash_params(depth, seed)
     cells = cms_build(docs, depth, width, seed, text)
 
-    probes = spark.createDataFrame([(t,) for t in probe_terms], "term string")
+    # JVM literal-array explode, not createDataFrame (round 13, guide
+    # §4.1): a Python-list frame plans as a Python-backed RDD scan and
+    # spawns a worker wave per call for a handful of probe rows
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in probe_terms])).alias("term")
+    )
     pb = probes.select(
         "term",
         F.posexplode(_bucket_array(term_hash(F.col("term")), params, width)).alias(

@@ -2422,7 +2422,14 @@ def linear_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("x1").isNotNull())
         .select(ENTITY, DATE, F.col(PRICE).alias("y"), "x1", "x2")
     )
+    # persist the split across the two fits + evals (round 13, guide
+    # §2.4): each scaler fit, WLS solve, and evaluator pass otherwise
+    # re-runs the silver-scan + lag-window lineage (~6 re-runs,
+    # measured 29.5 CPU-s at sf0.1). Cached rows are identical to
+    # recomputed rows, so the 6-dp closed-form hash is untouched.
     train, test = chronological_split(feats, DATE, entity=ENTITY)
+    train = train.persist()
+    test = test.persist()
     rows = []
     for name, reg in (("linear", 0.0), ("ridge", 1.0)):
         pipe = Pipeline(
@@ -2446,6 +2453,8 @@ def linear_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
             (name, float(lrm.intercept), float(lrm.coefficients[0]),
              float(lrm.coefficients[1]), float(rmse))
         )
+    train.unpersist()
+    test.unpersist()
     out = spark.createDataFrame(
         rows, "model string, intercept double, w1 double, w2 double, rmse_test double"
     )

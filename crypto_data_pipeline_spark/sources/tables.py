@@ -105,6 +105,34 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     return df
 
 
+def literal_frame(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Small literal DataFrame built as a JVM array-of-structs explode
+    instead of ``createDataFrame`` over Python rows (round 13, guide
+    §4.1): the Python-list form plans a Python-backed ``Scan
+    ExistingRDD``, so every action over it — including each broadcast
+    build that consumes it — spawns a Python-worker wave, measured at
+    1-7 CPU-s per call for frames of a few dozen rows. Same rows, same
+    ``schema`` DDL types (NULLs ride as typed null literals). For
+    driver-side scalars/dims only — rows are inlined into the plan."""
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema)
+    if not rows:
+        return spark.createDataFrame([], st)
+    entries = F.array(
+        *[
+            F.struct(
+                *[
+                    F.lit(v).cast(f.dataType).alias(f.name)
+                    for v, f in zip(row, st.fields)
+                ]
+            )
+            for row in rows
+        ]
+    )
+    return spark.range(1).select(F.explode(entries).alias("_r")).select("_r.*")
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` works.
 
