@@ -351,7 +351,15 @@ def portable_hashed_shingle_sets(
     char hash (h·131 + codepoint) mod 2^31-1 — exact integer arithmetic
     both engines execute bit-identically (the same family the rolling
     fingerprint proves portable). The CHECKABLE twin of
-    hashed_shingle_sets' xxhash64 fast path."""
+    hashed_shingle_sets' xxhash64 fast path.
+
+    Deliberately NO ``fan_out`` here (round 13, measured): unlike the
+    simhash pipelines (one signature pass, 47s single-task), this
+    frame's consumers either persist it once (the curation signature
+    stage) or re-derive it on BOTH sides of the banding self-join per
+    call — adding the adaptive repartition made dedup_minhash_portable
+    ~3x WORSE on CPU (8.2 → 22.5 CPU-s steady at sf0.1: a full-text
+    shuffle per call per branch) for no wall gain."""
     # two staging hops (tokens, then shingles) so neither array
     # expression re-evaluates inside a downstream lambda; each hop's
     # expression is session-memoized (exprcache)

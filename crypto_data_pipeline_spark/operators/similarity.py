@@ -197,8 +197,17 @@ def near_dup_pairs_by_cosine(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs. Blocks on `block_col`
     (e.g. a cluster/label id) to avoid the full cross product; within a
-    block, pairs (a < b) above the cosine threshold."""
-    side = df.select(
+    block, pairs (a < b) above the cosine threshold.
+
+    Fans out to cluster parallelism first (round 13): the per-pair dot
+    products run on the probe side of the broadcast block-join, so an
+    under-partitioned local scan (one small parquet file) serialized
+    the whole pair expansion on one core — measured 4.4s wall / 4.8
+    CPU-s at sf0.1 for a ~1 MB input. A no-op whenever the scan is
+    already multi-split (any real scale); the pair set is unchanged."""
+    from crypto_data_pipeline_spark.sources.tables import fan_out
+
+    side = fan_out(df).select(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     ).withColumn("n", norm(F.col("v")))  # per-row, not per-pair (see brute_force_topk)

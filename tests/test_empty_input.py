@@ -115,3 +115,26 @@ def test_empty_input_matches_oracle(spark, empty_dir, spec):
     sc = sorted((_key(tuple(_canon(r[i]) for i in si)) for r in srows))
     dc = sorted((_key(tuple(_canon(r[i]) for i in di)) for r in drows))
     assert sc == dc, f"empty-input value mismatch: {sc[:3]} vs {dc[:3]}"
+
+
+def test_literal_frame_matches_createdataframe(spark):
+    """Round 13: literal_frame (the JVM array-of-structs form that
+    keeps Python workers out of broadcast builds) must be row- and
+    schema-identical to createDataFrame over the same rows — including
+    typed NULLs and the empty-rows degenerate case."""
+    from crypto_data_pipeline_spark.sources.tables import literal_frame
+
+    schema = "name string, n long, score double, ok boolean"
+    rows = [("a", 1, 0.5, True), ("b", None, float("inf"), False), (None, 3, None, None)]
+    lit = literal_frame(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    assert lit.schema == ref.schema
+    assert sorted(map(tuple, lit.collect()), key=str) == sorted(
+        map(tuple, ref.collect()), key=str
+    )
+    # no Python evaluation node anywhere in the literal plan
+    plan = lit._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan and "EvalPython" not in plan
+
+    empty = literal_frame(spark, [], schema)
+    assert empty.schema == ref.schema and empty.count() == 0
