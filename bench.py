@@ -185,7 +185,10 @@ def main() -> None:
     # Timed section over — snapshot load again (the recall/metadata
     # passes below are untimed, so they sit outside the bracket).
     load_after = [round(x, 2) for x in os.getloadavg()]
-    steal_during = round(host_steal_seconds() - steal_before, 1)
+    # floored at 0 like the cpu deltas (round 14, ADVICE r13): if the
+    # second /proc/stat read fails host_steal_seconds returns 0.0 and
+    # the raw difference would record a nonsense negative steal
+    steal_during = round(max(0.0, host_steal_seconds() - steal_before), 1)
 
     # ANN quality next to ANN speed: recall@k of each benched ANN query
     # vs its exact brute-force twin on the SAME fixed queries/index —
@@ -399,11 +402,30 @@ def main() -> None:
         )
     }
     compact["full_record"] = local_name
+    # Overflow fallbacks, re-ordered (round 14, VERDICT r13 what's-wrong
+    # #1): the old order dropped `queries` SECOND, and in rounds 12-13
+    # the line overflowed far enough that the driver's PERF comparison
+    # lost every per-query timing (`per_query: {}`, `n_common: 0`) and
+    # its core-scaling table went empty. `queries` is the one field the
+    # driver's round-over-round and scaling judgments are built from, so
+    # it is now the LAST field ever touched: narrative/secondary fields
+    # are evicted first (they all live on in the committed full record),
+    # then seconds are rounded to 2dp, and only a still-too-long line
+    # loses the map.
     line = json.dumps(compact)
-    if len(line) > 1900:  # never outgrow the driver's stdout tail again
-        compact.pop("cold_build_seconds")
+    for evict in (
+        "cold_build_deltas", "recall_at_k", "loadavg_before",
+        "loadavg_after", "steal_seconds_during", "cold_build_seconds",
+        "shuffle_regressions_vs",
+    ):
+        if len(line) <= 1900:
+            break
+        compact.pop(evict, None)
         line = json.dumps(compact)
     if len(line) > 1900:
+        compact["queries"] = {q: round(t, 2) for q, t in compact["queries"].items()}
+        line = json.dumps(compact)
+    if len(line) > 1900:  # last resort — never reached at 24-40 rows
         compact["queries"] = {"see": local_name}
         line = json.dumps(compact)
     print(line)
