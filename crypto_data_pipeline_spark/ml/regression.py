@@ -28,7 +28,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.ml import Pipeline
-from pyspark.ml.evaluation import RegressionEvaluator
 from pyspark.ml.feature import StandardScaler, VectorAssembler
 from pyspark.ml.regression import GBTRegressor, LinearRegression
 from pyspark.sql import DataFrame, Window, functions as F
@@ -80,16 +79,49 @@ def model_zoo(feature_cols: list[str], label: str = "next_day_price") -> dict[st
     }
 
 
+def regression_metrics(
+    pred: DataFrame, label: str, prediction_col: str = "prediction"
+) -> ModelResult:
+    """RMSE/MAE/R² in ONE aggregation job (round 14, VERDICT r13 next
+    #5; guide §2.4): three `RegressionEvaluator.evaluate` calls are
+    three separate jobs over the same prediction frame — each a
+    treeAggregate pass with its own scheduling round trip. The three
+    metrics are closed forms over the same four sufficient statistics
+    (n, Σe², Σ|e|, var(y)), so one `agg` replaces all three passes.
+
+    Formulas match `mllib.evaluation.RegressionMetrics` exactly:
+    rmse = sqrt(SSerr/n), mae = Σ|e|/n, r2 = 1 - SSerr/SStot with
+    SStot = var_samp(y)·(n-1). Parity is pinned by
+    tests/test_ml_multimodal.py::test_regression_metrics_match_evaluator
+    (agreement ~1e-12 relative — both sides sum the same doubles; only
+    the accumulation order differs). Degenerate holdouts mirror the
+    evaluator: a constant label (SStot == 0) yields -inf r2 for any
+    nonzero error and nan for a perfect fit."""
+    e = F.col(prediction_col) - F.col(label)
+    r = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(e * e).alias("sse"),
+        F.sum(F.abs(e)).alias("sae"),
+        F.var_samp(label).alias("vy"),
+    ).first()
+    n = int(r.n)
+    sse, sae = float(r.sse), float(r.sae)
+    sstot = float(r.vy) * (n - 1) if r.vy is not None else 0.0
+    if sstot != 0.0:
+        r2 = 1.0 - sse / sstot
+    else:
+        r2 = float("nan") if sse == 0.0 else float("-inf")
+    return ModelResult("", (sse / n) ** 0.5, sae / n, r2)
+
+
 def evaluate_models(
     train: DataFrame, test: DataFrame, feature_cols: list[str], label: str = "next_day_price"
 ) -> list[ModelResult]:
     """M5/M6: fit each pipeline, score RMSE/MAE/R² on the holdout.
 
-    The split frames persist for the duration of the zoo and each
-    model's prediction frame persists across its three evaluator
-    passes (round 13, guide §2.4/§5): without this every fit and every
-    metric pass re-executed the full upstream feature lineage — 16
-    lineage re-runs per comparison, measured ~20 CPU-s each at sf0.1
+    The split frames persist for the duration of the zoo (round 13,
+    guide §2.4/§5): without this every fit re-executed the full
+    upstream feature lineage — measured ~20 CPU-s each at sf0.1
     (578 CPU-s / 86 s wall for the whole table). Persisted rows are
     byte-identical to recomputed rows (deterministic plans), so every
     coefficient and metric is unchanged. Partitioning is deliberately
@@ -97,23 +129,20 @@ def evaluate_models(
     train frame to 4/8/32 was measured SLOWER or CPU-multiplying for
     the GBT fit (63→450 CPU-s at 32 parts — MLlib tree building is
     per-iteration-scheduling-bound on small data), and at real scale
-    an entity-free chronological split is window-bound, not fit-bound."""
+    an entity-free chronological split is window-bound, not fit-bound.
+
+    Round 14: the three per-model evaluator passes collapsed into one
+    aggregation (`regression_metrics`) — 12 metric jobs → 4, and the
+    per-model prediction persist/unpersist pair is gone because the
+    frame is now consumed exactly once."""
     out: list[ModelResult] = []
     train = train.persist()
     test = test.persist()
     try:
         for name, pipe in model_zoo(feature_cols, label).items():
             model = pipe.fit(train)
-            pred = model.transform(test).persist()
-            try:
-                metrics = {}
-                for m in ("rmse", "mae", "r2"):
-                    metrics[m] = RegressionEvaluator(
-                        labelCol=label, predictionCol="prediction", metricName=m
-                    ).evaluate(pred)
-            finally:
-                pred.unpersist()
-            out.append(ModelResult(name, metrics["rmse"], metrics["mae"], metrics["r2"]))
+            m = regression_metrics(model.transform(test), label)
+            out.append(ModelResult(name, m.rmse, m.mae, m.r2))
     finally:
         train.unpersist()
         test.unpersist()

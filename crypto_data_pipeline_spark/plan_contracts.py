@@ -120,8 +120,13 @@ DECLARED_DRIVER_SCALARS = {
     "observability.py:global_window_nodes.walk":
         "py4j Scala Seq .head() on a plan node's expression list — "
         "not a DataFrame fetch at all",
+    "ml/regression.py:regression_metrics":
+        "1 row of metric sufficient statistics (n, Σe², Σ|e|, var(y)) "
+        "per model evaluation",
     "operators/dsir.py:dsir_kth_weight":
-        "≤ n_bins histogram rows per refinement round, 1-4 rounds total",
+        "fixed-width histogram rows (≤ weight_range/n_bins + 1 bins, "
+        "≤ n_bins for the bounded log-ratio weight domain) + ≤ n_bins "
+        "finals rows — never doc rows",
     "operators/expectations.py:check":
         "1 row of rule-violation counters per expectation battery",
     "operators/expectations.py:enforce":

@@ -2431,30 +2431,35 @@ def linear_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = train.persist()
     test = test.persist()
     rows = []
-    for name, reg in (("linear", 0.0), ("ridge", 1.0)):
-        pipe = Pipeline(
-            stages=[
-                VectorAssembler(inputCols=["x1", "x2"], outputCol="_raw"),
-                StandardScaler(
-                    inputCol="_raw", outputCol="features", withMean=True, withStd=True
-                ),
-                LinearRegression(
-                    featuresCol="features", labelCol="y",
-                    regParam=reg, elasticNetParam=0.0,
-                ),
-            ]
-        )
-        model = pipe.fit(train)
-        lrm = model.stages[-1]
-        rmse = RegressionEvaluator(
-            labelCol="y", predictionCol="prediction", metricName="rmse"
-        ).evaluate(model.transform(test))
-        rows.append(
-            (name, float(lrm.intercept), float(lrm.coefficients[0]),
-             float(lrm.coefficients[1]), float(rmse))
-        )
-    train.unpersist()
-    test.unpersist()
+    # try/finally (round 14, ADVICE r13): an exception during any
+    # fit/eval must still release the cached split partitions —
+    # evaluate_models got the same treatment in round 13
+    try:
+        for name, reg in (("linear", 0.0), ("ridge", 1.0)):
+            pipe = Pipeline(
+                stages=[
+                    VectorAssembler(inputCols=["x1", "x2"], outputCol="_raw"),
+                    StandardScaler(
+                        inputCol="_raw", outputCol="features", withMean=True, withStd=True
+                    ),
+                    LinearRegression(
+                        featuresCol="features", labelCol="y",
+                        regParam=reg, elasticNetParam=0.0,
+                    ),
+                ]
+            )
+            model = pipe.fit(train)
+            lrm = model.stages[-1]
+            rmse = RegressionEvaluator(
+                labelCol="y", predictionCol="prediction", metricName="rmse"
+            ).evaluate(model.transform(test))
+            rows.append(
+                (name, float(lrm.intercept), float(lrm.coefficients[0]),
+                 float(lrm.coefficients[1]), float(rmse))
+            )
+    finally:
+        train.unpersist()
+        test.unpersist()
     out = spark.createDataFrame(
         rows, "model string, intercept double, w1 double, w2 double, rmse_test double"
     )

@@ -402,8 +402,9 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = docs.where(F.col("doc_id") % 10 != 0)
     delivery = docs.where(F.col("doc_id") % 10 == 0)
     key = (spark.sparkContext.applicationId, sf_dir)
-    sigs_store = _SIG_STORE_CACHE.get(key)
+    sigs_store = _cache_get_fresh(_SIG_STORE_CACHE, key, docs)
     if sigs_store is None:
+        import json
         import tempfile
 
         store_dir = tempfile.mkdtemp(prefix="sig_store_")
@@ -413,6 +414,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.portable_minhash_signatures(store).write.mode(
             "overwrite"
         ).parquet(path)
+        # corpus identity in the store's own sidecar + the serve-time
+        # freshness recheck (round 14, VERDICT r12 next #6 carry-over)
+        fp = _record_cache_source(_SIG_STORE_CACHE, key, docs)
+        with open(os.path.join(store_dir, "meta.json"), "w") as f:
+            json.dump({"source_fingerprint": fp}, f)
         sigs_store = spark.read.parquet(path)
         # an at-rest scan holds no persist; unpersist-on-evict is a no-op
         _cache_put(_SIG_STORE_CACHE, key, sigs_store,
@@ -1596,7 +1602,21 @@ def _cache_put(
     /tmp dirs) for the process lifetime. One live entry per cache
     matches the access pattern (a session works one sf_dir at a
     time). ``dirs`` is the cache's model-at-rest side map: an evicted
-    key's directory is removed along with it."""
+    key's directory is removed along with it.
+
+    A SAME-key overwrite also releases the old value's persisted
+    frames (round 14, ADVICE r13: a partially-built curation entry —
+    staged cached, rates missing — was rebuilt through this function,
+    and the old tuple's four persisted frames leaked for the session).
+    The old entry's at-rest dir is deliberately NOT removed on a
+    same-key overwrite: builders register dirs[key] before calling
+    here, so the dir entry may already be the NEW one."""
+    old = cache.get(key)
+    if old is not None and old is not value:
+        try:
+            frame_of(old).unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to release
     for k in [k for k in cache if k != key]:
         try:
             frame_of(cache.pop(k)).unpersist()
@@ -1609,9 +1629,46 @@ def _cache_put(
     cache[key] = value
 
 
+# corpus fingerprints recorded beside index/store cache entries
+# (round 14, VERDICT r12 next #6 carry-over): the at-rest serve paths
+# must only ever serve the corpus state they were built from. Each
+# build records observability.source_fingerprint of its source frame;
+# every later cache hit re-checks it (one file listing + one os.stat
+# per input file — no data scan) and a mismatch reads as a MISS, so
+# the caller rebuilds and _cache_put releases the stale entry.
+_CACHE_SOURCE_FPS: dict[tuple, dict | None] = {}
+
+
+def _cache_get_fresh(cache: dict, key: tuple, source_df: DataFrame):
+    """cache[key], but only while the source corpus still matches the
+    fingerprint recorded at build time; None (= rebuild) otherwise.
+    Non-file-backed sources record a None fingerprint and skip the
+    check — generated fixtures have no stable at-rest identity."""
+    val = cache.get(key)
+    if val is None:
+        return None
+    recorded = _CACHE_SOURCE_FPS.get((id(cache), *key))
+    if recorded is not None:
+        from crypto_data_pipeline_spark.observability import source_fingerprint
+
+        if source_fingerprint(source_df) != recorded:
+            return None
+    return val
+
+
+def _record_cache_source(cache: dict, key: tuple, source_df: DataFrame) -> dict | None:
+    """Record (and return) the source fingerprint for a cache entry
+    being built — the load-time half lives in `_cache_get_fresh`."""
+    from crypto_data_pipeline_spark.observability import source_fingerprint
+
+    fp = source_fingerprint(source_df)
+    _CACHE_SOURCE_FPS[(id(cache), *key)] = fp
+    return fp
+
+
 def _ivf_index_at_rest(
     spark: SparkSession, sf_dir: str, cache: dict, dirs: dict, prefix: str,
-    build,
+    build, source: DataFrame | None = None,
 ) -> "similarity.IvfIndex":
     """Build-once/serve-from-rest cache for the IVF indexes — the same
     contract as `_lm_model_at_rest`: on first touch, build the index,
@@ -1624,7 +1681,10 @@ def _ivf_index_at_rest(
     probe joins measured statistics. One entry per (session, corpus);
     eviction and process exit rmtree the dir."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    index = cache.get(key)
+    index = (
+        _cache_get_fresh(cache, key, source) if source is not None
+        else cache.get(key)
+    )
     if index is None:
         import tempfile
 
@@ -1634,10 +1694,11 @@ def _ivf_index_at_rest(
         # _cleanup_model_dirs atexit sweep (round 12, ADVICE; the
         # sweep's rmtree is ignore_errors, so tracking early is safe)
         dirs[key] = index_dir
+        fp = _record_cache_source(cache, key, source) if source is not None else None
         built = build()
-        similarity.write_ivf_index(built, index_dir, nprobe=4)
+        similarity.write_ivf_index(built, index_dir, nprobe=4, source_fingerprint=fp)
         built.assigned.unpersist()
-        index = similarity.read_ivf_index(spark, index_dir)
+        index = similarity.read_ivf_index(spark, index_dir, expect_fingerprint=fp)
         _cache_put(cache, key, index, lambda ix: ix.assigned, dirs=dirs)
     return index
 
@@ -1659,7 +1720,7 @@ def _ivf_recommended_index(
     import math as _math
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    got = _IVF_CACHE.get(key)
+    got = _cache_get_fresh(_IVF_CACHE, key, embs)
     if got is None:
         import tempfile
 
@@ -1668,6 +1729,7 @@ def _ivf_recommended_index(
         index_dir = tempfile.mkdtemp(prefix="ivf_index_")
         # registered before building — same leak guard as the sibling
         _IVF_DIRS[key] = index_dir
+        fp = _record_cache_source(_IVF_CACHE, key, embs)
         built = similarity.build_ivf_index(embs, n_centroids=cells, n_total=n)
         serve = similarity.ivf_serving_nprobe(built)
         # round 13: the chooser's one-pass curve already measured the
@@ -1688,10 +1750,11 @@ def _ivf_recommended_index(
             },
         )
         similarity.write_ivf_index(
-            built, index_dir, nprobe=serve["nprobe"], config_check=check
+            built, index_dir, nprobe=serve["nprobe"], config_check=check,
+            source_fingerprint=fp,
         )
         built.assigned.unpersist()
-        index = similarity.read_ivf_index(spark, index_dir)
+        index = similarity.read_ivf_index(spark, index_dir, expect_fingerprint=fp)
         got = (index, serve["nprobe"], cells)
         _cache_put(_IVF_CACHE, key, got, lambda t: t[0].assigned,
                    dirs=_IVF_DIRS)
@@ -1706,6 +1769,7 @@ def _ivf_fixed_index(spark: SparkSession, sf_dir: str) -> "similarity.IvfIndex":
     return _ivf_index_at_rest(
         spark, sf_dir, _IVF_FIXED_CACHE, _IVF_FIXED_DIRS, "ivf_fixed_index_",
         lambda: similarity.build_fixed_ivf_index(embs, list(range(16))),
+        source=embs,
     )
 
 
@@ -2266,9 +2330,10 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes inline into the DuckDB oracle (see _lsh_oracle)."""
     embs = _embs(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
-    c_keys = _LSH_CACHE.get(key)
+    c_keys = _cache_get_fresh(_LSH_CACHE, key, embs)
     if c_keys is None:
         c_keys = similarity.build_lsh_keys(embs)
+        _record_cache_source(_LSH_CACHE, key, embs)
         _cache_put(_LSH_CACHE, key, c_keys, lambda ix: ix.keys)
     queries = embs.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.lsh_topk(embs, queries, k=5, corpus_keys=c_keys)
@@ -2299,9 +2364,10 @@ def embedding_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe set (see _lsh_multiprobe_oracle)."""
     embs = _embs(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
-    c_keys = _LSH_CACHE.get(key)
+    c_keys = _cache_get_fresh(_LSH_CACHE, key, embs)
     if c_keys is None:
         c_keys = similarity.build_lsh_keys(embs)
+        _record_cache_source(_LSH_CACHE, key, embs)
         _cache_put(_LSH_CACHE, key, c_keys, lambda ix: ix.keys)
     queries = embs.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     return similarity.lsh_topk(embs, queries, k=5, corpus_keys=c_keys, probes_per_table=2)
@@ -4114,6 +4180,18 @@ def rho_excess_perplexity_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SRC_DROP_DUP, _SRC_DROP_KEEP = 0.5, 0.3
 _SRC_REVIEW_DUP, _SRC_REVIEW_KEEP, _SRC_REVIEW_TAIL = 0.2, 0.6, 0.5
 
+# per-(applicationId, sf_dir) persisted per-doc battery frame for the
+# source report (round 14, VERDICT r13 next #3): (source, ch, keep,
+# is_tail) — the quality-rule battery, the md5 content hash, and the
+# LM bucket join are pure functions of the corpus, so every steady
+# call was re-running a full corpus scan (rule battery + md5 + LM
+# serve join, ~2 CPU-s at sf0.1, a corpus pass at 100 TB) to rebuild
+# a frame the first call can persist. Same contract as
+# _RHO_SCORED_CACHE: ~30 bytes/doc, no text, evicted via _cache_put;
+# the build lands in the bench's cold_build_seconds row
+# (source_curation_report is in AMORTIZED).
+_SRC_REPORT_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 @register(
     "source_curation_report",
@@ -4167,32 +4245,39 @@ def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     one doc-keyed shuffle; the report itself is |sources| rows."""
     from crypto_data_pipeline_spark.operators.lm import perplexity_buckets
 
-    docs = _docs(spark, sf_dir)
-    # unhex (round 13, guide §2.3 — shuffle narrower types): ch only
-    # feeds countDistinct, and unhex is bijective on md5 hex, so the
-    # distinct-(source, ch) exchange carries 16 binary bytes per pair
-    # instead of a 32-char UTF8 string — same count, same report,
-    # measured 385,984 → 310,973 shuffle bytes at sf0.1 (that exchange
-    # is corpus-sized at 100 TB; the report itself is |sources| rows).
-    base = text.with_quality_filter(text.with_text_stats(docs)).select(
-        "source",
-        "doc_id",
-        F.unhex(F.md5(text.normalized("text"))).alias("ch"),
-        "keep",
-    )
-    # round 13: a scored-rows-only left join (skip the unscored union
-    # branch, coalesce misses to 0) was tried here and MEASURED WORSE —
-    # LeftOuter only allows BuildRight, the window'd scored frame's
-    # size estimate is planner-opaque, so the initial plan went
-    # SortMergeJoin and the base side paid a doc_id Exchange it never
-    # pays today (shuffle bytes 385,984 → 626,333 at sf0.1). The inner
-    # join against the full bucket frame keeps BuildLeft available and
-    # the base side broadcast: zero doc-keyed exchange.
-    lmb = perplexity_buckets(docs, model=_lm_model(spark, sf_dir)).select(
-        "doc_id", (F.col("bucket") == "tail").cast("int").alias("is_tail")
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    per_doc = _SRC_REPORT_CACHE.get(key)
+    if per_doc is None:
+        docs = _docs(spark, sf_dir)
+        # unhex (round 13, guide §2.3 — shuffle narrower types): ch only
+        # feeds countDistinct, and unhex is bijective on md5 hex, so the
+        # distinct-(source, ch) exchange carries 16 binary bytes per pair
+        # instead of a 32-char UTF8 string — same count, same report,
+        # measured 385,984 → 310,973 shuffle bytes at sf0.1 (that exchange
+        # is corpus-sized at 100 TB; the report itself is |sources| rows).
+        base = text.with_quality_filter(text.with_text_stats(docs)).select(
+            "source",
+            "doc_id",
+            F.unhex(F.md5(text.normalized("text"))).alias("ch"),
+            "keep",
+        )
+        # round 13: a scored-rows-only left join (skip the unscored union
+        # branch, coalesce misses to 0) was tried here and MEASURED WORSE —
+        # LeftOuter only allows BuildRight, the window'd scored frame's
+        # size estimate is planner-opaque, so the initial plan went
+        # SortMergeJoin and the base side paid a doc_id Exchange it never
+        # pays today (shuffle bytes 385,984 → 626,333 at sf0.1). The inner
+        # join against the full bucket frame keeps BuildLeft available and
+        # the base side broadcast: zero doc-keyed exchange.
+        lmb = perplexity_buckets(docs, model=_lm_model(spark, sf_dir)).select(
+            "doc_id", (F.col("bucket") == "tail").cast("int").alias("is_tail")
+        )
+        per_doc = base.join(lmb, "doc_id").select(
+            "source", "ch", "keep", "is_tail"
+        ).persist()
+        _cache_put(_SRC_REPORT_CACHE, key, per_doc, lambda df: df)
     agg = (
-        base.join(lmb, "doc_id")
+        per_doc
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -4386,13 +4471,14 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     match proves served codes ≡ fresh encode."""
     embs = _embs(spark, sf_dir)
     key = (spark.sparkContext.applicationId, sf_dir)
-    got = _PQ_CODES_CACHE.get(key)
+    got = _cache_get_fresh(_PQ_CODES_CACHE, key, embs)
     if got is None:
         import tempfile
 
         codes_dir = tempfile.mkdtemp(prefix="pq_codes_")
         # registered before building — same leak guard as the siblings
         _PQ_CODES_DIRS[key] = codes_dir
+        _record_cache_source(_PQ_CODES_CACHE, key, embs)
         books = similarity.build_fixed_pq_codebook(embs, list(range(16)), m=8)
         similarity.pq_encode(embs, books).write.mode("overwrite").parquet(codes_dir)
         got = (books, spark.read.parquet(codes_dir))

@@ -40,6 +40,7 @@ def test_chronological_split_no_leakage(feature_df):
     assert n_test == 300 - int(300 * (1 - 1 / 6))
 
 
+@pytest.mark.slow
 def test_model_comparison_table(feature_df):
     out = regression.model_comparison(feature_df, ["f1", "f2"], "d").collect()
     assert [set(r.asDict()) for r in out] == [{"model", "rmse", "mae", "r2"}] * 4
@@ -58,6 +59,34 @@ def test_model_comparison_table(feature_df):
     by_model = {r.model: r for r in out}
     assert by_model["ridge"].rmse >= by_model["linear"].rmse
     assert by_model["ridge"].r2 > 0.9
+
+
+def test_regression_metrics_match_evaluator(spark):
+    """The single-agg metric pass (round 14) computes the SAME three
+    numbers RegressionEvaluator did — rmse/mae/r2 agree to ~1e-12
+    relative (identical sufficient statistics, only accumulation order
+    differs), including the degenerate constant-label holdout where
+    RegressionMetrics' SStot hits 0."""
+    import math
+
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    rng = np.random.default_rng(11)
+    rows = [(float(y), float(y + rng.normal(0, 0.5))) for y in rng.normal(3, 2, 200)]
+    pred = spark.createDataFrame(rows, "label double, prediction double")
+    ours = regression.regression_metrics(pred, "label")
+    for m, v in (("rmse", ours.rmse), ("mae", ours.mae), ("r2", ours.r2)):
+        ev = RegressionEvaluator(
+            labelCol="label", predictionCol="prediction", metricName=m
+        ).evaluate(pred)
+        assert math.isclose(v, ev, rel_tol=1e-9), (m, v, ev)
+    # constant label: SStot == 0 -> r2 = -inf on nonzero error (both sides)
+    const = spark.createDataFrame([(1.0, 2.0), (1.0, 0.5)], "label double, prediction double")
+    ours_c = regression.regression_metrics(const, "label")
+    ev_c = RegressionEvaluator(
+        labelCol="label", predictionCol="prediction", metricName="r2"
+    ).evaluate(const)
+    assert ours_c.r2 == ev_c == float("-inf")
 
 
 def test_naive_bayes_classifier_mechanics(spark):
@@ -98,6 +127,7 @@ def test_naive_bayes_classifier_mechanics(spark):
     assert preds[12].score == want
 
 
+@pytest.mark.slow
 def test_nb_min_tf_pruning_matches_python_reference(spark):
     """The NB grid's Heaps-law knob (round-8, symmetric with the LM's
     min_count): grid keeps tf >= min_tf, n_class_tokens/vsize stay

@@ -181,15 +181,19 @@ def test_proc_tree_cpu_seconds_monotone_across_child_exit():
     Also pins the basic contract: spinning CPU in a child moves the
     counter by at least roughly what was burned."""
     import subprocess
+    import sys
 
     from crypto_data_pipeline_spark.observability import proc_tree_cpu_seconds
 
     before = proc_tree_cpu_seconds()
     assert before > 0.0
     # burn ~0.3s of CPU in a child, then REAP it (its cost must land in
-    # our cutime) — the regression mode was a negative delta
+    # our cutime) — the regression mode was a negative delta.
+    # sys.executable, not "python" (round 14, ADVICE r13): python3-only
+    # hosts have no bare `python` and the test would error instead of
+    # verifying the monotonicity contract.
     subprocess.run(
-        ["python", "-c",
+        [sys.executable, "-c",
          "t=0\nwhile t < 3_000_000: t += 1"],
         check=True,
     )
