@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections import Counter
 
 from crypto_data_pipeline_spark.operators import bpe
+import pytest
 
 
 def _ref_apply(syms: list[str], left: str, right: str) -> list[str]:
@@ -58,6 +59,7 @@ def _collect_syms(df):
     return out
 
 
+@pytest.mark.slow
 def test_apply_merge_overlapping_runs(spark):
     """aaaa -> [aa, aa]; aaa -> [aa, a]; banana (a,n) -> [b, an, an, a]."""
     docs = _spark_words(spark, ["aaaa aaa banana"])

@@ -233,6 +233,7 @@ def test_aqe_splits_skewed_smj_at_runtime(spark):
                 spark.conf.set(k, v)
 
 
+@pytest.mark.slow
 def test_lm_serve_shuffled_fallback_splits_token_skew(spark):
     """Round-8 stretch: when the LM model joins fall back to shuffled
     (round-8 removed the broadcast hints so oversized models degrade

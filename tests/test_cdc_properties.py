@@ -13,6 +13,7 @@ from __future__ import annotations
 import random
 
 from crypto_data_pipeline_spark.sources.cdc import apply_changes
+import pytest
 
 
 def _python_model(base_rows, change_rows):
@@ -47,6 +48,7 @@ def _random_feed(rng):
     return base, changes
 
 
+@pytest.mark.slow
 def test_cdc_matches_python_replay_model(spark):
     rng = random.Random(42)
     for case in range(25):
@@ -66,6 +68,7 @@ def test_cdc_matches_python_replay_model(spark):
         assert got == want, f"case {case}: base={base_rows} changes={change_rows}"
 
 
+@pytest.mark.slow
 def test_ivm_maintained_aggregate_equals_recompute(spark):
     """Property (seeded scenarios, one session): maintaining a
     COUNT/SUM aggregate from CDC deltas (`maintain_group_aggregate`)

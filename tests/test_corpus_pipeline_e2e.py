@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 from crypto_data_pipeline_spark.operators import contamination, dedup, sampling, text
 from crypto_data_pipeline_spark.operators.graph import connected_components
 from crypto_data_pipeline_spark.sources.tables import load_table
+import pytest
 
 
+@pytest.mark.slow
 def test_full_corpus_pipeline_composes(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()

@@ -115,6 +115,7 @@ def test_ngram_jaccard_prefix_filter_exact(spark, sf_dir, true_pairs):
         assert abs(j - true_pairs[(a, b)]) < 1e-5
 
 
+@pytest.mark.slow
 def test_simhash_hamming_is_exact(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.simhash_candidate_pairs(docs, max_hamming=3).collect()

@@ -132,6 +132,7 @@ def test_target_docs_are_upweighted(spark, sf_dir):
         assert en_kept > kept, (lang, en_kept, kept)
 
 
+@pytest.mark.slow
 def test_gumbel_resample_matches_python_reference_and_varies_by_salt(spark, fixture_df):
     """The Gumbel-top-k keys equal a literal Python implementation
     exactly (portable integer hash -> strictly-interior uniform ->
@@ -189,6 +190,7 @@ def _weighted(fixture_df):
     )
 
 
+@pytest.mark.slow
 def test_kth_weight_matches_python_for_all_k_and_tiny_bins(spark, fixture_df):
     """dsir_kth_weight == sorted(weights, desc)[k-1] for EVERY
     keep_fraction over the fixture, at n_bins=2 — forcing the maximum
@@ -257,6 +259,7 @@ def test_weight_cutoff_equals_min_kept_weight_of_exact_topk(spark, fixture_df):
     weighted.unpersist()
 
 
+@pytest.mark.slow
 def test_kth_weight_random_property_sweep(spark):
     """Property sweep of the round's central algorithm (the
     test_cdc_properties device: seeded random scenarios replayed in

@@ -45,6 +45,7 @@ def _star(spark, pairs, **kw):
     return {r.v: r.component for r in rows}
 
 
+@pytest.mark.slow
 def test_star_matches_minlabel_on_basic_shapes(spark):
     for pairs in (
         [(i, i + 1) for i in range(5)],

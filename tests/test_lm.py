@@ -10,6 +10,7 @@ import math
 from pyspark.sql import functions as F
 
 from crypto_data_pipeline_spark.operators import lm
+import pytest
 
 
 def _docs(spark, rows):
@@ -92,6 +93,7 @@ def test_serve_path_unseen_context_and_unscorable_docs(spark):
         assert out[20] != "unscored", fn.__name__
 
 
+@pytest.mark.slow
 def test_lm_matches_python_reference_on_random_corpora(spark):
     """Seeded random corpora replayed against a literal Python model
     (same coverage idea as hypothesis, one session — the
@@ -157,6 +159,7 @@ def test_lm_matches_python_reference_on_random_corpora(spark):
         assert got == py_model(rows), (case, rows)
 
 
+@pytest.mark.slow
 def test_kn_matches_python_reference_on_random_corpora(spark):
     """Interpolated Kneser-Ney (round-8): seeded random corpora
     replayed against a literal Python model — discounted seen mass,
@@ -258,6 +261,7 @@ def test_kn_diversity_beats_raw_frequency(spark):
     assert got[11] < got[10], got
 
 
+@pytest.mark.slow
 def test_min_count_pruning_matches_python_reference(spark):
     """The pruning rule, pinned against a literal Python model on
     seeded random corpora: grid keeps c12 >= min_count, ctx keeps
@@ -492,6 +496,7 @@ def test_lm_plan_contract(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # the model joins broadcast
 
 
+@pytest.mark.slow
 def test_kn_min_count_pruning_matches_python_reference(spark):
     """The KN pruning rule (round-9), pinned against a literal Python
     model on seeded random corpora: grid keeps c12 >= min_count, ctx
@@ -573,6 +578,7 @@ def test_kn_min_count_pruning_matches_python_reference(spark):
             assert sorted(map(tuple, f1.collect())) == sorted(map(tuple, f0.collect()))
 
 
+@pytest.mark.slow
 def test_kn_model_at_rest_roundtrip_and_broadcast(spark, tmp_path):
     """The KN triple held to the add-one model's round-8 standard:
     save_lm_model(..., cont=)/load_lm_model(..., with_cont=True) must

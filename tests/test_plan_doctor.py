@@ -30,7 +30,15 @@ from crypto_data_pipeline_spark.plans.registry import load_with_extras
 
 SPECS = load_with_extras()
 
-@pytest.mark.parametrize("name", list(SPECS), ids=list(SPECS))
+# driver-registry plans are screened in the default tier; extra-query
+# plans keep the same screens in the slow tier (round 14)
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, id=n, marks=[pytest.mark.slow] if SPECS[n].extra else [])
+        for n in SPECS
+    ],
+)
 def test_plan_is_clean(spark, sf_dir, name):
     spec = SPECS[name]
     df = spec.fn(spark, sf_dir)

@@ -209,6 +209,7 @@ def _us(minute: int) -> int:
     return int(dt.datetime(2025, 1, 1, 0, 0, tzinfo=dt.timezone.utc).timestamp() * 1e6) + minute * 60_000_000
 
 
+@pytest.mark.slow
 def test_sessionize_stream_stateful_across_runs(spark, tmp_path):
     """Gap-based sessions via applyInPandasWithState. Run 1: in-batch
     closures only (open sessions stay in state). Run 2 (same
@@ -233,6 +234,7 @@ def test_sessionize_stream_stateful_across_runs(spark, tmp_path):
     assert got2 == {(1, _us(0)): (_us(5), 2, 3.0), (2, _us(0)): (_us(0), 1, 8.0)}
 
 
+@pytest.mark.slow
 def test_sessionize_timeout_flushes_idle_sessions(spark, tmp_path):
     """EventTimeTimeout flush: once the watermark passes last_event +
     gap, an idle session is emitted WITHOUT a closing event and its
@@ -789,6 +791,7 @@ def test_stream_classify_matches_batch_twin(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {10, 11, 12}
 
 
+@pytest.mark.slow
 def test_stream_lm_score_matches_batch_across_delivery_orders(spark, tmp_path):
     """Streaming LM serve (round-8): documents scored against the
     checkpointed bigram model and bucketed against the FROZEN boundary
@@ -876,6 +879,7 @@ def test_stream_lm_score_matches_batch_across_delivery_orders(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_dsir_score_matches_batch_across_delivery_orders(spark, tmp_path):
     """Streaming DSIR selection: documents scored against the frozen
     bucket log-ratio model and the frozen weight cutoff must land
@@ -959,6 +963,7 @@ def test_stream_dsir_score_matches_batch_across_delivery_orders(spark, tmp_path)
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_rho_select_matches_batch_across_delivery_orders(spark, tmp_path):
     """Streaming RHO-loss selection: documents scored by BOTH frozen
     LMs (weak add-one base, strong Kneser-Ney reference) and
@@ -1067,6 +1072,7 @@ def test_stream_rho_select_matches_batch_across_delivery_orders(spark, tmp_path)
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_corpus_ingest_bloom_tier_identical_store(spark, tmp_path):
     """The bloom-prefiltered ingest tier admits the IDENTICAL store as
     the exact tier across multiple deliveries, maintains one _bloom
@@ -1124,6 +1130,7 @@ def test_stream_corpus_ingest_bloom_tier_identical_store(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_bloom_tier_covers_store_predating_bloom(spark, tmp_path):
     """Round-6 review finding: enabling the bloom tier over a store
     built WITHOUT it used to bootstrap correctly once but persist only
@@ -1315,6 +1322,7 @@ def test_stream_maintain_aggregate_materialized_view(spark, tmp_path):
             for r in gen.read_current(spark, gold).collect()} == final
 
 
+@pytest.mark.slow
 def test_backfill_delivery_order_property(spark, tmp_path):
     """Late-data / backfill property over ≥20 delivery orders: the two
     continuously-maintained stores must converge to the batch recompute
@@ -1524,6 +1532,7 @@ def test_maintain_aggregate_external_seed(spark, tmp_path):
     assert got == {("a", 3, 20), ("b", 2, 8)}
 
 
+@pytest.mark.slow
 def test_stream_kn_lm_score_matches_batch_across_delivery_orders(spark, tmp_path):
     """Streaming serve for the Kneser-Ney model (round-9, symmetric
     with the add-one stream twin): `stream_lm_score` dispatches on the

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from crypto_data_pipeline_spark.operators import dedup as D
 from crypto_data_pipeline_spark.operators import sketch as SK
+import pytest
 
 
 def _planted_pair_frame(spark, n_pairs: int, width: int, subst: int):
@@ -39,6 +40,7 @@ def _planted_pair_frame(spark, n_pairs: int, width: int, subst: int):
     )
 
 
+@pytest.mark.slow
 def test_simhash_hamming_tracks_arccos_curve(spark):
     """Charikar contract: E[Hamming] = 64*arccos(cos)/pi. Measured at
     500 pairs per point (tools/stat_contract_probe.py records the
@@ -64,6 +66,7 @@ def test_simhash_hamming_tracks_arccos_curve(spark):
         assert lo <= mean <= hi, f"subst={subst}: mean {mean} outside [{lo},{hi}]"
 
 
+@pytest.mark.slow
 def test_simhash_band_join_pigeonhole_recall_is_exact(spark):
     """Any pair at Hamming <= 3 agrees on >= 1 of the 4 16-bit bands
     (pigeonhole) — so the banded candidate join's recall on such pairs

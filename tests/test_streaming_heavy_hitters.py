@@ -10,6 +10,7 @@ from collections import Counter
 from pyspark.sql import functions as F, types as T
 
 from crypto_data_pipeline_spark.streaming import heavy_hitters as hh
+import pytest
 
 SCHEMA = T.StructType([T.StructField("t", T.StringType(), True)])
 
@@ -137,6 +138,7 @@ def test_emptied_summary_overwrites_instead_of_resurrecting(spark, tmp_path):
     assert hh.latest_summaries(spark, out).count() == 0
 
 
+@pytest.mark.slow
 def test_null_keys_cannot_alias_the_sentinel(spark, tmp_path):
     """ADVICE round-7: the emission protocol's empty-summary marker is
     an in-band NULL-key row, so a caller's genuine NULL key used to

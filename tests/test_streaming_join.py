@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from crypto_data_pipeline_spark.sources.tables import load_events_stream, load_table
 from crypto_data_pipeline_spark.streaming.joins import click_purchase_pairs
+import pytest
 
 
 def _collect_pairs(df) -> set[tuple]:
@@ -17,6 +18,7 @@ def _collect_pairs(df) -> set[tuple]:
     }
 
 
+@pytest.mark.slow
 def test_stream_join_matches_batch_twin(spark, sf_dir, tmp_path):
     stream = load_events_stream(spark, sf_dir)
     out = str(tmp_path / "out")
@@ -36,6 +38,7 @@ def test_stream_join_matches_batch_twin(spark, sf_dir, tmp_path):
     assert expected  # the synthetic stream has qualifying pairs
 
 
+@pytest.mark.slow
 def test_stream_left_outer_join_releases_unmatched(spark, sf_dir, tmp_path):
     """Left-outer stream-stream join: click-less purchases are emitted
     with null click columns once the watermark proves no match can
@@ -94,6 +97,7 @@ def test_stream_left_outer_join_releases_unmatched(spark, sf_dir, tmp_path):
     assert any(r[3] is None for r in expected)  # outer rows exist
 
 
+@pytest.mark.slow
 def test_stream_join_plan_is_stateful_symmetric_hash(spark, sf_dir, tmp_path):
     """The EXECUTED streaming plan must be the watermark-evicting
     symmetric hash join (StreamingSymmetricHashJoinExec), not a
