@@ -781,9 +781,17 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_data_pipeline_spark.operators.graph import pagerank
 
     pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    # explode symmetrization, not a two-branch union (round 14, guide
+    # §2.4 — same fix as connected_components): Catalyst does not share
+    # subtrees across union branches, so the union form evaluated the
+    # whole PPJoin pair pipeline twice inside pagerank's edge persist
+    both = F.array(
+        F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+    )
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(F.explode(both).alias("p"))
+        .select("p.src", "p.dst")
         .distinct()
     )
     ranks = pagerank(edges, damping=0.85, iters=5)
