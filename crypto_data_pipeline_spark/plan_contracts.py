@@ -133,7 +133,7 @@ DECLARED_DRIVER_SCALARS = {
         "same 1-row counter frame as check (shared helper)",
     "operators/graph.py:connected_components":
         "1 scalar changed-labels count per iteration (convergence test)",
-    "operators/graph.py:connected_components_star":
+    "operators/graph.py:_star_loop":  # the loop body of connected_components_star
         "same per-iteration convergence scalar",
     "operators/similarity.py:brute_force_topk_arrow":
         "contractual query batch (10 vectors) for the broadcast side",
