@@ -1462,11 +1462,25 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operating point chosen at build time (round 12)
 _IVF_CACHE: dict[tuple[str, str], tuple] = {}
 _CURATION_CACHE: dict[tuple[str, str], tuple] = {}
-# the |langs|-row temperature-mix threshold frame, computed once per
-# staged tuple (round 13): a pure function of the near-dup survivor
-# set, so serving it from the cold build is value-identical and drops
-# one corpus aggregation (+2 jobs) from every steady assembly
-_CURATION_RATES: dict[tuple[str, str], DataFrame] = {}
+# the curation SERVE frames, computed once per staged tuple:
+# round 13 added the |langs|-row temperature-mix threshold frame
+# (rates); round 14 extends the same move to the per-doc mix flags and
+# the training order — ALL pure functions of the persisted near-dup
+# survivor set, so serving them from the cold build is value-identical
+# and the steady assembly stops (a) evaluating the mix subtree twice
+# (its own join + training_order's input — Catalyst shares nothing
+# across the two consumers) and (b) re-running the shard-rank windows
+# per call. Value: (rates, mix, order), all persisted.
+_CURATION_SERVE: dict[tuple[str, str], tuple] = {}
+
+
+def _release_serve(serve: tuple):
+    """Unpersist the serve frames; returns rates for _cache_put's
+    final unpersist call."""
+    rates, mix, order = serve
+    mix.unpersist()
+    order.unpersist()
+    return rates
 
 
 def _release_curation(staged: tuple):
@@ -3644,8 +3658,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stale entries)
     key = (spark.sparkContext.applicationId, sf_dir)
     staged = _CURATION_CACHE.get(key)
-    rates = _CURATION_RATES.get(key)
-    if staged is None or rates is None:
+    serve = _CURATION_SERVE.get(key)
+    if staged is None or serve is None:
         staged = curation_stages(_docs(spark, sf_dir))
         # The signature frame's only consumer is `dominated`:
         # materialize it (executes the frame's own QueryExecution,
@@ -3658,16 +3672,28 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged[3]._jdf.queryExecution().toRdd().count()
         staged[4].unpersist()
         _cache_put(_CURATION_CACHE, key, staged, frame_of=_release_curation)
-        # Temperature-mix census once per staged tuple (round 13,
-        # guide §2.4): the threshold frame is a pure function of the
-        # near-dup survivor set (exk anti dominated), so the steady
-        # assembly was re-aggregating the persisted corpus per call
-        # for a |langs|-row frame the cold build can materialize once.
+        # Serve frames once per staged tuple (round 13 for rates;
+        # round 14 for mix + order, guide §2.4): all three are pure
+        # functions of the near-dup survivor set (exk anti dominated),
+        # so the steady assembly was re-evaluating the mix flag
+        # subtree twice (its own join + training_order's input) and
+        # re-running the shard-rank windows on every call for frames
+        # the cold build can materialize once.
         ndk = staged[2].join(F.broadcast(staged[3]), "doc_id", "left_anti")
         rates = sampling.temperature_mix_rates(ndk).persist()
         rates._jdf.queryExecution().toRdd().count()
-        _cache_put(_CURATION_RATES, key, rates, frame_of=lambda df: df)
-    return curation_decision_record(staged, rates=rates)
+        mix = sampling.temperature_mix_flags(
+            ndk, keep_all=True, rates=rates
+        ).persist()
+        mix._jdf.queryExecution().toRdd().count()
+        order = sampling.training_order(
+            mix.where(F.col("keep_temp") == 1)
+        ).persist()
+        order._jdf.queryExecution().toRdd().count()
+        serve = (rates, mix, order)
+        _cache_put(_CURATION_SERVE, key, serve, frame_of=_release_serve)
+    _rates, mix, order = serve
+    return curation_decision_record(staged, mix=mix, order=order)
 
 
 def curation_stages(
@@ -3754,7 +3780,10 @@ def curation_stages(
 
 
 def curation_decision_record(
-    staged: tuple, rates: DataFrame | None = None
+    staged: tuple,
+    rates: DataFrame | None = None,
+    mix: DataFrame | None = None,
+    order: DataFrame | None = None,
 ) -> DataFrame:
     """The per-document decision record over prepared stage frames —
     the steady-state assembly the bench times (stages cached). The
@@ -3774,23 +3803,34 @@ def curation_decision_record(
     ``exk``. The presence join against exk's (doc_id) is
     value-identical (non-survivors and quality-dropped docs both
     coalesce to 0) and shuffles ids, not text. ``ex`` stays in the
-    tuple for the probe's stage-attribution timings."""
+    tuple for the probe's stage-attribution timings.
+
+    ``mix`` / ``order`` (round 14, guide §2.4): optionally serve the
+    per-doc mix-flag frame and the training order precomputed from the
+    SAME survivor set — pure functions of (staged, rates), so reuse is
+    value-identical. Without them the assembly evaluates the mix
+    subtree TWICE per call (Catalyst shares nothing between its two
+    consumers, the record join and training_order's input) and re-runs
+    the shard-rank windows on every call. Defaults (None) keep the
+    self-contained form for probe callers."""
     q, _ex, exk, dominated, _sigs = staged
-    ndk = exk.join(F.broadcast(dominated), "doc_id", "left_anti")
-    # keep_all=True (round 13, guide §3): mix carries one row per ndk
-    # row structurally (NULL-lang rows ride with keep_temp NULL), so
-    # presence-in-mix IS presence-in-ndk and one joined frame serves
-    # both the nd_keep and mix_keep flags — two corpus×corpus doc_id
-    # joins removed from every steady assembly vs round 12 (the
-    # ndk-presence join, plus the identity filter the old
-    # `ndk.join(mix.where(keep_temp==1)...)` paid before
-    # training_order; mix is computed FROM ndk, so the kept ids are
-    # already a subset and training_order reads nothing but doc_id).
-    # Value-identity: absent-then-coalesce(0) ≡ NULL-then-coalesce(0)
-    # for mix_keep, and where(keep_temp==1) filters NULL the same as
-    # absence.
-    mix = sampling.temperature_mix_flags(ndk, keep_all=True, rates=rates)
-    order = sampling.training_order(mix.where(F.col("keep_temp") == 1))
+    if mix is None:
+        ndk = exk.join(F.broadcast(dominated), "doc_id", "left_anti")
+        # keep_all=True (round 13, guide §3): mix carries one row per ndk
+        # row structurally (NULL-lang rows ride with keep_temp NULL), so
+        # presence-in-mix IS presence-in-ndk and one joined frame serves
+        # both the nd_keep and mix_keep flags — two corpus×corpus doc_id
+        # joins removed from every steady assembly vs round 12 (the
+        # ndk-presence join, plus the identity filter the old
+        # `ndk.join(mix.where(keep_temp==1)...)` paid before
+        # training_order; mix is computed FROM ndk, so the kept ids are
+        # already a subset and training_order reads nothing but doc_id).
+        # Value-identity: absent-then-coalesce(0) ≡ NULL-then-coalesce(0)
+        # for mix_keep, and where(keep_temp==1) filters NULL the same as
+        # absence.
+        mix = sampling.temperature_mix_flags(ndk, keep_all=True, rates=rates)
+    if order is None:
+        order = sampling.training_order(mix.where(F.col("keep_temp") == 1))
     return (
         q.select("doc_id", "lang", "q_keep")
         .join(
